@@ -1,0 +1,220 @@
+"""Incremental MERGE materialization over parquet table directories.
+
+Replaces the reference's dbt-trino incremental materializations (SURVEY §2.1
+S6-S10; reference config blocks e.g.
+``models/deepbook_margin/daily/fct_deepbook_margin_pool_daily.sql:1-8``
+``materialized='incremental', unique_key=[...], incremental_strategy='merge'``).
+
+Design for scale
+----------------
+The MERGE here is an **upsert on a composite natural key**. Without Delta Lake
+in the environment, a table is a parquet directory and MERGE is expressed as::
+
+    kept = old.join(new, on=unique_key, how="left_anti")   # rows not replaced
+    result = kept.unionByName(new)
+
+Two physical strategies, chosen by whether the table is partitioned:
+
+1. **Partitioned tables** (e.g. a fact partitioned by ``snapshot_date``):
+   only the partitions *touched by new data* are read back and rewritten,
+   using Spark's dynamic partition overwrite. New data for 7 days out of 5
+   years rewrites 7 partitions, not the table. This is the strategy that
+   holds at 100 TB — the rewrite cost is proportional to the incremental
+   slice, not the table size. (Equivalent of Delta's MERGE file-pruning /
+   Hive dynamic-partition insert-overwrite.)
+
+2. **Unpartitioned tables**: full anti-join + atomic directory swap. Fine for
+   dimension-sized tables; incremental *fact* tables should declare
+   ``partition_by``.
+
+On a cluster with Delta/Iceberg available, ``TableStore`` is the single seam
+to swap: ``merge`` becomes ``MERGE INTO target USING updates ON <keys> WHEN
+MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` and
+``optimize``/``vacuum`` become the native table operations (reference
+post-hooks ``macros/dune_dbt_overrides/optimize_table.sql:3``,
+``vacuum_table.sql:3``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStore:
+    """A named-table store rooted at a directory; tables are parquet dirs.
+
+    The store plays the role of the warehouse the reference writes into
+    (Dune's ``delta_prod`` Delta Lake; SURVEY §2.1 S4/S11). ``schema_suffix``
+    reproduces the reference's dev/prod/PR schema isolation
+    (``macros/dune_dbt_overrides/get_custom_schema.sql:9-24``).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, schema_suffix: str = ""):
+        self.spark = spark
+        self.root = root
+        self.schema_suffix = schema_suffix
+        os.makedirs(self._base(), exist_ok=True)
+
+    def _base(self) -> str:
+        return os.path.join(self.root, self.schema_suffix) if self.schema_suffix else self.root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self._base(), name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        # a dir containing only _SUCCESS/_temporary is not a table yet
+        return any(
+            f.endswith(".parquet") or ("=" in f and os.path.isdir(os.path.join(p, f)))
+            for f in os.listdir(p)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    # ------------------------------------------------------------------ sinks
+
+    def write_full(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        """CREATE TABLE AS (first run / full refresh; SURVEY §2.1 S7, C8).
+
+        Writes to a staging dir then atomically swaps, so a failed job never
+        leaves a half-written table (the reference gets this from Trino CTAS
+        atomicity).
+        """
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        final = self.path(name)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+    def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        """Pure insert-append incremental (SURVEY §2.1 S8)."""
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
+    def merge(
+        self,
+        updates: DataFrame,
+        name: str,
+        unique_key: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Upsert ``updates`` into table ``name`` on ``unique_key`` (S6).
+
+        Semantics match dbt-trino's merge strategy: rows whose key matches an
+        incoming row are replaced wholesale; new keys are inserted; rows
+        outside the incoming key set are untouched. If ``updates`` contains
+        several rows for one key, all are kept (same as the reference, whose
+        MERGE sources are already key-unique by construction).
+        """
+        if not self.exists(name):
+            self.write_full(updates, name, partition_by)
+            return
+
+        if partition_by:
+            self._merge_partitioned(updates, name, unique_key, partition_by)
+        else:
+            old = self.read(name)
+            kept = old.join(updates.select(*unique_key).distinct(), on=unique_key, how="left_anti")
+            result = kept.unionByName(updates.select(*old.columns))
+            # full rewrite via staging swap; can't stream onto the dir being read,
+            # so materialize the result first
+            staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+            result.write.mode("overwrite").parquet(staging)
+            final = self.path(name)
+            shutil.rmtree(final)
+            os.replace(staging, final)
+
+    def _merge_partitioned(
+        self,
+        updates: DataFrame,
+        name: str,
+        unique_key: list[str],
+        partition_by: list[str],
+    ) -> None:
+        """Partition-pruned upsert: rewrite only partitions present in ``updates``.
+
+        1. Collect the (small) set of touched partition values from the
+           incremental slice — bounded by the lookback window, never by table
+           size.
+        2. Read ONLY those partitions of the existing table (partition
+           pruning via filter on partition columns).
+        3. Anti-join old-slice against new keys, union with new rows.
+        4. ``INSERT OVERWRITE`` with dynamic partition overwrite — untouched
+           partitions are not rewritten.
+        """
+        updates = updates.persist()
+        touched = updates.select(*partition_by).distinct().collect()
+        if not touched:
+            updates.unpersist()
+            return
+        pred = None
+        for row in touched:
+            clause = None
+            for c in partition_by:
+                cond = F.col(c) == F.lit(row[c])
+                clause = cond if clause is None else (clause & cond)
+            pred = clause if pred is None else (pred | clause)
+
+        old_slice = self.read(name).filter(pred)
+        kept = old_slice.join(
+            updates.select(*unique_key).distinct(), on=unique_key, how="left_anti"
+        )
+        result = kept.unionByName(updates.select(*old_slice.columns))
+        # Dynamic partition overwrite can't read and overwrite the same files in
+        # one job; stage the merged slice first (slice-sized, not table-sized).
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        result.write.mode("overwrite").parquet(staging)
+        merged_slice = self.spark.read.parquet(staging)
+        (
+            merged_slice.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(self.path(name))
+        )
+        shutil.rmtree(staging)
+        updates.unpersist()
+
+    # ------------------------------------------------------------ maintenance
+
+    def optimize(self, name: str, target_files: int | None = None) -> None:
+        """File compaction (reference prod post-hook ``optimize_table.sql:1-6``).
+
+        Without Delta's OPTIMIZE, compaction = rewrite at a chosen file count.
+        """
+        if not self.exists(name):
+            return
+        df = self.read(name)
+        n = target_files or max(1, df.rdd.getNumPartitions() // 8)
+        self.write_full(df.repartition(n), name)
+
+    def vacuum(self, name: str, retain_hours: int = 168) -> None:
+        """Snapshot cleanup (reference ``vacuum_table.sql:1-6``).
+
+        Parquet dirs have no snapshots; clean stray staging dirs older than
+        the retention window.
+        """
+        cutoff = time.time() - retain_hours * 3600
+        base = self._base()
+        for f in os.listdir(base):
+            p = os.path.join(base, f)
+            if f.startswith(".staging-") and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

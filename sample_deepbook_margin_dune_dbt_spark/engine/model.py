@@ -1,0 +1,171 @@
+"""Model registry: the engine's replacement for dbt's Jinja control plane.
+
+Maps the reference's control-plane operators (SURVEY §2.9) onto plain Python:
+
+- ``@model(...)``        ≈ ``{{ config(...) }}``          (C5)
+- ``ctx.ref(name)``      ≈ ``{{ ref('name') }}``          (C1 — also declares
+  the DAG edge; deps are declared statically on the decorator so the runner
+  can topo-sort without executing builders)
+- ``ctx.source(db, t)``  ≈ ``{{ source('db','t') }}``     (C2, with the
+  database rebinding of ``macros/dune_dbt_overrides/source.sql`` replaced by
+  the source catalog)
+- ``ctx.is_incremental()``≈ ``is_incremental()``          (C3 — true iff the
+  target table exists and we're not in full-refresh)
+- ``ctx.this()``         ≈ ``{{ this }}``                 (C4 — the model's
+  own previous materialization)
+- ``ctx.now()``          ≈ ``now()``                      (F9 — injectable
+  fixed clock so tests and golden hashes are deterministic)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .materialize import TableStore
+
+
+@dataclass
+class ModelConfig:
+    name: str
+    builder: Callable[["ModelContext"], DataFrame]
+    unique_key: list[str] = field(default_factory=list)
+    materialized: str = "incremental"  # 'incremental' | 'table'
+    incremental_strategy: str = "merge"  # 'merge' | 'append'
+    partition_by: list[str] | None = None
+    deps: list[str] = field(default_factory=list)
+    tags: list[str] = field(default_factory=list)
+    # not_null assertion columns (reference schema.yml generic tests; C9)
+    not_null: list[str] = field(default_factory=list)
+
+
+_REGISTRY: dict[str, ModelConfig] = {}
+
+
+def model(
+    name: str,
+    unique_key: list[str] | None = None,
+    materialized: str = "incremental",
+    incremental_strategy: str = "merge",
+    partition_by: list[str] | None = None,
+    deps: list[str] | None = None,
+    tags: list[str] | None = None,
+    not_null: list[str] | None = None,
+):
+    """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
+
+    def deco(fn: Callable[["ModelContext"], DataFrame]):
+        _REGISTRY[name] = ModelConfig(
+            name=name,
+            builder=fn,
+            unique_key=unique_key or [],
+            materialized=materialized,
+            incremental_strategy=incremental_strategy,
+            partition_by=partition_by,
+            deps=deps or [],
+            tags=tags or [],
+            not_null=not_null or [],
+        )
+        return fn
+
+    return deco
+
+
+def get_model(name: str) -> ModelConfig:
+    return _REGISTRY[name]
+
+
+def all_models() -> dict[str, ModelConfig]:
+    return dict(_REGISTRY)
+
+
+def clear_registry() -> None:
+    _REGISTRY.clear()
+
+
+class ModelContext:
+    """Execution context handed to each model builder."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        sources: dict[str, str],
+        current: ModelConfig,
+        full_refresh: bool = False,
+        fixed_now: Optional[datetime] = None,
+        backfill_days: int = 30,
+        lookback_days: int = 7,
+    ):
+        self.spark = spark
+        self.store = store
+        self._sources = sources
+        self.current = current
+        self.full_refresh = full_refresh
+        self.fixed_now = fixed_now
+        # reference time-bounding knobs (BASELINE.md): 30-day first-run
+        # backfill, 7-day late-data lookback
+        self.backfill_days = backfill_days
+        self.lookback_days = lookback_days
+
+    # --------------------------------------------------------------- dbt-isms
+
+    def source(self, database: str, table: str) -> DataFrame:
+        key = f"{database}.{table}"
+        if key not in self._sources:
+            raise KeyError(f"source {key!r} not registered (have: {sorted(self._sources)})")
+        return self.spark.read.parquet(self._sources[key])
+
+    def ref(self, name: str) -> DataFrame:
+        if name not in self.current.deps:
+            raise ValueError(
+                f"model {self.current.name!r} refs {name!r} but does not declare it in deps"
+            )
+        return self.store.read(name)
+
+    def is_incremental(self) -> bool:
+        return (not self.full_refresh) and self.store.exists(self.current.name)
+
+    def this(self) -> DataFrame:
+        return self.store.read(self.current.name)
+
+    # ------------------------------------------------------------------ clock
+
+    def now(self) -> F.Column:
+        """``now()`` as a Column; fixed for deterministic tests (F9 caveat)."""
+        if self.fixed_now is not None:
+            return F.lit(self.fixed_now).cast("timestamp")
+        return F.current_timestamp()
+
+    def now_dt(self) -> datetime:
+        return self.fixed_now or datetime.now(timezone.utc)
+
+    # ------------------------------------------------- incremental predicates
+
+    def watermark_ms(self, column: str = "timestamp_ms") -> int:
+        """``select coalesce(max(col), 0) from {{ this }}`` (SURVEY §2.2 P4/A2).
+
+        A scalar aggregate over the target — one column scanned, footer-level
+        min/max at parquet/Delta level make this cheap even on huge tables.
+        """
+        row = self.this().agg(F.max(F.col(column)).alias("wm")).first()
+        return int(row["wm"]) if row["wm"] is not None else 0
+
+    def backfill_floor_ms(self) -> int:
+        """First-run bound: ``to_unixtime(now() - interval '30' day) * 1000``
+        (SURVEY §2.2 P5; reference ``deepbook_margin_loan_borrowed.sql:24``)."""
+        return int(self.now_dt().timestamp() * 1000) - self.backfill_days * 86400_000
+
+    def lookback_floor_date(self, date_column: str = "snapshot_date"):
+        """``select date_add('day', -7, max(snapshot_date)) from {{ this }}``
+        (SURVEY §2.2 P6). Returns a python date or None when target is empty."""
+        row = (
+            self.this()
+            .agg(F.date_sub(F.max(F.col(date_column)), self.lookback_days).alias("floor"))
+            .first()
+        )
+        return row["floor"]

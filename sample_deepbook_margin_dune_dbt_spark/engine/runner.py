@@ -1,0 +1,118 @@
+"""DAG runner: topo-sort, graph-closure selection, full refresh.
+
+Replaces ``dbt run --select +model`` / ``--full-refresh``
+(SURVEY §2.9 C7/C8; reference ``README.md:46``, ``DEVELOPMENT.md:156-160``).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from graphlib import TopologicalSorter
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from .materialize import TableStore
+from .model import ModelConfig, ModelContext, all_models
+
+
+class Runner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        sources: dict[str, str],
+        fixed_now: Optional[datetime] = None,
+        backfill_days: int = 30,
+        lookback_days: int = 7,
+    ):
+        self.spark = spark
+        self.store = store
+        self.sources = sources
+        self.fixed_now = fixed_now
+        self.backfill_days = backfill_days
+        self.lookback_days = lookback_days
+
+    # ------------------------------------------------------------- selection
+
+    def _closure(self, select: str | None) -> list[str]:
+        """Resolve a dbt-style selector to an execution-ordered model list.
+
+        ``None`` → all models; ``'+name'`` → name plus upstream closure;
+        ``'name'`` → just that model.
+        """
+        registry = all_models()
+        if select is None:
+            wanted = set(registry)
+        elif select.startswith("+"):
+            target = select[1:]
+            wanted = set()
+            stack = [target]
+            while stack:
+                m = stack.pop()
+                if m in wanted:
+                    continue
+                wanted.add(m)
+                stack.extend(registry[m].deps)
+        else:
+            wanted = {select}
+
+        ts = TopologicalSorter({m: [d for d in registry[m].deps if d in wanted] for m in wanted})
+        return list(ts.static_order())
+
+    # ------------------------------------------------------------- execution
+
+    def run(self, select: str | None = None, full_refresh: bool = False) -> list[str]:
+        """Build the selected models in dependency order; returns the order."""
+        order = self._closure(select)
+        registry = all_models()
+        for name in order:
+            self._run_one(registry[name], full_refresh)
+        return order
+
+    def _run_one(self, cfg: ModelConfig, full_refresh: bool) -> None:
+        ctx = ModelContext(
+            self.spark,
+            self.store,
+            self.sources,
+            cfg,
+            full_refresh=full_refresh,
+            fixed_now=self.fixed_now,
+            backfill_days=self.backfill_days,
+            lookback_days=self.lookback_days,
+        )
+        if full_refresh:
+            self.store.drop(cfg.name)
+        df = cfg.builder(ctx)
+        if cfg.materialized == "incremental" and ctx.store.exists(cfg.name) and not full_refresh:
+            if cfg.incremental_strategy == "append":
+                self.store.append(df, cfg.name, cfg.partition_by)
+            else:
+                self.store.merge(df, cfg.name, cfg.unique_key, cfg.partition_by)
+        else:
+            self.store.write_full(df, cfg.name, cfg.partition_by)
+
+    # ----------------------------------------------------------------- tests
+
+    def test(self, select: str | None = None) -> dict[str, int]:
+        """Run declared not_null assertions (``dbt test``; SURVEY §5 item 1).
+
+        Returns {model.column: null_count} for failures only.
+        """
+        failures: dict[str, int] = {}
+        for name in self._closure(select):
+            cfg = all_models()[name]
+            if not cfg.not_null or not self.store.exists(name):
+                continue
+            df = self.store.read(name)
+            # one pass over the table for all assertions, not one scan per column
+            from pyspark.sql import functions as F
+
+            aggs = [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in cfg.not_null
+            ]
+            row = df.agg(*aggs).first()
+            for c in cfg.not_null:
+                if row[c] and row[c] > 0:
+                    failures[f"{name}.{c}"] = int(row[c])
+        return failures

@@ -1,0 +1,134 @@
+"""Text-analysis column functions for LLM-data pipelines (BASELINE north star).
+
+All pure Catalyst expressions (JVM-side, codegen-friendly) — no Python UDFs,
+so they stream through whole-stage codegen at 100 TB. Each returns a Column
+usable in any model or query.
+
+Inventory:
+- ``token_count``        — whitespace tokenization count
+- ``word_tokens``        — BPE-ish lowercase word/number/punct token array
+- ``quality_score``      — composite doc-quality heuristic in [0, 1]
+  (length, alpha ratio, stopword hit, repetition)
+- ``langid_scores`` / ``langid`` — n-gram/stopword language heuristic over a
+  configurable profile table
+- ``fingerprint64``      — deterministic 64-bit content fingerprint (first
+  15 hex digits of md5 → bigint), the building block for exact dedup and
+  minhash (chosen over ``xxhash64`` because md5 is reproducible across
+  engines — the DuckDB oracle computes the identical value)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles: deliberately deterministic and
+# vocabulary-based (the usual trigram models are unavailable offline)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+    "it": ["il", "la", "e", "che", "un", "una", "per", "non", "con", "del"],
+}
+
+_WORD_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Lowercased word/number/punctuation tokens (BPE-ish regex pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(_WORD_RE), 0)
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are alphabetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are common stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    sw = stopwords or LANG_STOPWORDS["en"]
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hit_count = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(sw), 1).otherwise(0),
+    )
+    n = F.size(toks)
+    return F.when(n > 0, hit_count / n).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 - distinct_tokens/tokens — high values mean boilerplate repetition."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1].
+
+    0.25·length-in-range + 0.25·alpha-ratio + 0.25·has-stopwords +
+    0.25·(1 - repetition). Mirrors the usual pretraining-corpus quality
+    filters (Gopher/C4-style rules) in pure SQL expressions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 100000), 1.0).otherwise(
+        F.when(n > 0, 0.5).otherwise(0.0)
+    )
+    has_stop = F.when(stopword_ratio(c) > 0, 1.0).otherwise(0.0)
+    return (
+        0.25 * len_ok
+        + 0.25 * alpha_ratio(c)
+        + 0.25 * has_stop
+        + 0.25 * (1.0 - repetition_ratio(c))
+    )
+
+
+def langid_scores(col: Column | str) -> Column:
+    """Map of language → stopword-hit score."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    entries = []
+    for lang, words in LANG_STOPWORDS.items():
+        score = F.aggregate(
+            toks, F.lit(0), lambda acc, t, w=words: acc + F.when(t.isin(w), 1).otherwise(0)
+        )
+        entries.append(F.struct(F.lit(lang).alias("lang"), score.alias("score")))
+    return F.array(*entries)
+
+
+def langid(col: Column | str) -> Column:
+    """Best-guess language code by stopword vote ('und' when no hits)."""
+    scores = langid_scores(col)
+    best = F.array_max(
+        F.transform(scores, lambda s: F.struct(s["score"].alias("score"), s["lang"].alias("lang")))
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Deterministic 64-bit content fingerprint (md5-derived, engine-portable).
+
+    ``conv(substr(md5(x),1,15),16,10)`` ≤ 60 bits so it fits a signed bigint;
+    DuckDB computes the identical value as
+    ``cast('0x' || substr(md5(x),1,15) as bigint)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

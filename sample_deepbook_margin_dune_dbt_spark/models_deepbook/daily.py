@@ -1,0 +1,194 @@
+"""``fct_deepbook_margin_pool_daily`` — daily pool-level fact.
+
+Reference: ``models/deepbook_margin/daily/fct_deepbook_margin_pool_daily.sql``.
+Grain: one row per (margin_pool_id, snapshot_date). Semantics reproduced:
+
+- 4 per-(day, pool) grouped SUM volume aggregates over the event models
+  (A1, ``:27-76``), each restricted to the 7-day lookback on incremental
+  runs (P6, ``:34,47,60,73``)
+- FULL OUTER join chain aligning the 4 aggregates with COALESCE-cascaded
+  keys and zero-filled measures (J1, ``:78-90``) — expressed as Spark
+  named-column full outer joins, which coalesce the join keys natively;
+  measures still get ``coalesce(x, 0)``
+- ``row_number()`` dedup to the latest object state per (pool, day)
+  (W1, ``:92-119``) and the latest price per (day, symbol) (W2, ``:122-135``)
+- LEFT joins base→volumes (J2, ``:203-205``) and base→prices on
+  case-insensitive symbol (J3, ``:206-208``; pre-uppercased equi-key)
+- stablecoin price override CASE (P10, ``:150-153``), decimal-normalized
+  and USD volume measures (F15/F16, ``:163-185``)
+- ``lag()`` day-over-day deltas (W3, ``:188-196``) — computed over exactly
+  the rows this run produces, reproducing the reference's incremental
+  behavior (on an incremental run the lag window sees only the 7-day
+  slice; the slice's first day gets NULL deltas that MERGE writes over —
+  SURVEY §2.5 W3 caveat, reproduced deliberately for parity)
+- final presentation sort (O1, ``:210``)
+
+Scale notes: each volume agg is a partial-aggregated (map-side combine)
+hash aggregate shuffled on (date, pool); the FOJ chain and the
+volumes-join then reuse that same key, and the pools×days cardinality is
+tiny relative to events. The price dim after dedup is days×symbols —
+broadcast. The W1 dedup shuffles the staging table on (pool, day) — the
+dominant shuffle, proportional to object mutations in the lookback window,
+not table history, thanks to the P6 filter reaching the parquet scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..engine.model import ModelContext, model
+
+_STABLE = ("USDC", "USDT", "AUSD")
+
+
+def _volume_agg(
+    ctx: ModelContext, ref_name: str, amount_col: str, out_col: str, floor_date
+) -> DataFrame:
+    ev = ctx.ref(ref_name)
+    day = F.to_date(F.timestamp_seconds(F.col("timestamp_ms") / F.lit(1000)))
+    ev = ev.select(day.alias("snapshot_date"), "margin_pool_id", amount_col)
+    if floor_date is not None:
+        ev = ev.filter(F.col("snapshot_date") >= F.lit(floor_date))
+    return ev.groupBy("snapshot_date", "margin_pool_id").agg(
+        F.sum(amount_col).alias(out_col)
+    )
+
+
+@model(
+    "fct_deepbook_margin_pool_daily",
+    unique_key=["margin_pool_id", "snapshot_date"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    partition_by=["snapshot_date"],
+    deps=[
+        "deepbook_margin_pool_asset_supplied",
+        "deepbook_margin_pool_asset_withdrawn",
+        "deepbook_margin_loan_borrowed",
+        "deepbook_margin_loan_repaid",
+        "stg_deepbook_margin_pool_object",
+    ],
+    tags=["deepbook_margin", "daily"],
+    not_null=["snapshot_date", "margin_pool_id"],
+)
+def fct_deepbook_margin_pool_daily(ctx: ModelContext) -> DataFrame:
+    floor_date = ctx.lookback_floor_date("snapshot_date") if ctx.is_incremental() else None
+
+    # --- 4 volume aggregates (A1) + FOJ chain (J1) -------------------------
+    vols = [
+        _volume_agg(ctx, "deepbook_margin_pool_asset_supplied", "supply_amount", "supply_volume", floor_date),
+        _volume_agg(ctx, "deepbook_margin_pool_asset_withdrawn", "withdraw_amount", "withdraw_volume", floor_date),
+        _volume_agg(ctx, "deepbook_margin_loan_borrowed", "loan_amount", "borrow_volume", floor_date),
+        _volume_agg(ctx, "deepbook_margin_loan_repaid", "repay_amount", "repay_volume", floor_date),
+    ]
+    # Spark's named-column full outer join coalesces the keys, replacing the
+    # reference's manual COALESCE cascade (:80-90)
+    daily_volume_agg = functools.reduce(
+        lambda l, r: l.join(r, on=["snapshot_date", "margin_pool_id"], how="full_outer"),
+        vols,
+    ).select(
+        "snapshot_date",
+        "margin_pool_id",
+        F.coalesce("supply_volume", F.lit(0.0)).alias("supply_volume"),
+        F.coalesce("withdraw_volume", F.lit(0.0)).alias("withdraw_volume"),
+        F.coalesce("borrow_volume", F.lit(0.0)).alias("borrow_volume"),
+        F.coalesce("repay_volume", F.lit(0.0)).alias("repay_volume"),
+    )
+
+    # --- latest pool object state per (pool, day) (W1) ---------------------
+    stg = ctx.ref("stg_deepbook_margin_pool_object").select(
+        "snapshot_date",
+        "margin_pool_id",
+        "asset_type",
+        "coin_symbol",
+        "coin_decimals",
+        "total_borrow_normalized",
+        "total_supply_normalized",
+        "utilization_rate",
+        "available_liquidity_normalized",
+        "active_positions_count",
+        "timestamp_ms",
+        F.col("version").alias("last_object_version"),
+    )
+    if floor_date is not None:
+        stg = stg.filter(F.col("snapshot_date") >= F.lit(floor_date))
+    w1 = Window.partitionBy("margin_pool_id", "snapshot_date").orderBy(
+        F.desc("timestamp_ms"), F.desc("last_object_version")
+    )
+    pool_daily_base = (
+        stg.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+    # --- latest price per (day, symbol) (W2) -------------------------------
+    prices = (
+        ctx.source("prices", "day")
+        .filter((F.col("blockchain") == "sui") & F.col("symbol").isin("SUI", "USDC", "DEEP"))
+        .select(
+            F.to_date("timestamp").alias("price_date"),
+            "symbol",
+            F.col("price").alias("price_usd"),
+            F.col("timestamp"),
+        )
+    )
+    w2 = Window.partitionBy("price_date", "symbol").orderBy(F.desc("timestamp"))
+    daily_prices = (
+        prices.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("price_date", F.upper("symbol").alias("symbol_u"), "price_usd")
+    )
+
+    # --- final join + measures (J2/J3/P10/F15/F16/W3) ----------------------
+    p = pool_daily_base.alias("p")
+    v = daily_volume_agg.alias("v")
+    joined = p.join(v, on=["snapshot_date", "margin_pool_id"], how="left").join(
+        F.broadcast(daily_prices),
+        (F.col("price_date") == F.col("snapshot_date"))
+        & (F.col("symbol_u") == F.upper(F.col("coin_symbol"))),
+        "left",
+    )
+
+    eff_price = F.when(F.upper(F.col("coin_symbol")).isin(*_STABLE), F.lit(1.0)).otherwise(
+        F.coalesce(F.col("price_usd"), F.lit(0.0))
+    )
+    scale = F.pow(F.lit(10.0), F.coalesce(F.col("coin_decimals"), F.lit(9)))
+    lag_w = Window.partitionBy("margin_pool_id").orderBy("snapshot_date")
+
+    def vol_norm(c: str) -> F.Column:
+        return F.coalesce(F.col(c), F.lit(0.0)) / scale
+
+    return joined.select(
+        F.col("snapshot_date"),
+        F.col("margin_pool_id"),
+        F.col("coin_symbol"),
+        F.col("total_supply_normalized"),
+        F.col("total_borrow_normalized"),
+        F.col("available_liquidity_normalized"),
+        F.col("utilization_rate"),
+        F.col("active_positions_count"),
+        eff_price.alias("price_usd"),
+        (F.col("total_supply_normalized") * eff_price).alias("total_supply_usd"),
+        (F.col("total_borrow_normalized") * eff_price).alias("total_borrow_usd"),
+        vol_norm("supply_volume").alias("daily_supply_volume"),
+        vol_norm("withdraw_volume").alias("daily_withdraw_volume"),
+        vol_norm("borrow_volume").alias("daily_borrow_volume"),
+        vol_norm("repay_volume").alias("daily_repay_volume"),
+        (vol_norm("supply_volume") * eff_price).alias("daily_supply_volume_usd"),
+        (vol_norm("withdraw_volume") * eff_price).alias("daily_withdraw_volume_usd"),
+        (vol_norm("borrow_volume") * eff_price).alias("daily_borrow_volume_usd"),
+        (vol_norm("repay_volume") * eff_price).alias("daily_repay_volume_usd"),
+        (
+            F.col("total_supply_normalized")
+            - F.lag("total_supply_normalized").over(lag_w)
+        ).alias("daily_supply_change"),
+        (
+            F.col("total_borrow_normalized")
+            - F.lag("total_borrow_normalized").over(lag_w)
+        ).alias("daily_borrow_change"),
+        (F.col("utilization_rate") - F.lag("utilization_rate").over(lag_w)).alias(
+            "daily_utilization_change"
+        ),
+        F.col("asset_type"),
+        ctx.now().alias("updated_at"),
+    ).orderBy(F.desc("snapshot_date"), F.desc_nulls_last("total_supply_normalized"))

@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship query (the reference fct-daily shape: FOJ
+  volume chain + latest-state dedup + lag deltas) on sf0.001.
+- ``queries()`` — one entry per implemented operator from SURVEY §2 plus
+  the LLM-data-pipeline extensions (dedup / similarity / text / multimodal).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every query except the
+  approximate-by-design ones (rows-only check).
+
+Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sample_deepbook_margin_dune_dbt_spark.queries import ALL_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    fn, _ = ALL_QUERIES["flagship_daily_user_fact"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query; approximate operators are omitted
+    (driver records a rows-only check for those)."""
+    return {name: sql for name, (_, sql) in ALL_QUERIES.items() if sql is not None}

@@ -1,0 +1,71 @@
+"""Bench harness: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall time across the benched queries (one warm-up of the
+session first so JVM/codegen startup isn't attributed to the first query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sample_deepbook_margin_dune_dbt_spark.engine import get_spark  # noqa: E402
+from sample_deepbook_margin_dune_dbt_spark.queries import ALL_QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "j1_foj_volume_chain",
+    "w1_rownum_dedup",
+    "flagship_daily_user_fact",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None  # non-sfN dir name; timings still valid
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # session warm-up: trivial action to pay JVM/codegen startup once
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = ALL_QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

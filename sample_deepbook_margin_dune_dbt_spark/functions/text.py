@@ -105,13 +105,18 @@ def langid_scores(col: Column | str) -> Column:
     """Map of language → stopword-hit score."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    entries = []
-    for lang, words in LANG_STOPWORDS.items():
-        score = F.aggregate(
-            toks, F.lit(0), lambda acc, t, w=words: acc + F.when(t.isin(w), 1).otherwise(0)
+
+    def _score(words: list[str]) -> Column:
+        return F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.when(t.isin(words), 1).otherwise(0)
         )
-        entries.append(F.struct(F.lit(lang).alias("lang"), score.alias("score")))
-    return F.array(*entries)
+
+    return F.array(
+        *[
+            F.struct(F.lit(lang).alias("lang"), _score(words).alias("score"))
+            for lang, words in LANG_STOPWORDS.items()
+        ]
+    )
 
 
 def langid(col: Column | str) -> Column:

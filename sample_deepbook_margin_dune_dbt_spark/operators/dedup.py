@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Every operator is a pure DataFrame transformation built from JVM-side
+Catalyst expressions (no Python row path), so the plans scale: exact dedup
+is a hash-partitioned groupBy on a fingerprint, minhash/LSH is explode →
+groupBy → self-join-within-bucket — all shuffle-on-key operations AQE can
+balance.
+
+Engine-portable hashing: every hash bottoms out in ``md5`` (via
+``functions.text.fingerprint64``) rather than ``xxhash64``, so an external
+engine (the DuckDB oracle, a Trino cross-check) can reproduce values
+bit-for-bit. md5 costs more than xxhash64; swap ``fingerprint64`` for
+``F.xxhash64`` in production if cross-engine reproducibility is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint64
+
+# deterministic universal-hash parameters: h_i(x) = (a_i * (x mod P) + b_i) mod P
+# P = 2^31 - 1 (Mersenne); a*(x mod P) < 2^62 so 64-bit arithmetic never
+# overflows (overflow must be impossible, not just unlikely: the DuckDB
+# oracle raises on bigint overflow)
+MINHASH_P = 2_147_483_647
+MINHASH_AS = [
+    1697, 5581, 9871, 14683, 21377, 27479, 33469, 40387,
+    48017, 55313, 62233, 70921, 78779, 85931, 93251, 101359,
+]
+MINHASH_BS = [
+    7919, 1249, 22003, 4673, 30011, 8117, 41011, 12289,
+    50341, 15559, 60869, 19471, 71329, 23873, 82757, 28657,
+]
+
+
+def _tokens(text_col: F.Column) -> F.Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def shingles(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    ``transform(sequence(...))`` keeps shingle construction inside codegen;
+    no explode is needed until the caller chooses to.
+    """
+    toks = _tokens(text_col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one row per distinct content.
+
+    Output: (fingerprint, keep_id = min id, dup_count). Scale: a single
+    hash-shuffle on the 64-bit fingerprint; partial aggregation happens
+    map-side, so the shuffle carries one row per distinct content per task,
+    not per input row.
+    """
+    return (
+        df.select(fingerprint64(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content (the survivor set)."""
+    keep = exact_duplicates(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------ n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word n-gram shingles.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    count intersections per pair → join per-doc shingle counts → Jaccard.
+    The self-join shuffles on the shingle value; hot shingles (stopword
+    n-grams) are the skew risk — AQE skew-join splits them. At 100 TB this
+    exact-pairwise operator is for *within-candidate-bucket* verification
+    (feed it LSH candidates); use ``minhash_lsh_candidates`` to generate
+    candidates without the quadratic join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_size_a") + F.col("_size_b") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document minhash signature: (id, h0..h{k-1}).
+
+    minhash_i = min over shingles of (a_i * (fp(shingle) mod P) + b_i) mod P.
+    One explode + one groupBy(id) with k min() aggregates — map-side partial
+    mins mean the shuffle carries k longs per doc per task. No pairwise work.
+    """
+    assert num_hashes <= len(MINHASH_AS)
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh")
+    )
+    x = fingerprint64(F.col("_sh")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(MINHASH_AS[i]) * x + F.lit(MINHASH_BS[i])) % MINHASH_P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding of minhash signatures.
+
+    Bands of ``band_size`` rows each; documents agreeing on every hash in
+    any band become a candidate pair. Output: distinct (id_a, id_b), a < b.
+
+    Scale: signatures (k longs/doc) → explode to (band_key, id) →
+    self-join per band bucket. Bucket sizes are the quadratic risk; real
+    near-dup clusters are small, and a giant bucket means the band is
+    degenerate (e.g. all-empty docs) — AQE skew handling plus an optional
+    bucket-size cap (not applied here) are the mitigations. Verification of
+    candidates (exact Jaccard) is linear in candidate count.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"),
+            )
+        )
+    exploded = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*bands)).alias("bk")
+    ).select("_id", F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+SIMHASH_BITS = 48  # 48 of 64 bits: keeps every intermediate positive in
+# signed-64 arithmetic so the value is portable to engines that error on
+# bigint overflow (the signature quality loss vs 64 bits is negligible for
+# near-dup detection)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash: (id, simhash) as a non-negative bigint.
+
+    Classic Charikar scheme: each token votes ±1 on each bit of its 64-bit
+    fingerprint; bit b of the signature is 1 iff the vote sum is positive.
+
+    Plan: explode tokens → one groupBy(id) with ``bits`` small SUM
+    aggregates (map-side combined) → bit reassembly as a linear expression.
+    Near-dup detection then compares signatures by hamming distance
+    (``bit_count(a ^ b)``), typically via banding the signature exactly like
+    minhash LSH.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_t")
+    )
+    fp = fingerprint64(F.col("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(fp, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("_id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    return votes.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + hamming verification.
+
+    Splits the signature into ``bands`` chunks; pairs agreeing on any chunk
+    are candidates (a pair within hamming ≤ bands-1 must agree on ≥1 chunk);
+    verified with ``bit_count(xor) ≤ max_hamming``.
+    """
+    sig = simhash(df, id_col, text_col)
+    chunk = SIMHASH_BITS // bands
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    ex = sig.select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(keys).alias("bk"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.key") == F.col("b.bk.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,361 @@
+"""LLM-data-pipeline queries: dedup, similarity, text analysis, multimodal.
+
+Each query wraps an operator from ``operators/`` or ``functions/text.py``
+and pairs it with DuckDB oracle SQL. The hashing operators (fingerprint,
+minhash, simhash) bottom out in md5 specifically so the oracle can reproduce
+values exactly; the oracle SQL for minhash/simhash is generated from the
+same constants as the Spark implementation.
+
+The cosine-similarity oracles cast embeddings to double and fold
+left-to-right on both engines, making the floats bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from .common import load
+
+# DuckDB twin of functions.text.fingerprint64
+_SQL_FP64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# DuckDB twin of operators.dedup.shingles (3-gram, distinct, lower/trim)
+_SQL_SHINGLES = """
+toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(w) >= 3 THEN concat_ws(' ', w[i], w[i+1], w[i+2])
+                ELSE array_to_string(w, ' ') END AS s
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    ) g
+)
+"""
+
+# ------------------------------------------------------------- exact dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by 64-bit content fingerprint (hash-groupBy)."""
+    return D.exact_duplicates(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT {_SQL_FP64.format(x='text')} AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+# -------------------------------------------------------------- token count
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents
+"""
+
+# ------------------------------------------------------------ quality score
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / alpha ratio / stopwords /
+    repetition), rounded to 4 decimals on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+_EN_SW = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+SQL_QUALITY = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(lower(trim(text)), ' ') AS w,
+           length(text) AS n
+    FROM documents
+)
+SELECT doc_id,
+       round(
+           0.25 * (CASE WHEN n >= 50 AND n <= 100000 THEN 1.0
+                        WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+         + 0.25 * (CASE WHEN n > 0
+                        THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n
+                        ELSE 0.0 END)
+         + 0.25 * (CASE WHEN len(list_filter(w, x -> x IN ({_EN_SW}))) > 0 THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (1.0 - CASE WHEN len(w) > 0
+                              THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                              ELSE 0.0 END)
+       , 4) AS quality
+FROM t
+"""
+
+# ----------------------------------------------------------------- langid
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; deterministic tie-break (score, lang) max."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, words in T.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({inlist}))) AS score_{lang}"
+        )
+    scores = ",\n           ".join(score_cols)
+    structs = ", ".join(
+        f"{{'score': score_{lang}, 'lang': '{lang}'}}" for lang in T.LANG_STOPWORDS
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           {scores}
+    FROM t
+),
+best AS (
+    SELECT doc_id,
+           list_aggregate([{structs}], 'max') AS b
+    FROM scored
+)
+SELECT doc_id,
+       CASE WHEN b['score'] > 0 THEN b['lang'] ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+# --------------------------------------------------------------- simhash
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash signature per document."""
+    return D.simhash(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    fp = _SQL_FP64.format(x="t")
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN ((fp >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    assemble = "\n         + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM documents
+),
+fps AS (
+    SELECT doc_id, {fp} AS fp FROM toks
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM fps GROUP BY doc_id
+)
+SELECT doc_id,
+       {assemble} AS simhash
+FROM votes
+"""
+
+
+# --------------------------------------------------------- n-gram jaccard
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram Jaccard ≥ 0.5."""
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES.strip()},
+sizes AS (
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+# ------------------------------------------------------------ minhash LSH
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from 8 minhashes in 4 bands of 2."""
+    return D.minhash_lsh_candidates(
+        load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, band_size=2
+    )
+
+
+def _minhash_lsh_sql(num_hashes: int = 8, band_size: int = 2) -> str:
+    fp = _SQL_FP64.format(x="s")
+    mins = ",\n           ".join(
+        f"min(({D.MINHASH_AS[i]} * (fp % {D.MINHASH_P}) + {D.MINHASH_BS[i]}) % {D.MINHASH_P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [f"h{b * band_size + r}" for r in range(band_size)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH {_SQL_SHINGLES.strip()},
+fps AS (
+    SELECT doc_id, {fp} AS fp FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM fps GROUP BY doc_id
+),
+bands AS (
+    {bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------ cosine similarity
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           list_cosine_similarity(q.vq, CAST(v.embedding AS DOUBLE[])) AS cos
+    FROM q, embeddings v
+    WHERE q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact cosine ≥ 0.9 over all pairs."""
+    pairs = S.cosine_pairs(load(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.9)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMB_DEDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: UTF-8 payloads through the Arrow/mapInPandas
+    image-decode stub (deterministic fake decode from md5)."""
+    docs = M.attach_text_payload(load(spark, sf_dir, "documents"), "text")
+    return M.decode_image(docs, "doc_id", "payload").withColumnRenamed("id", "doc_id")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+       md5(text) AS md5_hex,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 4096 AS INTEGER) AS width,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 4096 AS INTEGER) AS height,
+       CAST(1 + CAST(concat('0x', substr(md5(text), 9, 2)) AS BIGINT) % 4 AS INTEGER) AS channels
+FROM documents
+"""
+
+# -------------------------------------------- LSH-bucketed ANN (rows-only)
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate bucketed ANN (hyperplane LSH). No oracle — approximate by
+    design; the driver records a rows-only check, and
+    ``tests/test_operators.py`` asserts recall against the exact top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.lsh_ann_topk(emb, queries, "vec_id", "embedding", "vec_id", dim=64, k=5, planes=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+LLMOPS_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
+    "text_quality": (q_text_quality, SQL_QUALITY),
+    "text_langid": (q_text_langid, _langid_sql()),
+    "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
+}

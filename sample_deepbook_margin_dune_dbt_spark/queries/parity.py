@@ -1,0 +1,634 @@
+"""Reference-parity operator queries (SURVEY §2) over the driver testdata.
+
+Each query exercises one (or a few related) operator semantics from the
+reference inventory, re-pointed at the generic tables: the ``events`` table
+plays the role of ``sui.events`` (typed event stream with a JSON payload
+column), orders/lineitem/part/etc. exercise joins, aggregates and filters.
+
+Float discipline: every floating aggregate is wrapped in ``round(x, n)`` on
+BOTH engines so summation-order noise (≈1e-9 relative) can't flip the
+driver's value hash. Count/size outputs are cast to bigint on both sides
+(DuckDB's count/sum would otherwise surface as HUGEINT/INT32 variants).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import dec2, dsum2, event_ts, event_ts_us, load
+
+DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------- S1/P1: scan
+
+
+def q_s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source scan + projection/aliasing (S1, P1) incl. ns→µs time handling."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        event_ts().alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+SQL_S1 = """
+SELECT event_id, ts AS event_time, user_id, event_type, value FROM events
+"""
+
+# ------------------------------------------------------------- P2: eq filter
+
+
+def q_p2_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant equality predicate (P2) — the event-type filter pattern."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+SQL_P2 = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+"""
+
+# ------------------------------------------------------------ P3: like prefix
+
+
+def q_p3_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE prefix predicate (P3) + regexp capture-group extraction (F12)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract(F.col("p_brand"), "Brand#(\\d+)", 1)
+            .try_cast("bigint")
+            .alias("brand_num"),
+        )
+    )
+
+
+SQL_P3 = """
+SELECT p_partkey, p_name,
+       TRY_CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num
+FROM part WHERE p_name LIKE 'red%'
+"""
+
+# ------------------------------------- P4/A2: watermark via scalar aggregate
+
+
+def q_p4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental watermark: range predicate from a scalar MAX (P4/A2).
+
+    Engine-style: the scalar aggregate is computed first (one tiny job),
+    then parameterizes the scan filter — exactly how the incremental models
+    discover their watermark, and how it must work at 100 TB (the filter
+    reaches the parquet scan as a pushed-down constant).
+    """
+    ev = load(spark, sf_dir, "events")
+    wm_us = ev.agg(F.max(event_ts_us())).first()[0]
+    floor = wm_us - 7 * DAY_US
+    return (
+        ev.filter(event_ts_us() >= F.lit(floor))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum2(F.col("value")), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_P4 = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+"""
+
+# --------------------------------------------------------------- P7: in-list
+
+
+def q_p7_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate (P7) + grouped agg."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(dsum2(F.col("c_acctbal")), 2).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_P7 = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY c_mktsegment
+"""
+
+# -------------------------------------------- P8/W1: row_number dedup filter
+
+
+def q_w1_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user, day): row_number dedup with 2-level tiebreak
+    (P8/W1) — the 'latest object version per pool-day' pattern."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        event_ts_us().alias("ts_us"),
+        F.to_date(event_ts()).alias("event_date"),
+    )
+    w = Window.partitionBy("user_id", "event_date").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_date", "event_id", "event_type", "value")
+    )
+
+
+SQL_W1 = """
+SELECT user_id, event_date, event_id, event_type, value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS event_date, event_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+# ------------------------------------------------------------- P10/P12: case
+
+
+def q_p10_case_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searched CASE (P10), JSON extraction (F1) and try_cast (P12/F4).
+
+    ``props`` plays ``event_json``; the malformed-cast arm exercises
+    NULL-on-failure semantics.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id",
+        k.try_cast("bigint").alias("k_num"),
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        F.when(F.upper(F.col("event_type")) == "PURCHASE", F.lit("buy"))
+        .when(F.col("event_type").isin("view", "click"), F.lit("browse"))
+        .otherwise(F.lit("other"))
+        .alias("event_class"),
+    )
+
+
+SQL_P10 = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       CASE WHEN upper(event_type) = 'PURCHASE' THEN 'buy'
+            WHEN event_type IN ('view', 'click') THEN 'browse'
+            ELSE 'other' END AS event_class
+FROM events
+"""
+
+# ------------------------------------------------- J1/A1: FOJ volume chain
+
+
+def q_j1_foj_volume_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 per-(day,user) grouped sums FULL OUTER joined with key coalescing
+    and zero-filled measures (J1 + A1 + F14) — the daily_volume_agg pattern."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(event_ts()).alias("event_date"), "user_id", "event_type", "value"
+    )
+
+    def vol(etype: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("event_date", "user_id")
+            .agg(F.sum(dec2(F.col("value"))).alias(alias))
+        )
+
+    parts = [
+        vol("view", "view_volume"),
+        vol("click", "click_volume"),
+        vol("purchase", "purchase_volume"),
+        vol("error", "error_volume"),
+    ]
+    joined = functools.reduce(
+        lambda l, r: l.join(r, on=["event_date", "user_id"], how="full_outer"), parts
+    )
+    return joined.select(
+        "event_date",
+        "user_id",
+        F.round(F.coalesce(F.col("view_volume").cast("double"), F.lit(0.0)), 2).alias("view_volume"),
+        F.round(F.coalesce(F.col("click_volume").cast("double"), F.lit(0.0)), 2).alias("click_volume"),
+        F.round(F.coalesce(F.col("purchase_volume").cast("double"), F.lit(0.0)), 2).alias("purchase_volume"),
+        F.round(F.coalesce(F.col("error_volume").cast("double"), F.lit(0.0)), 2).alias("error_volume"),
+    )
+
+
+SQL_J1 = """
+WITH v AS (SELECT CAST(ts AS DATE) AS event_date, user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS view_volume
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+     c AS (SELECT CAST(ts AS DATE) AS event_date, user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS click_volume
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+     p AS (SELECT CAST(ts AS DATE) AS event_date, user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS purchase_volume
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+     e AS (SELECT CAST(ts AS DATE) AS event_date, user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS error_volume
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT coalesce(v.event_date, c.event_date, p.event_date, e.event_date) AS event_date,
+       coalesce(v.user_id, c.user_id, p.user_id, e.user_id) AS user_id,
+       round(coalesce(v.view_volume, 0), 2) AS view_volume,
+       round(coalesce(c.click_volume, 0), 2) AS click_volume,
+       round(coalesce(p.purchase_volume, 0), 2) AS purchase_volume,
+       round(coalesce(e.error_volume, 0), 2) AS error_volume
+FROM v
+FULL OUTER JOIN c ON v.event_date = c.event_date AND v.user_id = c.user_id
+FULL OUTER JOIN p ON coalesce(v.event_date, c.event_date) = p.event_date
+                 AND coalesce(v.user_id, c.user_id) = p.user_id
+FULL OUTER JOIN e ON coalesce(v.event_date, c.event_date, p.event_date) = e.event_date
+                 AND coalesce(v.user_id, c.user_id, p.user_id) = e.user_id
+"""
+
+# ------------------------------------------------------------- J2: left join
+
+
+def q_j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join fact→agg with NULL→0 fill (J2) — orders without items keep 0."""
+    orders = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("item_count"),
+            F.sum(
+                dec2(F.col("l_extendedprice"))
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            ).alias("rev"),
+        )
+    )
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left"
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.coalesce("item_count", F.lit(0)).cast("long").alias("item_count"),
+        # no round(…, 2): the sum is exact at scale 4 and scale-4 values can
+        # sit exactly on the 2-decimal midpoint, where Spark (HALF_UP) and
+        # DuckDB disagree; the unrounded decimal→double cast is identical
+        F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+SQL_J2 = """
+SELECT o_orderkey,
+       o_totalprice,
+       CAST(coalesce(li.item_count, 0) AS BIGINT) AS item_count,
+       CAST(coalesce(li.rev, 0) AS DOUBLE) AS revenue
+FROM orders
+LEFT JOIN (
+    SELECT l_orderkey, count(*) AS item_count,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS rev
+    FROM lineitem GROUP BY l_orderkey
+) li ON orders.o_orderkey = li.l_orderkey
+"""
+
+# --------------------------------- J3/J4/S5/O4: seed dim + case-insensitive
+
+
+SEED_ROWS = [
+    ("africa", "AF"),
+    ("america", "AM"),
+    ("asia", "AS"),
+    ("europe", "EU"),
+]
+
+
+def q_j4_seed_ci_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline literal seed dimension (S5/O4) broadcast-joined to a table on a
+    case-insensitive key (J3/J4/F13), with coalesced default (F14)."""
+    seed = spark.createDataFrame(SEED_ROWS, "region_name string, region_code string")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    n = nation.join(region, nation["n_regionkey"] == region["r_regionkey"], "inner")
+    return (
+        n.join(
+            F.broadcast(seed),
+            F.upper(n["r_name"]) == F.upper(seed["region_name"]),
+            "left",
+        )
+        .groupBy(
+            F.col("r_name").alias("region_name_out"),
+            F.coalesce("region_code", F.lit("??")).alias("region_code"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+SQL_J4 = """
+WITH seed(region_name, region_code) AS (
+    VALUES ('africa', 'AF'), ('america', 'AM'), ('asia', 'AS'), ('europe', 'EU')
+)
+SELECT r_name AS region_name_out,
+       coalesce(seed.region_code, '??') AS region_code,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation
+JOIN region ON nation.n_regionkey = region.r_regionkey
+LEFT JOIN seed ON upper(region.r_name) = upper(seed.region_name)
+GROUP BY 1, 2
+"""
+
+# ------------------------------------------------- W2: latest-per-group dedup
+
+
+def q_w2_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest value per (day, type) — the daily_prices dedup (W2)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(event_ts()).alias("event_date"),
+        "event_type",
+        "value",
+        event_ts_us().alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_date", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_date", "event_type", F.col("value").alias("last_value"))
+    )
+
+
+SQL_W2 = """
+SELECT event_date, event_type, value AS last_value FROM (
+    SELECT CAST(ts AS DATE) AS event_date, event_type, value,
+           row_number() OVER (
+               PARTITION BY CAST(ts AS DATE), event_type
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+# ------------------------------------------------------ W3: lag daily deltas
+
+
+def q_w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas via lag() partitioned by series (W3)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date(event_ts()).alias("event_date"), F.col("event_type"))
+        .agg(F.round(dsum2(F.col("value")), 2).alias("volume"))
+    )
+    w = Window.partitionBy("event_type").orderBy("event_date")
+    return daily.select(
+        "event_type",
+        "event_date",
+        "volume",
+        F.round(F.col("volume") - F.lag("volume").over(w), 2).alias("dod_change"),
+    )
+
+
+SQL_W3 = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS volume
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, event_date, volume,
+       round(volume - lag(volume) OVER (PARTITION BY event_type ORDER BY event_date), 2)
+           AS dod_change
+FROM daily
+"""
+
+# ----------------------------------------------------- A2: ungrouped scalars
+
+
+def q_a2_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped scalar aggregates (A2) incl. time min/max."""
+    return load(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("timestamp_micros(min(ts div 1000))").alias("first_ts"),
+        F.expr("timestamp_micros(max(ts div 1000))").alias("last_ts"),
+        F.round(dsum2(F.col("value")), 2).alias("total_value"),
+    )
+
+
+SQL_A2 = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+FROM events
+"""
+
+# -------------------------------------------------------- A5: rollup (extended)
+
+
+def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (A5 — beyond-reference, built-in in Spark)."""
+    return (
+        load(spark, sf_dir, "events")
+        .rollup(F.to_date(event_ts()).alias("event_date"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum2(F.col("value")), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_A5 = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (1, 2)
+"""
+
+# ---------------------------------------------------------- F6-F11: time fns
+
+
+def q_f_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time function surface: epoch↔timestamp, date trunc, date arithmetic,
+    interval (F6/F7/F8/F10/F11)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date(event_ts()).alias("event_date"),
+        F.expr("ts div 1000000").alias("epoch_ms"),
+        F.date_sub(F.to_date(event_ts()), 7).alias("week_before"),
+        F.hour(event_ts()).cast("long").alias("event_hour"),
+    )
+
+
+SQL_F_TIME = """
+SELECT event_id,
+       CAST(ts AS DATE) AS event_date,
+       epoch_ms(ts) AS epoch_ms,
+       CAST(CAST(ts AS DATE) - INTERVAL 7 DAY AS DATE) AS week_before,
+       CAST(hour(ts) AS BIGINT) AS event_hour
+FROM events
+"""
+
+# ------------------------------------------------------------- O4: union all
+
+
+def q_o4_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of heterogeneous aggregates (O4)."""
+    orders = load(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("src"), F.count(F.lit(1)).alias("n")
+    )
+    li = load(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("src"), F.count(F.lit(1)).alias("n")
+    )
+    ev = load(spark, sf_dir, "events").agg(
+        F.lit("events").alias("src"), F.count(F.lit(1)).alias("n")
+    )
+    return orders.unionAll(li).unionAll(ev)
+
+
+SQL_O4 = """
+SELECT 'orders' AS src, CAST(count(*) AS BIGINT) AS n FROM orders
+UNION ALL
+SELECT 'lineitem' AS src, CAST(count(*) AS BIGINT) AS n FROM lineitem
+UNION ALL
+SELECT 'events' AS src, CAST(count(*) AS BIGINT) AS n FROM events
+"""
+
+# -------------------------------------------- flagship: daily user fact
+
+
+def q_flagship_daily_user_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fct-daily shape on generic tables: FOJ volume chain +
+    latest-state dedup + left joins + lag deltas + presentation sort.
+
+    Composite of J1+W1+J2+W3+O1 — the engine's flagship query (also used by
+    ``entry()``).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(event_ts()).alias("event_date"),
+        "user_id",
+        "event_type",
+        "value",
+        event_ts_us().alias("ts_us"),
+        "event_id",
+    )
+
+    def vol(etype: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("event_date", "user_id")
+            .agg(F.sum(dec2(F.col("value"))).alias(alias))
+        )
+
+    volumes = functools.reduce(
+        lambda l, r: l.join(r, on=["event_date", "user_id"], how="full_outer"),
+        [
+            vol("view", "view_volume"),
+            vol("click", "click_volume"),
+            vol("purchase", "purchase_volume"),
+            vol("error", "error_volume"),
+        ],
+    )
+    # "state": the day's last signup value per user plays the object snapshot
+    w = Window.partitionBy("user_id", "event_date").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    state = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_date", "user_id", F.col("value").alias("state_value"))
+    )
+    lag_w = Window.partitionBy("user_id").orderBy("event_date")
+    return (
+        state.join(volumes, on=["event_date", "user_id"], how="left")
+        .select(
+            "event_date",
+            "user_id",
+            F.round("state_value", 2).alias("state_value"),
+            F.round(F.coalesce("view_volume", F.lit(0.0)), 2).alias("view_volume"),
+            F.round(F.coalesce("click_volume", F.lit(0.0)), 2).alias("click_volume"),
+            F.round(F.coalesce("purchase_volume", F.lit(0.0)), 2).alias("purchase_volume"),
+            F.round(F.coalesce("error_volume", F.lit(0.0)), 2).alias("error_volume"),
+            F.round(
+                F.col("state_value") - F.lag("state_value").over(lag_w), 2
+            ).alias("state_change"),
+        )
+        .orderBy(F.desc("event_date"), F.desc_nulls_last("state_value"))
+    )
+
+
+SQL_FLAGSHIP = """
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS event_date, user_id, event_type, value, ts, event_id
+    FROM events
+),
+v AS (SELECT event_date, user_id, sum(value) AS view_volume FROM ev WHERE event_type='view' GROUP BY 1,2),
+c AS (SELECT event_date, user_id, sum(value) AS click_volume FROM ev WHERE event_type='click' GROUP BY 1,2),
+p AS (SELECT event_date, user_id, sum(value) AS purchase_volume FROM ev WHERE event_type='purchase' GROUP BY 1,2),
+e AS (SELECT event_date, user_id, sum(value) AS error_volume FROM ev WHERE event_type='error' GROUP BY 1,2),
+volumes AS (
+    SELECT coalesce(v.event_date, c.event_date, p.event_date, e.event_date) AS event_date,
+           coalesce(v.user_id, c.user_id, p.user_id, e.user_id) AS user_id,
+           v.view_volume, c.click_volume, p.purchase_volume, e.error_volume
+    FROM v
+    FULL OUTER JOIN c ON v.event_date = c.event_date AND v.user_id = c.user_id
+    FULL OUTER JOIN p ON coalesce(v.event_date, c.event_date) = p.event_date
+                     AND coalesce(v.user_id, c.user_id) = p.user_id
+    FULL OUTER JOIN e ON coalesce(v.event_date, c.event_date, p.event_date) = e.event_date
+                     AND coalesce(v.user_id, c.user_id, p.user_id) = e.user_id
+),
+state AS (
+    SELECT event_date, user_id, value AS state_value FROM (
+        SELECT event_date, user_id, value,
+               row_number() OVER (PARTITION BY user_id, event_date ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE event_type = 'signup'
+    ) WHERE rn = 1
+)
+SELECT s.event_date, s.user_id,
+       round(CAST(s.state_value AS DOUBLE), 2) AS state_value,
+       round(CAST(coalesce(vol.view_volume, 0) AS DOUBLE), 2) AS view_volume,
+       round(CAST(coalesce(vol.click_volume, 0) AS DOUBLE), 2) AS click_volume,
+       round(CAST(coalesce(vol.purchase_volume, 0) AS DOUBLE), 2) AS purchase_volume,
+       round(CAST(coalesce(vol.error_volume, 0) AS DOUBLE), 2) AS error_volume,
+       round(s.state_value - lag(s.state_value) OVER (PARTITION BY s.user_id ORDER BY s.event_date), 2)
+           AS state_change
+FROM state s
+LEFT JOIN volumes vol ON vol.event_date = s.event_date AND vol.user_id = s.user_id
+"""
+
+
+PARITY_QUERIES = {
+    "s1_scan_project": (q_s1_scan_project, SQL_S1),
+    "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
+    "p3_like_prefix": (q_p3_like_prefix, SQL_P3),
+    "p4_watermark": (q_p4_watermark, SQL_P4),
+    "p7_in_list": (q_p7_in_list, SQL_P7),
+    "w1_rownum_dedup": (q_w1_rownum_dedup, SQL_W1),
+    "p10_case_trycast": (q_p10_case_trycast, SQL_P10),
+    "j1_foj_volume_chain": (q_j1_foj_volume_chain, SQL_J1),
+    "j2_left_join": (q_j2_left_join, SQL_J2),
+    "j4_seed_ci_join": (q_j4_seed_ci_join, SQL_J4),
+    "w2_latest_per_group": (q_w2_latest_per_group, SQL_W2),
+    "w3_lag_delta": (q_w3_lag_delta, SQL_W3),
+    "a2_scalar_agg": (q_a2_scalar_agg, SQL_A2),
+    "a5_rollup": (q_a5_rollup, SQL_A5),
+    "f_time_functions": (q_f_time_functions, SQL_F_TIME),
+    "o4_union_all": (q_o4_union_all, SQL_O4),
+    "flagship_daily_user_fact": (q_flagship_daily_user_fact, SQL_FLAGSHIP),
+}

@@ -1,0 +1,175 @@
+"""TPC-H-shaped headline queries (A1 + multi-way joins) — the bench workload.
+
+Classic Q1/Q3/Q5/Q6 adapted to the driver testdata's column subset (orders
+lacks shippriority; dates are timestamps). These are the queries ``bench.py``
+times at sf0.1: scan-heavy aggregation (q1, q6) and shuffle joins with
+selective dimensions (q3, q5) — the two shapes that dominate at 100 TB.
+
+All money aggregates sum in exact DECIMAL (see ``common.py``): the inputs
+sit on 2-decimal grids, so decimal sums are bit-identical to the DuckDB
+oracle regardless of partition/summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import dec2, load
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def _disc_price() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact decimal."""
+    return dec2(F.col("l_extendedprice")) * (_one() - F.col("l_discount").cast("decimal(3,2)"))
+
+
+def _charge() -> F.Column:
+    """… * (1 + l_tax), exact decimal."""
+    return _disc_price() * (_one() + F.col("l_tax").cast("decimal(3,2)"))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (A1: grouped sums/avgs with map-side combine)."""
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec2(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec2(F.col("l_quantity"))).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / n, 6).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(dec2(F.col("l_discount"))).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority revenue: selective dim filters + 2 shuffle joins."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation: 5-way join, broadcast dims, one year."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change: pure scan + filter + scalar agg (pushdown test)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec2(F.col("l_extendedprice")) * F.col("l_discount").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+TPCH_QUERIES = {
+    "tpch_q1": (q_tpch_q1, SQL_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_Q6),
+}

@@ -1,0 +1,85 @@
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Runs each declared query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and exact values
+(rows sorted, columns sorted by name — the driver hashes after sorting
+columns by name, so exact value equality here predicts a hash match).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, date):
+        return v
+    return v
+
+
+def _sort_key(row):
+    return tuple(
+        (v is None, str(type(v).__name__), str(v)) for v in row
+    )
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> list[str]:
+    """Returns a list of mismatch descriptions (empty = match)."""
+    problems: list[str] = []
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r[c] for c in sorted(spark_cols)) for r in spark_df.collect()]
+
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_raw = res.fetchall()
+    col_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    duck_rows = [tuple(r[i] for i in col_idx) for r in duck_raw]
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"{name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
+
+    s_sorted = sorted([tuple(_norm(v) for v in r) for r in spark_rows], key=_sort_key)
+    d_sorted = sorted([tuple(_norm(v) for v in r) for r in duck_rows], key=_sort_key)
+    n_bad = 0
+    for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
+        if sr != dr:
+            n_bad += 1
+            if n_bad <= 3:
+                cols = sorted(spark_cols)
+                detail = [
+                    f"{c}: spark={sv!r} duck={dv!r}"
+                    for c, sv, dv in zip(cols, sr, dr)
+                    if sv != dv
+                ]
+                problems.append(f"{name}: row {i} differs → {'; '.join(detail)}")
+    if n_bad > 3:
+        problems.append(f"{name}: ... {n_bad} rows differ total")
+    return problems

@@ -339,7 +339,9 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_operators.py`` asserts recall against the exact top-k."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.lsh_ann_topk(emb, queries, "vec_id", "embedding", "vec_id", dim=64, k=5, planes=6)
+    out = S.lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", dim=64, k=5, planes=6, probes=2
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),

@@ -1,0 +1,135 @@
+"""Semantics tests for the LLM-pipeline operators (beyond oracle parity).
+
+Oracle parity (test_oracle_parity.py) proves value equality with DuckDB;
+these tests check the *operator contracts*: LSH candidate recall vs exact
+Jaccard, simhash hamming locality, ANN recall vs brute force, dedup
+survivor semantics, and the multimodal binary plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.operators import dedup as D
+from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+from sample_deepbook_margin_dune_dbt_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup of 0
+        (3, "completely different text about spark sql engines and query plans"),
+        (4, "another unrelated document mentioning embeddings and vectors"),
+        (5, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near dup
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_survivors(spark, docs_with_dupes):
+    survivors = D.dedup_exact(docs_with_dupes, "doc_id", "text")
+    ids = {r["doc_id"] for r in survivors.collect()}
+    # 0 and 1 are identical → only min id 0 survives; everything else stays
+    assert ids == {0, 2, 3, 4, 5}
+    groups = {r["keep_id"]: r["dup_count"] for r in D.exact_duplicates(docs_with_dupes, "doc_id", "text").collect()}
+    assert groups[0] == 2
+
+
+def test_ngram_jaccard_finds_near_dupes(spark, docs_with_dupes):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_with_dupes, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
+    assert not any({a, b} == {3, 4} for a, b in pairs)  # unrelated stay apart
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_dir):
+    """Every high-Jaccard pair (≥0.7) must be recalled by the LSH candidates;
+    candidate count must stay far below the full quadratic pair count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    missed = exact - cand
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+    assert len(cand) < n * (n - 1) / 2 * 0.05, "LSH bucketing degenerated to ~all pairs"
+
+
+def test_simhash_hamming_locality(spark, docs_with_dupes):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs_with_dupes, "doc_id", "text").collect()}
+    assert sig[0] == sig[1]  # identical docs → identical signature
+    ham_near = bin(sig[0] ^ sig[2]).count("1")
+    ham_far = bin(sig[0] ^ sig[3]).count("1")
+    assert ham_near < ham_far, (ham_near, ham_far)
+    assert all(0 <= s < 2**D.SIMHASH_BITS for s in sig.values())
+
+
+def test_simhash_near_pairs(spark, docs_with_dupes):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(docs_with_dupes, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """Bucketed ANN must recover a decent fraction of the exact top-5 and
+    never return a neighbor pair from different buckets with wrong scores."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk(emb, q, "vec_id", "embedding", "vec_id", k=5)
+    approx = S.lsh_ann_topk(emb, q, "vec_id", "embedding", "vec_id", dim=64, k=5, planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH ANN recall too low: {recall:.2f}"
+    # scores of overlapping pairs must agree with the exact scorer
+    e_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in e_scores:
+            assert abs(r["cosine"] - e_scores[key]) < 1e-12
+
+
+def test_multimodal_binary_plumbing(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\nrestofpng"),
+        (2, b"\xff\xd8\xff\xe0jfifdata"),
+        (3, b"plain text payload"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    meta = {r["id"]: r for r in M.extract_binary_metadata(df, "id", "payload").collect()}
+    assert meta[1]["format"] == "png"
+    assert meta[2]["format"] == "jpeg"
+    assert meta[3]["format"] == "unknown"
+    assert meta[3]["size_bytes"] == len(b"plain text payload")
+    import hashlib
+
+    assert meta[1]["md5_hex"] == hashlib.md5(rows[0][1]).hexdigest()
+
+
+def test_multimodal_frame_sampling(spark):
+    payload = bytes(range(256)) * 20  # 5120 bytes → 5 frames at 1024 stride
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    frames = M.sample_frames(df, "id", "payload", every_n_bytes=1024, max_frames=8).collect()
+    assert len(frames) == 5
+    assert [f["frame_index"] for f in sorted(frames, key=lambda r: r["frame_index"])] == list(range(5))
+
+
+def test_audio_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"RIFFxxxxWAVE")], "id long, payload binary")
+    out = M.extract_audio_features(df, "id", "payload")
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        out.collect()

@@ -39,11 +39,27 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None  # non-sfN dir name; timings still valid
-    spark = get_spark(app_name="bench")
+    # shuffle partitions sized to the bench scale (sub-GB inputs): 8 reduce
+    # partitions keep per-stage scheduling overhead low; AQE still splits
+    # skew. A cluster run against TB inputs would use hundreds+ (set
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS).
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # session warm-up: trivial action to pay JVM/codegen startup once
+    # session warm-up: trivial action to pay JVM startup once
     spark.range(1000).count()
+    # per-query codegen warm-up at the smallest scale factor: compiles each
+    # query's generated code against tiny inputs so the timed run measures
+    # execution, not Janino compilation (same plan shapes → compiled-class
+    # cache hits). Skipped when no sibling sf0.001 exists.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in BENCH_QUERIES:
+            fn, _ = ALL_QUERIES[name]
+            fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

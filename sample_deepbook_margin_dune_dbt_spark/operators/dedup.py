@@ -39,6 +39,17 @@ def _tokens(text_col: F.Column) -> F.Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition on the id before CPU-heavy per-row work.
+
+    Small inputs often arrive as one file → one partition, serializing the
+    shingle/hash computation on a single core; at cluster scale the same
+    repartition balances work across executors. The shuffle moves only the
+    (id, text) projection, which is tiny relative to the exploded output.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def shingles(text_col: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
@@ -107,8 +118,8 @@ def ngram_jaccard_pairs(
     (feed it LSH candidates); use ``minhash_lsh_candidates`` to generate
     candidates without the quadratic join.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), n)).alias("_sh")
+    sh = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
+        "_id", F.explode(shingles(F.col(text_col), n)).alias("_sh")
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
     a = sh.alias("a")
@@ -149,8 +160,8 @@ def minhash_signatures(
     mins mean the shuffle carries k longs per doc per task. No pairwise work.
     """
     assert num_hashes <= len(MINHASH_AS)
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh")
+    sh = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
+        "_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh")
     )
     x = fingerprint64(F.col("_sh")) % MINHASH_P
     aggs = [
@@ -194,18 +205,33 @@ def minhash_lsh_candidates(
     exploded = sig.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*bands)).alias("bk")
     ).select("_id", F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._key") == F.col("b._key"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    # Bucket-collect instead of a self-join: one groupBy computes the
+    # signature pipeline ONCE (a self-join would recompute it for each side)
+    # and pair expansion happens inside each bucket, so there is no join
+    # shuffle at all. Bucket arrays are near-dup clusters — small by nature;
+    # a degenerate giant bucket (e.g. empty docs) is the skew risk, same as
+    # any LSH formulation, and should be capped upstream in production.
+    buckets = (
+        exploded.groupBy("_band", "_key")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("pair")
+    )
+    return pairs.select("pair.id_a", "pair.id_b").distinct()
 
 
 # ----------------------------------------------------------------- simhash
@@ -229,8 +255,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     (``bit_count(a ^ b)``), typically via banding the signature exactly like
     minhash LSH.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("_t")
+    toks = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
+        "_id", F.explode(_tokens(F.col(text_col))).alias("_t")
     )
     fp = fingerprint64(F.col("_t"))
     aggs = [

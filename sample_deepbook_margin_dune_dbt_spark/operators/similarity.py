@@ -60,11 +60,17 @@ def cosine_pairs(
     Output: (id_a, id_b, cosine), id_a < id_b. Quadratic — use only on
     bounded inputs or after LSH bucketing.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm(F.col(vec_col)).alias("_na")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), _norm(F.col(vec_col)).alias("_nb")
+    )
+    # norms precomputed once per row (not once per pair): same arithmetic,
+    # O(N·d) instead of O(N²·d) norm work
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -85,13 +91,21 @@ def cosine_topk(
     chooses broadcast-nested-loop for the cross join automatically when they
     are.
     """
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_vq"))
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vn"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        _norm(F.col(vec_col)).alias("_nq"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vn"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(v)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("_vq"), F.col("_vn")))
+        .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -151,6 +165,7 @@ def lsh_ann_topk(
     sig_v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vn"),
+        _norm(F.col(vec_col)).alias("_nn"),
         hyperplane_signature(F.col(vec_col), dim, planes).alias("_sig"),
     )
     base_sig = hyperplane_signature(F.col(vec_col), dim, planes)
@@ -166,13 +181,14 @@ def lsh_ann_topk(
     sig_q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_vq"),
+        _norm(F.col(vec_col)).alias("_nq"),
         F.explode(F.array(*probe_sigs)).alias("_sig"),
     )
     scored = (
         sig_q.join(sig_v, "_sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine(F.col("_vq"), F.col("_vn")))
+        .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -19,10 +19,12 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def audit_plan(df: DataFrame) -> dict[str, object]:
     """Summarize scale-relevant physical-plan facts."""
     plan = explain_str(df, "formatted")
+    # codegen spans only show in simple mode
+    simple = explain_str(df, "simple")
     return {
         "num_exchanges": plan.count("Exchange"),
         "num_broadcasts": plan.count("BroadcastExchange"),
         "has_pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
-        "wholestage_codegen": "WholeStageCodegen" in plan,
+        "wholestage_codegen": "WholeStageCodegen" in simple,
         "plan": plan,
     }

@@ -1,0 +1,79 @@
+"""Physical-plan audits: assert the scale-critical plan properties hold.
+
+These are the SURVEY §4 / 100 TB checklist items as regression tests:
+filters reach the parquet scan, column pruning works, small dims broadcast,
+and the LSH self-join is an equi-join (never a cartesian product).
+"""
+
+from __future__ import annotations
+
+from sample_deepbook_margin_dune_dbt_spark.plans import audit_plan, explain_str
+from sample_deepbook_margin_dune_dbt_spark.queries import ALL_QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    fn, _ = ALL_QUERIES[name]
+    return audit_plan(fn(spark, sf_dir))
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    a = _plan(spark, sf_dir, "tpch_q6")
+    assert a["has_pushed_filters"], "q6 filters must reach the parquet scan"
+    # column pruning: only the 4 referenced columns in ReadSchema
+    read = [l for l in a["plan"].splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read and "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_event_filter_pushdown(spark, sf_dir):
+    a = _plan(spark, sf_dir, "p2_filter_eq")
+    assert a["has_pushed_filters"]
+    assert a["num_exchanges"] == 0, "pure filter+project must not shuffle"
+
+
+def test_seed_join_broadcasts(spark, sf_dir):
+    a = _plan(spark, sf_dir, "j4_seed_ci_join")
+    assert a["num_broadcasts"] >= 1, "5-row seed dim must broadcast, not shuffle"
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    a = _plan(spark, sf_dir, "tpch_q5")
+    assert a["num_broadcasts"] >= 1, "nation/region must broadcast"
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: the shuffle must carry partial aggregates, not rows.
+    (WholeStageCodegen isn't visible pre-execution under AQE, so the partial
+    agg is the plan property worth asserting.)"""
+    fn, _ = ALL_QUERIES["tpch_q1"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "partial_sum" in plan, "q1 must partial-aggregate before the exchange"
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "partial agg must sit below the exchange (map side)"
+    )
+
+
+def test_lsh_join_is_equijoin(spark, sf_dir):
+    fn, _ = ALL_QUERIES["dedup_minhash_lsh"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "LSH candidate join must stay a hash/sort-merge equi-join"
+    )
+
+
+def test_incremental_models_no_shuffle(spark, tmp_path):
+    """The event-decode models are narrow maps: zero exchanges in-plan."""
+    import datetime as dt
+
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import ModelContext, get_model
+    import sample_deepbook_margin_dune_dbt_spark.models_deepbook  # noqa: F401
+    from tests.fixtures import write_fixtures
+
+    sources = write_fixtures(str(tmp_path / "src"))
+    store = TableStore(spark, str(tmp_path / "wh"))
+    cfg = get_model("deepbook_margin_loan_borrowed")
+    ctx = ModelContext(spark, store, sources, cfg, fixed_now=dt.datetime(2026, 2, 1))
+    df = cfg.builder(ctx)
+    a = audit_plan(df)
+    assert a["num_exchanges"] == 0, "event decode must be a narrow map (no shuffle)"
+    assert a["has_pushed_filters"], "event_type + watermark filters must push down"

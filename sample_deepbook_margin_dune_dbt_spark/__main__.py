@@ -1,0 +1,92 @@
+"""CLI for the engine — the dbt command surface re-expressed (SURVEY §2.9).
+
+    python -m sample_deepbook_margin_dune_dbt_spark run \
+        --warehouse /tmp/wh \
+        --source sui.events=/data/sui_events.parquet \
+        --source sui.objects=/data/sui_objects.parquet \
+        --source prices.day=/data/prices_day.parquet \
+        --select +fct_deepbook_margin_pool_daily [--full-refresh]
+
+    python -m sample_deepbook_margin_dune_dbt_spark test --warehouse /tmp/wh ...
+    python -m sample_deepbook_margin_dune_dbt_spark ls
+
+Maps: ``run --select +m`` ≈ ``dbt run --select +m`` (C7), ``--full-refresh``
+≈ C8, ``test`` ≈ ``dbt test`` (C9), ``--schema-suffix`` ≈ the dev/PR schema
+isolation macro (S11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .engine import Runner, TableStore, all_models, get_spark
+from . import models_deepbook  # noqa: F401  (registers the 7 models)
+
+
+def _parse_sources(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs:
+        key, _, path = p.partition("=")
+        if not path:
+            raise SystemExit(f"--source expects db.table=path, got {p!r}")
+        out[key] = path
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sample_deepbook_margin_dune_dbt_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("--warehouse", required=True, help="table store root directory")
+        p.add_argument("--source", action="append", default=[], help="db.table=path (repeatable)")
+        p.add_argument("--select", default=None, help="model or +model (upstream closure)")
+        p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
+        p.add_argument("--backfill-days", type=int, default=30)
+        p.add_argument("--lookback-days", type=int, default=7)
+
+    run_p = sub.add_parser("run", help="build models (incremental by default)")
+    add_common(run_p)
+    run_p.add_argument("--full-refresh", action="store_true")
+
+    test_p = sub.add_parser("test", help="run declared not_null assertions")
+    add_common(test_p)
+
+    sub.add_parser("ls", help="list registered models")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "ls":
+        for name, cfg in sorted(all_models().items()):
+            print(f"{name}  key={cfg.unique_key}  strategy={cfg.incremental_strategy}  deps={cfg.deps}")
+        return 0
+
+    spark = get_spark(app_name=f"engine-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = TableStore(spark, args.warehouse, schema_suffix=args.schema_suffix)
+    runner = Runner(
+        spark,
+        store,
+        _parse_sources(args.source),
+        backfill_days=args.backfill_days,
+        lookback_days=args.lookback_days,
+    )
+
+    if args.cmd == "run":
+        order = runner.run(args.select, full_refresh=args.full_refresh)
+        for name in order:
+            print(f"built {name}")
+        return 0
+
+    failures = runner.test(args.select)
+    if failures:
+        for col, n in failures.items():
+            print(f"FAIL not_null {col}: {n} nulls", file=sys.stderr)
+        return 1
+    print("all assertions passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,142 @@
+"""Engine feature tests: append strategy, maintenance hooks, schema isolation,
+streaming MERGE, source catalog, and the consumer-query layer."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore, get_spark
+from sample_deepbook_margin_dune_dbt_spark.models_deepbook import consumer
+from sample_deepbook_margin_dune_dbt_spark.sources import SourceCatalog, testdata_sources
+from sample_deepbook_margin_dune_dbt_spark.streaming import merge_stream
+import sample_deepbook_margin_dune_dbt_spark.models_deepbook  # noqa: F401
+from tests.fixtures import write_fixtures
+
+FIXED_NOW = dt.datetime(2026, 2, 1)
+
+
+def test_append_strategy(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.append(df1, "t")
+    store.append(df1, "t")
+    assert store.read("t").count() == 4  # append never dedups (S8)
+
+
+def test_merge_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    d1, d2 = dt.date(2026, 1, 1), dt.date(2026, 1, 2)
+    base = spark.createDataFrame(
+        [(1, d1, 10.0), (2, d1, 20.0), (3, d2, 30.0)],
+        "id long, day date, v double",
+    )
+    store.write_full(base, "t", partition_by=["day"])
+    p1 = os.path.join(store.path("t"), "day=2026-01-02")
+    mtime_before = max(os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1))
+
+    updates = spark.createDataFrame([(1, d1, 99.0)], "id long, day date, v double")
+    store.merge(updates, "t", unique_key=["id", "day"], partition_by=["day"])
+
+    rows = {(r["id"], r["day"]): r["v"] for r in store.read("t").collect()}
+    assert rows[(1, d1)] == 99.0
+    assert rows[(2, d1)] == 20.0
+    assert rows[(3, d2)] == 30.0
+    # the untouched partition's files were not rewritten
+    mtime_after = max(os.path.getmtime(os.path.join(p1, f)) for f in os.listdir(p1))
+    assert mtime_after == mtime_before
+
+
+def test_optimize_compacts_files(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 10000).repartition(16).withColumn("v", F.rand(seed=1))
+    store.write_full(df, "t")
+    n_before = len([f for f in os.listdir(store.path("t")) if f.endswith(".parquet")])
+    store.optimize("t", target_files=2)
+    n_after = len([f for f in os.listdir(store.path("t")) if f.endswith(".parquet")])
+    assert n_after < n_before and n_after <= 2
+    assert store.read("t").count() == 10000
+
+
+def test_vacuum_removes_stale_staging(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    stale = store.path(".staging-old-deadbeef")
+    os.makedirs(stale)
+    os.utime(stale, (0, 0))  # very old
+    fresh = store.path(".staging-new-cafebabe")
+    os.makedirs(fresh)
+    store.vacuum("t", retain_hours=1)
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)
+
+
+def test_schema_suffix_isolation(spark, tmp_path):
+    """Dev/prod schema isolation (S11): same table name, separate stores."""
+    prod = TableStore(spark, str(tmp_path), schema_suffix="")
+    dev = TableStore(spark, str(tmp_path), schema_suffix="dev_pr42")
+    df = spark.createDataFrame([(1,)], "id long")
+    prod.write_full(df, "t")
+    assert not dev.exists("t")
+    dev.write_full(df.withColumn("id", F.lit(2)), "t")
+    assert prod.read("t").first()["id"] == 1
+    assert dev.read("t").first()["id"] == 2
+
+
+def test_source_catalog(spark, sf_dir):
+    cat = SourceCatalog(testdata_sources(sf_dir))
+    assert cat.read(spark, "main", "region").count() == 5
+    cat.register_views(spark)
+    assert spark.sql("select count(*) n from main_region").first()["n"] == 5
+
+
+def test_streaming_merge(spark, tmp_path):
+    """The batch MERGE sink works under Structured Streaming foreachBatch:
+    late/duplicate keys across micro-batches upsert instead of duplicating."""
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    df1.write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("id long, v double").parquet(src_dir)
+    q = merge_stream(
+        stream, store, "t", unique_key=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert {r["id"]: r["v"] for r in store.read("t").collect()} == {1: 10.0, 2: 20.0}
+
+    # second batch: update key 2, add key 3 → MERGE semantics
+    df2 = spark.createDataFrame([(2, 99.0), (3, 30.0)], "id long, v double")
+    df2.write.mode("append").parquet(src_dir)
+    q2 = merge_stream(
+        stream, store, "t", unique_key=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert {r["id"]: r["v"] for r in store.read("t").collect()} == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+@pytest.fixture(scope="module")
+def domain_store(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("consumer")
+    sources = write_fixtures(str(root / "src"))
+    store = TableStore(spark, str(root / "wh"))
+    Runner(spark, store, sources, fixed_now=FIXED_NOW).run()
+    return store
+
+
+def test_consumer_queries(domain_store):
+    tvl = consumer.pool_tvl_over_time(domain_store, "USDC").collect()
+    assert tvl and all(r["coin_symbol"] == "USDC" for r in tvl)
+    total = consumer.total_tvl_across_pools(domain_store).collect()
+    assert total and total[0]["snapshot_date"] >= total[-1]["snapshot_date"]
+    vol = consumer.daily_borrow_volume_by_pool(domain_store).collect()
+    assert vol
+    loans = consumer.recent_loan_events(domain_store, limit=10).collect()
+    assert 0 < len(loans) <= 10
+    assert loans[0]["time"] >= loans[-1]["time"]

@@ -613,6 +613,101 @@ LEFT JOIN volumes vol ON vol.event_date = s.event_date AND vol.user_id = s.user_
 """
 
 
+
+
+# ------------------------------------------------- O3: deterministic top-N
+
+
+def q_o3_topn_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (O3) with a unique tiebreak key so the top-N set is
+    deterministic and hash-comparable across engines."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+SQL_O3 = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+# ---------------------------------------------- O5: INTERSECT / EXCEPT
+
+
+def q_o5_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (O5 — beyond-reference, built-in): customers with
+    purchases but no errors (EXCEPT), unioned with users present in both
+    (INTERSECT), labeled."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    only_buy = buyers.exceptAll(erring).select(
+        F.col("user_id"), F.lit("buy_only").alias("segment")
+    )
+    both = buyers.intersect(erring).select(
+        F.col("user_id"), F.lit("buy_and_error").alias("segment")
+    )
+    return only_buy.unionAll(both)
+
+
+SQL_O5 = """
+SELECT user_id, 'buy_only' AS segment FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'buy_and_error' AS segment FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+# ----------------------------------- P11/F15: CASE join key + power norm
+
+
+def q_p11_case_join_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-normalized join key (P11) rewritten Spark-idiomatically as a
+    precomputed key + equi-join (the stg model's SUI short-form pattern),
+    plus power(10, n) decimal normalization (F15)."""
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    # pretend nationkey 0 has a legacy alias -1 in a dimension
+    dim = spark.createDataFrame(
+        [(-1, "LEGACY_ZERO", 2), (1, "NATION_1", 3), (2, "NATION_2", 4)],
+        "dim_key int, dim_name string, scale_digits int",
+    )
+    norm_key = F.when(F.col("dim_key") == -1, F.lit(0)).otherwise(F.col("dim_key"))
+    dim_n = dim.withColumn("norm_key", norm_key)
+    j = cust.join(
+        F.broadcast(dim_n), cust["c_nationkey"] == dim_n["norm_key"], "inner"
+    )
+    return j.select(
+        "c_custkey",
+        "dim_name",
+        (F.col("c_acctbal") / F.pow(F.lit(10.0), F.col("scale_digits"))).alias(
+            "acctbal_scaled"
+        ),
+    )
+
+
+SQL_P11 = """
+WITH dim(dim_key, dim_name, scale_digits) AS (
+    VALUES (-1, 'LEGACY_ZERO', 2), (1, 'NATION_1', 3), (2, 'NATION_2', 4)
+)
+SELECT c_custkey, dim_name,
+       c_acctbal / power(10, scale_digits) AS acctbal_scaled
+FROM customer
+JOIN dim ON c_nationkey = (CASE WHEN dim_key = -1 THEN 0 ELSE dim_key END)
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -630,5 +725,8 @@ PARITY_QUERIES = {
     "a5_rollup": (q_a5_rollup, SQL_A5),
     "f_time_functions": (q_f_time_functions, SQL_F_TIME),
     "o4_union_all": (q_o4_union_all, SQL_O4),
+    "o3_topn_limit": (q_o3_topn_limit, SQL_O3),
+    "o5_set_ops": (q_o5_set_ops, SQL_O5),
+    "p11_case_join_key": (q_p11_case_join_key, SQL_P11),
     "flagship_daily_user_fact": (q_flagship_daily_user_fact, SQL_FLAGSHIP),
 }

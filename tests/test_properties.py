@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): cross-engine invariants under fuzzing.
+
+Each property batches many generated examples into ONE Spark job per case
+(`max_examples` kept small — Spark's per-job overhead dominates, so the
+batch does the fuzzing work).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+from sample_deepbook_margin_dune_dbt_spark.functions.text import fingerprint64
+
+# printable-ish text incl. unicode, excluding NUL (parquet/duckdb varchar)
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=0,
+    max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=50, unique=True))
+def test_fingerprint64_matches_duckdb(spark, texts):
+    """Spark fingerprint64 ≡ DuckDB's '0x'||substr(md5,1,15) cast — the
+    invariant every dedup/minhash oracle relies on."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: r["fp"] for r in df.select("t", fingerprint64(F.col("t")).alias("fp")).collect()}
+    con = duckdb.connect()
+    for t in texts:
+        (expected,) = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [t]
+        ).fetchone()
+        assert got[t] == expected, t
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=50, unique=True))
+def test_try_cast_matches_duckdb(spark, texts):
+    """try_cast(s AS BIGINT/DOUBLE) NULL-on-failure parity with DuckDB."""
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: (r["i"], r["d"])
+        for r in df.select(
+            "t",
+            F.col("t").try_cast("bigint").alias("i"),
+            F.col("t").try_cast("double").alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        ei, ed = con.execute(
+            "SELECT TRY_CAST(? AS BIGINT), TRY_CAST(? AS DOUBLE)", [t, t]
+        ).fetchone()
+        gi, gd = got[t]
+        # engines differ on exotic spellings (e.g. unicode digits, 'inf'
+        # prefixes); restrict the strict claim to ASCII inputs — the data the
+        # pipeline actually casts is ASCII JSON scalars
+        if t.isascii():
+            assert gi == ei, (t, gi, ei)
+            if ed is None or gd is None:
+                assert gd == ed, (t, gd, ed)
+            else:
+                assert gd == pytest.approx(ed, nan_ok=True), (t, gd, ed)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 1000)),  # (key, version)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_merge_equals_dict_upsert(spark, tmp_path_factory, ops):
+    """A sequence of MERGE batches ≡ last-writer-wins dict upsert."""
+    root = tmp_path_factory.mktemp("merge_prop")
+    store = TableStore(spark, str(root))
+    model: dict[int, int] = {}
+    # split ops into batches of ≤5 and merge each
+    name = "t"
+    for i in range(0, len(ops), 5):
+        batch = ops[i : i + 5]
+        # within one MERGE batch the reference's inputs are key-unique;
+        # keep the last occurrence per key
+        dedup = {}
+        for k, v in batch:
+            dedup[k] = v
+        model.update(dedup)
+        df = spark.createDataFrame(list(dedup.items()), "k long, v long")
+        store.merge(df, name, unique_key=["k"])
+    got = {r["k"]: r["v"] for r in store.read(name).collect()}
+    assert got == model
+    store.drop(name)

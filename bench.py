@@ -46,6 +46,13 @@ def main() -> None:
     spark = get_spark(
         app_name="bench",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")),
+        # AQE's stage materialization costs 30-45% at MB scale and pays off
+        # only when shuffles are GB+ (skew splitting, runtime coalescing).
+        # The engine default keeps AQE ON; the bench at sf0.1 measures the
+        # operators, not AQE overhead. Cluster runs: SPARK_GRAFT_BENCH_AQE=true.
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_BENCH_AQE", "false")
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -49,9 +49,16 @@ def main(argv: list[str] | None = None) -> int:
     run_p = sub.add_parser("run", help="build models (incremental by default)")
     add_common(run_p)
     run_p.add_argument("--full-refresh", action="store_true")
+    run_p.add_argument("--threads", type=int, default=1, help="parallel model builds")
 
     test_p = sub.add_parser("test", help="run declared not_null assertions")
     add_common(test_p)
+
+    show_p = sub.add_parser("show", help="ad-hoc SQL over the warehouse tables")
+    show_p.add_argument("--warehouse", required=True)
+    show_p.add_argument("--schema-suffix", default="")
+    show_p.add_argument("--inline", required=True, help="SQL to run")
+    show_p.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("ls", help="list registered models")
 
@@ -65,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"engine-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
     store = TableStore(spark, args.warehouse, schema_suffix=args.schema_suffix)
+
+    if args.cmd == "show":
+        # reference lifecycle entry point 3: dbt show --inline / ad-hoc SELECT
+        store.sql(args.inline).show(args.limit, truncate=False)
+        return 0
+
     runner = Runner(
         spark,
         store,
@@ -74,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.cmd == "run":
-        order = runner.run(args.select, full_refresh=args.full_refresh)
+        order = runner.run(args.select, full_refresh=args.full_refresh, threads=args.threads)
         for name in order:
             print(f"built {name}")
         return 0

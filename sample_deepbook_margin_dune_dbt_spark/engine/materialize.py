@@ -82,16 +82,29 @@ class TableStore:
 
     # ------------------------------------------------------------------ sinks
 
+    def _has_partition_dirs(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            "=" in f and os.path.isdir(os.path.join(p, f)) for f in os.listdir(p)
+        )
+
     def write_full(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         """CREATE TABLE AS (first run / full refresh; SURVEY §2.1 S7, C8).
 
         Writes to a staging dir then atomically swaps, so a failed job never
         leaves a half-written table (the reference gets this from Trino CTAS
         atomicity).
+
+        Empty-input edge: a *partitioned* write of zero rows produces no
+        files at all (no partition dirs, no schema), which would leave a
+        schema-less unreadable table. Zero-row inputs are therefore written
+        unpartitioned — one empty, schema-bearing parquet file — and the
+        table upgrades to the partitioned layout on the first non-empty
+        write (``merge`` detects the actual layout on disk).
         """
         staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
-        if partition_by:
+        if partition_by and not df.isEmpty():
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
         final = self.path(name)
@@ -125,16 +138,22 @@ class TableStore:
             self.write_full(updates, name, partition_by)
             return
 
-        if partition_by:
+        if partition_by and self._has_partition_dirs(name):
             self._merge_partitioned(updates, name, unique_key, partition_by)
         else:
+            # unpartitioned layout (incl. a table created empty that now
+            # receives its first real rows): full rewrite, upgrading to the
+            # partitioned layout when one is declared
             old = self.read(name)
             kept = old.join(updates.select(*unique_key).distinct(), on=unique_key, how="left_anti")
             result = kept.unionByName(updates.select(*old.columns))
             # full rewrite via staging swap; can't stream onto the dir being read,
             # so materialize the result first
             staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
-            result.write.mode("overwrite").parquet(staging)
+            writer = result.write.mode("overwrite")
+            if partition_by and not result.isEmpty():
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staging)
             final = self.path(name)
             shutil.rmtree(final)
             os.replace(staging, final)
@@ -218,3 +237,26 @@ class TableStore:
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+    # --------------------------------------------------------------- ad hoc
+
+    def tables(self) -> list[str]:
+        base = self._base()
+        return sorted(
+            f for f in os.listdir(base)
+            if not f.startswith(".") and self.exists(f)  # readable tables only
+        )
+
+    def register_views(self) -> list[str]:
+        """Register every materialized table as a temp view for spark.sql —
+        the ad-hoc SELECT layer (reference lifecycle entry point 3:
+        ``dbt show --inline`` / Dune UI queries, ``DEVELOPMENT.md:149-151``)."""
+        names = self.tables()
+        for name in names:
+            self.read(name).createOrReplaceTempView(name)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        """Run ad-hoc SQL over the registered warehouse tables."""
+        self.register_views()
+        return self.spark.sql(query)

@@ -62,13 +62,45 @@ class Runner:
 
     # ------------------------------------------------------------- execution
 
-    def run(self, select: str | None = None, full_refresh: bool = False) -> list[str]:
-        """Build the selected models in dependency order; returns the order."""
+    def run(
+        self, select: str | None = None, full_refresh: bool = False, threads: int = 1
+    ) -> list[str]:
+        """Build the selected models in dependency order; returns the order.
+
+        ``threads > 1`` builds independent models concurrently (the
+        reference's dbt profile runs 4 threads, ``profiles.yml:14``): a
+        thread pool walks the DAG, submitting a model as soon as its deps
+        complete. Spark schedules jobs from multiple threads fine; each
+        model is still one job chain.
+        """
         order = self._closure(select)
         registry = all_models()
-        for name in order:
-            self._run_one(registry[name], full_refresh)
-        return order
+        if threads <= 1:
+            for name in order:
+                self._run_one(registry[name], full_refresh)
+            return order
+
+        import concurrent.futures as cf
+        from graphlib import TopologicalSorter
+
+        wanted = set(order)
+        ts = TopologicalSorter(
+            {m: [d for d in registry[m].deps if d in wanted] for m in wanted}
+        )
+        ts.prepare()
+        built: list[str] = []
+        with cf.ThreadPoolExecutor(max_workers=threads) as pool:
+            futures: dict[cf.Future, str] = {}
+            while ts.is_active():
+                for name in ts.get_ready():
+                    futures[pool.submit(self._run_one, registry[name], full_refresh)] = name
+                done, _ = cf.wait(list(futures), return_when=cf.FIRST_COMPLETED)
+                for f in done:
+                    name = futures.pop(f)
+                    f.result()  # re-raise model failures
+                    ts.done(name)
+                    built.append(name)
+        return built
 
     def _run_one(self, cfg: ModelConfig, full_refresh: bool) -> None:
         ctx = ModelContext(

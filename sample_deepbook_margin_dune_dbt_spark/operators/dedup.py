@@ -234,6 +234,39 @@ def minhash_lsh_candidates(
     return pairs.select("pair.id_a", "pair.id_b").distinct()
 
 
+# -------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash all
+    character k-grams, slide a window of ``window`` hashes, keep each
+    window's minimum; the distinct minima are the document's fingerprints.
+
+    Guarantees any shared substring of length ≥ k+window-1 produces at least
+    one shared fingerprint — the standard plagiarism/near-dup sketch. All
+    expression-level (transform/sequence/slice/array_min): no explode until
+    the final output, no Python.
+
+    Output: (id, fp) — one row per distinct fingerprint.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: fingerprint64(t.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    return _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -348,12 +348,49 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------- winnowing
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hash window minima)."""
+    return D.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=8, window=4
+    )
+
+
+SQL_WINNOW = f"""
+WITH g AS (
+    SELECT doc_id, lower(trim(text)) AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(length(t) - 7, 1)),
+               i -> {_SQL_FP64.format(x='substr(t, CAST(i AS INTEGER), 8)')}
+           ) AS h
+    FROM g
+),
+minima AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(h) - 3, 1)),
+               j -> list_min(h[j:j+3])
+           )) AS fps
+    FROM grams
+)
+SELECT doc_id, unnest(fps) AS fp FROM minima
+"""
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_langid": (q_text_langid, _langid_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "text_winnow": (q_text_winnow, SQL_WINNOW),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),

@@ -708,6 +708,82 @@ JOIN dim ON c_nationkey = (CASE WHEN dim_key = -1 THEN 0 ELSE dim_key END)
 """
 
 
+
+
+# -------------------------------------------------- sessions: gap windows
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session stats — the
+    session-window operator as batch window algebra (both window passes
+    share one shuffle on user_id)."""
+    from ..operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", event_ts_us().alias("ts_us"), "value"
+    )
+    out = session_stats(ev, "user_id", "ts_us", gap=30 * 60 * 1_000_000, value_col="value")
+    return out.select(
+        "user_id",
+        "session_id",
+        F.expr("timestamp_micros(session_start)").alias("session_start"),
+        F.expr("timestamp_micros(session_end)").alias("session_end"),
+        F.col("n_events"),
+        F.col("session_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+marked AS (
+    SELECT user_id, ts_us, value,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS is_start
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+    SELECT user_id, ts_us, value,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       make_timestamp(min(ts_us)) AS session_start,
+       make_timestamp(max(ts_us)) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+# ------------------------------------------------------------- A5: cube
+
+
+def q_a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (A5 — beyond-reference, built-in in Spark)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum2(F.col("o_totalprice")), 2).alias("total"),
+        )
+    )
+
+
+SQL_A5_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -723,6 +799,8 @@ PARITY_QUERIES = {
     "w3_lag_delta": (q_w3_lag_delta, SQL_W3),
     "a2_scalar_agg": (q_a2_scalar_agg, SQL_A2),
     "a5_rollup": (q_a5_rollup, SQL_A5),
+    "a5_cube": (q_a5_cube, SQL_A5_CUBE),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "f_time_functions": (q_f_time_functions, SQL_F_TIME),
     "o4_union_all": (q_o4_union_all, SQL_O4),
     "o3_topn_limit": (q_o3_topn_limit, SQL_O3),

@@ -1,0 +1,44 @@
+"""Bucketed managed tables: the co-located (shuffle-free) join path.
+
+At 100 TB, fact⋈fact joins on a shared key (orders ⋈ lineitem on orderkey;
+events ⋈ events on user) should not shuffle both sides on every query.
+Writing both tables bucketed on the join key — same bucket count — lets
+Catalyst plan a SortMergeJoin whose children read bucket-aligned files with
+NO Exchange. Bucketing is Spark's answer to the reference warehouse's
+clustered Delta layout (SURVEY §2.1 S9's compaction is the file-level
+cousin; bucketing adds the join-alignment guarantee).
+
+Bucketed tables require the session catalog (``saveAsTable``), unlike the
+path-based ``TableStore`` — the warehouse dir is
+``spark.sql.warehouse.dir`` (``spark-warehouse/`` by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    by: list[str],
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Sorting within buckets additionally removes the Sort from the
+    SortMergeJoin children — the join degenerates to a streamed merge.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key (no shuffle planned)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

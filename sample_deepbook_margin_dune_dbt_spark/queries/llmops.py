@@ -384,6 +384,21 @@ SELECT doc_id, unnest(fps) AS fp FROM minima
 """
 
 
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN (KMeans coarse quantizer, 4/16 cells probed).
+    No oracle — approximate by design; recall vs exact is asserted in
+    tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_ann_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
@@ -397,4 +412,5 @@ LLMOPS_QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
+    "ann_ivf": (q_ann_ivf, None),
 }

@@ -133,3 +133,21 @@ def test_audio_stub_raises(spark):
     out = M.extract_audio_features(df, "id", "payload")
     with pytest.raises(Exception, match="NotImplementedError|audio decode"):
         out.collect()
+
+
+def test_ivf_ann_recall_beats_lsh(spark, sf_dir):
+    """IVF (data-adaptive cells) must reach solid recall probing 4/16 cells."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, q, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", k=5, n_lists=16, n_probes=4
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"

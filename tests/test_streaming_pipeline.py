@@ -1,0 +1,95 @@
+"""Streaming the DeepBook event decode end-to-end (SURVEY §2.8 mapping).
+
+The same decode logic the batch model uses runs as a Structured Streaming
+transformation over a file source, upserting each micro-batch into the
+warehouse through the shared MERGE sink — batch and streaming share one
+materialization path, one decode expression tree, and one final table state.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+from sample_deepbook_margin_dune_dbt_spark.functions.json import json_extract_scalar
+from sample_deepbook_margin_dune_dbt_spark.models_deepbook.common import PACKAGE
+from sample_deepbook_margin_dune_dbt_spark.streaming import merge_stream
+
+EVENTS_SCHEMA = (
+    "transaction_digest string, event_index long, timestamp_ms long, "
+    "sender string, event_type string, event_json string"
+)
+
+BORROW_TYPE = f"{PACKAGE}::margin_manager::LoanBorrowedEvent"
+
+
+def _decode(batch_df):
+    """The loan_borrowed decode as a stream transformation (same expressions
+    as models_deepbook.events)."""
+    raw = batch_df.filter(F.col("event_type") == BORROW_TYPE)
+    return raw.select(
+        "transaction_digest",
+        "event_index",
+        "timestamp_ms",
+        "sender",
+        "event_type",
+        json_extract_scalar(F.col("event_json"), "$.loan_amount").try_cast("double").alias("loan_amount"),
+        json_extract_scalar(F.col("event_json"), "$.margin_pool_id").alias("margin_pool_id"),
+    )
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    pd.DataFrame(rows).to_parquet(path, index=False)
+
+
+def _mk_event(digest: str, ts: int, amount: str, pool: str = "0xpool") -> dict:
+    return {
+        "transaction_digest": digest,
+        "event_index": 0,
+        "timestamp_ms": ts,
+        "sender": "0xs",
+        "event_type": BORROW_TYPE,
+        "event_json": json.dumps({"loan_amount": amount, "margin_pool_id": pool}),
+    }
+
+
+def test_streaming_event_decode(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    _write_events(str(src / "b1.parquet"), [
+        _mk_event("0xd1", 1000, "100"),
+        _mk_event("0xd2", 2000, "200"),
+        {**_mk_event("0xnoise", 1500, "1"), "event_type": "0xother::m::E"},
+    ])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    q = merge_stream(
+        stream, store, "loan_borrowed_stream",
+        unique_key=["transaction_digest", "event_index"],
+        transform=_decode,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q.awaitTermination(120)
+    rows = {r["transaction_digest"]: r for r in store.read("loan_borrowed_stream").collect()}
+    assert set(rows) == {"0xd1", "0xd2"}  # unrelated event filtered out
+    assert rows["0xd1"]["loan_amount"] == 100.0
+
+    # late/updated batch: replays digest 0xd2 with corrected amount + adds 0xd3
+    _write_events(str(src / "b2.parquet"), [
+        _mk_event("0xd2", 2000, "250"),
+        _mk_event("0xd3", 3000, "300"),
+    ])
+    q2 = merge_stream(
+        stream, store, "loan_borrowed_stream",
+        unique_key=["transaction_digest", "event_index"],
+        transform=_decode,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    rows = {r["transaction_digest"]: r for r in store.read("loan_borrowed_stream").collect()}
+    assert set(rows) == {"0xd1", "0xd2", "0xd3"}
+    assert rows["0xd2"]["loan_amount"] == 250.0  # MERGE replaced, not duplicated

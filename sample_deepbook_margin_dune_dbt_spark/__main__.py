@@ -21,7 +21,8 @@ import argparse
 import sys
 
 from .engine import Runner, TableStore, all_models, get_spark
-from . import models_deepbook  # noqa: F401  (registers the 7 models)
+from . import models_deepbook  # noqa: F401  (registers the 7 reference models)
+from . import models_corpus  # noqa: F401  (registers the corpus-curation DAG)
 
 
 def _parse_sources(pairs: list[str]) -> dict[str, str]:

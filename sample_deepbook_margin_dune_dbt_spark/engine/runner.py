@@ -35,27 +35,29 @@ class Runner:
 
     # ------------------------------------------------------------- selection
 
-    def _closure(self, select: str | None) -> list[str]:
-        """Resolve a dbt-style selector to an execution-ordered model list.
+    def _closure(self, select: str | list[str] | None) -> list[str]:
+        """Resolve dbt-style selector(s) to an execution-ordered model list.
 
         ``None`` → all models; ``'+name'`` → name plus upstream closure;
-        ``'name'`` → just that model.
+        ``'name'`` → just that model; a list unions each selector's set.
         """
         registry = all_models()
         if select is None:
             wanted = set(registry)
-        elif select.startswith("+"):
-            target = select[1:]
-            wanted = set()
-            stack = [target]
-            while stack:
-                m = stack.pop()
-                if m in wanted:
-                    continue
-                wanted.add(m)
-                stack.extend(registry[m].deps)
         else:
-            wanted = {select}
+            selectors = [select] if isinstance(select, str) else list(select)
+            wanted = set()
+            for sel in selectors:
+                if sel.startswith("+"):
+                    stack = [sel[1:]]
+                    while stack:
+                        m = stack.pop()
+                        if m in wanted:
+                            continue
+                        wanted.add(m)
+                        stack.extend(registry[m].deps)
+                else:
+                    wanted.add(sel)
 
         ts = TopologicalSorter({m: [d for d in registry[m].deps if d in wanted] for m in wanted})
         return list(ts.static_order())

@@ -1,0 +1,22 @@
+"""Corpus-curation model DAG: the LLM-data-pipeline operators as engine models.
+
+Demonstrates that the model/runner/MERGE machinery built for the reference
+pipeline drives a training-data curation pipeline unchanged:
+
+    main.documents ─→ stg_document_features ─┬─→ corpus_dedup_groups
+                                             └─→ corpus_stats_by_lang
+
+- ``stg_document_features`` — incremental (watermark on doc_id, MERGE):
+  per-document token count, quality score, language ID, content
+  fingerprint, simhash.
+- ``corpus_dedup_groups`` — exact-dup groups over the fingerprints.
+- ``corpus_stats_by_lang`` — per (predicted language, source) corpus stats.
+"""
+
+from . import models  # noqa: F401
+
+ALL_MODELS = [
+    "stg_document_features",
+    "corpus_dedup_groups",
+    "corpus_stats_by_lang",
+]

@@ -1,0 +1,91 @@
+"""Corpus curation models (see package docstring for the DAG)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..engine.model import ModelContext, model
+from ..functions import text as T
+
+
+@model(
+    "stg_document_features",
+    unique_key=["doc_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["doc_id", "fingerprint"],
+)
+def stg_document_features(ctx: ModelContext) -> DataFrame:
+    """Per-document features; incremental on the doc_id watermark.
+
+    (The generic documents table has no event time; the monotone doc_id is
+    the watermark column — same P4 pattern, different column.)
+    """
+    docs = ctx.source("main", "documents")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        docs = docs.filter(F.col("doc_id") > wm)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 4).alias("quality"),
+        T.langid(F.col("text")).alias("lang_pred"),
+        T.fingerprint64(F.col("text")).alias("fingerprint"),
+        ctx.now().alias("updated_at"),
+    )
+
+
+@model(
+    "corpus_dedup_groups",
+    unique_key=["fingerprint"],
+    materialized="table",
+    deps=["stg_document_features"],
+    tags=["corpus"],
+    not_null=["fingerprint", "keep_doc_id"],
+)
+def corpus_dedup_groups(ctx: ModelContext) -> DataFrame:
+    """Exact-duplicate groups: one row per distinct content."""
+    feats = ctx.ref("stg_document_features")
+    return feats.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+@model(
+    "corpus_stats_by_lang",
+    unique_key=["lang_pred", "source"],
+    materialized="table",
+    deps=["stg_document_features", "corpus_dedup_groups"],
+    tags=["corpus"],
+    not_null=["lang_pred", "source"],
+)
+def corpus_stats_by_lang(ctx: ModelContext) -> DataFrame:
+    """Curation rollup: per (predicted lang, source) counts, dedup rate,
+    token mass, and quality distribution — the table a data-mixing run
+    reads to budget its sampling."""
+    feats = ctx.ref("stg_document_features")
+    groups = ctx.ref("corpus_dedup_groups").select("fingerprint", "keep_doc_id")
+    enriched = feats.join(groups, "fingerprint", "left").withColumn(
+        "is_survivor", (F.col("doc_id") == F.col("keep_doc_id")).cast("int")
+    )
+    return enriched.groupBy("lang_pred", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_survivor").cast("long").alias("n_unique_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(
+            F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("high_quality_share"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+        ).cast("long").alias("langid_agree"),
+    )

@@ -1,0 +1,56 @@
+"""The corpus-curation DAG on the generic documents table (engine reuse)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore
+from sample_deepbook_margin_dune_dbt_spark.sources import testdata_sources
+import sample_deepbook_margin_dune_dbt_spark.models_corpus as corpus  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    store = TableStore(spark, str(tmp_path_factory.mktemp("corpus_wh")))
+    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner.run("+corpus_stats_by_lang")
+    return runner, store
+
+
+def test_feature_model(built, spark, sf_dir):
+    _, store = built
+    feats = store.read("stg_document_features")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert feats.count() == n_docs
+    row = feats.first()
+    assert row["n_tokens"] > 0 and 0.0 <= row["quality"] <= 1.0
+
+
+def test_dedup_groups_consistent(built):
+    _, store = built
+    feats = store.read("stg_document_features")
+    groups = store.read("corpus_dedup_groups")
+    assert groups.agg(F.sum("dup_count")).first()[0] == feats.count()
+    assert groups.filter(F.col("keep_doc_id").isNull()).count() == 0
+
+
+def test_stats_rollup(built):
+    _, store = built
+    stats = store.read("corpus_stats_by_lang").collect()
+    assert stats
+    total = sum(r["n_docs"] for r in stats)
+    assert total == store.read("stg_document_features").count()
+    for r in stats:
+        assert 0 <= r["n_unique_docs"] <= r["n_docs"]
+        assert 0.0 <= r["high_quality_share"] <= 1.0
+
+
+def test_incremental_doc_watermark(built, spark, sf_dir, tmp_path):
+    """Re-running with the same sources ingests nothing new (doc_id
+    watermark); assertions still pass."""
+    runner, store = built
+    before = store.read("stg_document_features").count()
+    runner.run("+corpus_stats_by_lang")
+    assert store.read("stg_document_features").count() == before
+    assert runner.test("+corpus_stats_by_lang") == {}

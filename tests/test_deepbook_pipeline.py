@@ -27,9 +27,12 @@ def built(spark, tmp_path_factory):
     sources = write_fixtures(str(root / "sources"))
     store = TableStore(spark, str(root / "warehouse"))
     runner = Runner(spark, store, sources, fixed_now=FIXED_NOW)
-    # build everything (deposit_collateral is not upstream of the fact model,
-    # mirroring the reference DAG, so '+fct…' alone would skip it)
-    runner.run()
+    # build the full DeepBook DAG (deposit_collateral is not upstream of the
+    # fact model, mirroring the reference DAG, so '+fct…' alone would skip
+    # it). Explicit selectors: the global registry may also hold the corpus
+    # models, whose sources aren't bound here.
+    runner.run("+fct_deepbook_margin_pool_daily")
+    runner.run("deepbook_margin_deposit_collateral")
     return runner, store, sources
 
 

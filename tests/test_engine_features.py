@@ -126,7 +126,8 @@ def domain_store(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("consumer")
     sources = write_fixtures(str(root / "src"))
     store = TableStore(spark, str(root / "wh"))
-    Runner(spark, store, sources, fixed_now=FIXED_NOW).run()
+    import sample_deepbook_margin_dune_dbt_spark.models_deepbook as _mdl
+    Runner(spark, store, sources, fixed_now=FIXED_NOW).run(_mdl.ALL_MODELS)
     return store
 
 

@@ -65,16 +65,16 @@ def runs(spark, tmp_path_factory):
 
     # --- full refresh over everything -------------------------------------
     store_full = TableStore(spark, str(root / "wh_full"))
-    Runner(spark, store_full, full_sources, fixed_now=FIXED_NOW).run()
+    Runner(spark, store_full, full_sources, fixed_now=FIXED_NOW).run(models_deepbook.ALL_MODELS)
 
     # --- three incremental runs -------------------------------------------
     store_inc = TableStore(spark, str(root / "wh_inc"))
     r1 = _split_sources(full_sources, str(root / "s1"), None, CUT1)
-    Runner(spark, store_inc, r1, fixed_now=FIXED_NOW).run()
+    Runner(spark, store_inc, r1, fixed_now=FIXED_NOW).run(models_deepbook.ALL_MODELS)
     r2 = _split_sources(full_sources, str(root / "s2"), None, CUT2)
-    Runner(spark, store_inc, r2, fixed_now=FIXED_NOW).run()
+    Runner(spark, store_inc, r2, fixed_now=FIXED_NOW).run(models_deepbook.ALL_MODELS)
     r3 = _split_sources(full_sources, str(root / "s3"), None, None, late=True)
-    Runner(spark, store_inc, r3, fixed_now=FIXED_NOW).run()
+    Runner(spark, store_inc, r3, fixed_now=FIXED_NOW).run(models_deepbook.ALL_MODELS)
 
     return store_full, store_inc
 

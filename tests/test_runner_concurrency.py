@@ -17,9 +17,9 @@ FIXED_NOW = dt.datetime(2026, 2, 1)
 def test_threaded_run_equals_serial(spark, tmp_path):
     sources = write_fixtures(str(tmp_path / "src"))
     serial = TableStore(spark, str(tmp_path / "wh_serial"))
-    Runner(spark, serial, sources, fixed_now=FIXED_NOW).run()
+    Runner(spark, serial, sources, fixed_now=FIXED_NOW).run(mdl.ALL_MODELS)
     threaded = TableStore(spark, str(tmp_path / "wh_threaded"))
-    built = Runner(spark, threaded, sources, fixed_now=FIXED_NOW).run(threads=4)
+    built = Runner(spark, threaded, sources, fixed_now=FIXED_NOW).run(mdl.ALL_MODELS, threads=4)
     assert set(built) == set(mdl.ALL_MODELS)
     for name in mdl.ALL_MODELS:
         a = serial.read(name).drop("updated_at")
@@ -42,7 +42,7 @@ def test_threaded_respects_dependencies(spark, tmp_path):
 def test_warehouse_sql(spark, tmp_path):
     sources = write_fixtures(str(tmp_path / "src"))
     store = TableStore(spark, str(tmp_path / "wh"))
-    Runner(spark, store, sources, fixed_now=FIXED_NOW).run()
+    Runner(spark, store, sources, fixed_now=FIXED_NOW).run(mdl.ALL_MODELS)
     out = store.sql(
         "SELECT coin_symbol, count(*) AS n FROM fct_deepbook_margin_pool_daily GROUP BY 1"
     ).collect()

@@ -141,3 +141,23 @@ def test_consumer_queries(domain_store):
     loans = consumer.recent_loan_events(domain_store, limit=10).collect()
     assert 0 < len(loans) <= 10
     assert loans[0]["time"] >= loans[-1]["time"]
+
+
+def test_not_null_failure_reported(spark, tmp_path):
+    """The assertion runner reports failing columns with null counts."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import clear_registry, model
+
+    @model("bad_model", not_null=["v"], materialized="table")
+    def bad_model(ctx):
+        return ctx.spark.createDataFrame([(1, None), (2, "x"), (3, None)], "id long, v string")
+
+    try:
+        store = TableStore(spark, str(tmp_path))
+        runner = Runner(spark, store, {})
+        runner.run("bad_model")
+        failures = runner.test("bad_model")
+        assert failures == {"bad_model.v": 2}
+    finally:
+        from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY
+
+        _REGISTRY.pop("bad_model", None)

@@ -784,6 +784,124 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+
+
+# -------------------------------------------------- temporal: as-of join
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase gets the user's latest signup
+    value at or before it — the quote-to-trade / price-to-event pattern.
+    Spark plan: union + one window pass per user (no join node at all);
+    oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", event_ts_us().alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us"), "value"
+    )
+    # right side made key-unique per (user, ts) so ties can't arise
+    w = Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts_us").alias("sig_ts"), F.col("value").alias("signup_value"))
+    )
+    out = asof_join(
+        purchases, signups, "ts_us", "sig_ts", by=["user_id"], value_cols=["signup_value"]
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value"), F.col("signup_value")
+    )
+
+
+SQL_ASOF = """
+WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT user_id, sig_ts, signup_value FROM (
+        SELECT user_id, epoch_us(ts) AS sig_ts, value AS signup_value,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup'
+    ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.value, s.signup_value
+FROM p ASOF LEFT JOIN s
+  ON p.user_id = s.user_id AND p.ts_us >= s.sig_ts
+"""
+
+# ------------------------------------------------ temporal: range join
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: error events falling inside each user's daily
+    activity window [first view, last view]. The inequality join becomes a
+    bin equi-join + exact refine; the oracle uses the raw range predicate."""
+    from ..operators.temporal import range_join_binned
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", event_ts_us().alias("ts_us"),
+        F.to_date(event_ts()).alias("event_date"),
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "event_date")
+        .agg(F.min("ts_us").alias("win_start"), F.max("ts_us").alias("win_end"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts_us")
+    joined = range_join_binned(
+        errors, windows, "ts_us", "win_start", "win_end",
+        bin_size=6 * 3600 * 1_000_000, by=["user_id"],
+    )
+    return joined.select("event_id", "user_id", "event_date", "win_start", "win_end")
+
+
+SQL_RANGE = """
+WITH w AS (
+    SELECT user_id, CAST(ts AS DATE) AS event_date,
+           min(epoch_us(ts)) AS win_start, max(epoch_us(ts)) AS win_end
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, w.event_date, w.win_start, w.win_end
+FROM e JOIN w
+  ON e.user_id = w.user_id AND e.ts_us >= w.win_start AND e.ts_us <= w.win_end
+"""
+
+# -------------------------------------------------- percentile aggregates
+
+
+def q_a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, verified bit-identical)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -801,6 +919,9 @@ PARITY_QUERIES = {
     "a5_rollup": (q_a5_rollup, SQL_A5),
     "a5_cube": (q_a5_cube, SQL_A5_CUBE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF),
+    "range_join": (q_range_join, SQL_RANGE),
+    "a_percentiles": (q_a_percentiles, SQL_PERCENTILES),
     "f_time_functions": (q_f_time_functions, SQL_F_TIME),
     "o4_union_all": (q_o4_union_all, SQL_O4),
     "o3_topn_limit": (q_o3_topn_limit, SQL_O3),

@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     test_p = sub.add_parser("test", help="run declared not_null assertions")
     add_common(test_p)
 
+    compile_p = sub.add_parser(
+        "compile", help="resolve a model's plan without materializing (dbt compile)"
+    )
+    add_common(compile_p)
+
     show_p = sub.add_parser("show", help="ad-hoc SQL over the warehouse tables")
     show_p.add_argument("--warehouse", required=True)
     show_p.add_argument("--schema-suffix", default="")
@@ -86,6 +91,30 @@ def main(argv: list[str] | None = None) -> int:
         backfill_days=args.backfill_days,
         lookback_days=args.lookback_days,
     )
+
+    if args.cmd == "compile":
+        # the reference's cheap correctness gate (`dbt compile`,
+        # DEVELOPMENT.md:146-148): resolve refs/sources, build the DataFrame,
+        # print schema + optimized plan — no execution, no writes
+        from .engine.model import ModelContext, get_model
+        from .plans import explain_str
+
+        target = (args.select or "").lstrip("+")
+        if not target:
+            print("compile requires --select <model>", file=sys.stderr)
+            return 2
+        cfg = get_model(target)
+        ctx = ModelContext(
+            spark, store, _parse_sources(args.source), cfg,
+            backfill_days=args.backfill_days, lookback_days=args.lookback_days,
+        )
+        df = cfg.builder(ctx)
+        print(f"model: {target}")
+        print(f"unique_key: {cfg.unique_key}  strategy: {cfg.incremental_strategy}")
+        print(f"incremental: {ctx.is_incremental()}")
+        df.printSchema()
+        print(explain_str(df, "simple"))
+        return 0
 
     if args.cmd == "run":
         order = runner.run(args.select, full_refresh=args.full_refresh, threads=args.threads)

@@ -902,6 +902,31 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+def q_a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A5): chosen subtotal combinations only."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(ts DIV 86400000000000 AS BIGINT) AS day_num,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (day_num), (event_type, day_num))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY GROUPING SETS ((event_type), (day_num), (event_type, day_num))
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -918,6 +943,7 @@ PARITY_QUERIES = {
     "a2_scalar_agg": (q_a2_scalar_agg, SQL_A2),
     "a5_rollup": (q_a5_rollup, SQL_A5),
     "a5_cube": (q_a5_cube, SQL_A5_CUBE),
+    "a5_grouping_sets": (q_a5_grouping_sets, SQL_GROUPING_SETS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE),

@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "sessionize",
+    "asof_join",
+    "dedup_simhash",
+    "text_quality",
 ]
 
 

@@ -93,3 +93,58 @@ def test_streaming_event_decode(spark, tmp_path):
     rows = {r["transaction_digest"]: r for r in store.read("loan_borrowed_stream").collect()}
     assert set(rows) == {"0xd1", "0xd2", "0xd3"}
     assert rows["0xd2"]["loan_amount"] == 250.0  # MERGE replaced, not duplicated
+
+
+def test_windowed_aggregation_with_watermark(spark, tmp_path):
+    """Tumbling 1-day windows + watermark: the streaming analog of the fact
+    model's daily grain (SURVEY §2.8 mapping — watermark ≈ max(timestamp),
+    allowed lateness ≈ lookback, window ≈ date bucketing)."""
+    import pandas as pd
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 1],
+            "ts": pd.to_datetime(
+                ["2026-01-01 01:00", "2026-01-01 23:00", "2026-01-02 05:00", "2026-01-02 12:00"]
+            ),
+            "value": [10.0, 20.0, 30.0, 40.0],
+        }
+    ).to_parquet(str(src / "b1.parquet"), index=False, coerce_timestamps="us")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
+        .agg(F.sum("value").alias("daily_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("date").alias("day"), "user_id", "daily_value", "n")
+    )
+    out = str(tmp_path / "wout")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows older than the watermark; feed a later
+    # batch to advance it past 2026-01-02
+    pd.DataFrame(
+        {"user_id": [9], "ts": pd.to_datetime(["2026-02-01 00:00"]), "value": [0.0]}
+    ).to_parquet(str(src / "b2.parquet"), index=False, coerce_timestamps="us")
+    q2 = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = {(str(r["day"]), r["user_id"]): (r["daily_value"], r["n"]) for r in spark.read.parquet(out).collect()}
+    assert rows[("2026-01-01", 1)] == (30.0, 2)
+    assert rows[("2026-01-02", 1)] == (40.0, 1)
+    assert rows[("2026-01-02", 2)] == (30.0, 1)

@@ -927,6 +927,58 @@ GROUP BY GROUPING SETS ((event_type), (day_num), (event_type, day_num))
 """
 
 
+
+
+# ------------------------------------------- semi/anti joins (extended)
+
+
+def q_j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (beyond-reference): customers with orders
+    vs never-ordered customers, labeled and unioned."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", F.lit("active").alias("status"))
+    without = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", F.lit("dormant").alias("status"))
+    return with_orders.unionAll(without)
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey, 'active' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'dormant' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# --------------------------------------------- scalar subquery predicate
+
+
+def q_p_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter against an ungrouped scalar aggregate (the engine computes the
+    scalar first and parameterizes the filter — the watermark pattern applied
+    to a value threshold)."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.agg(
+        (F.sum(dec2(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("a")
+    ).first()["a"]
+    return cust.filter(F.col("c_acctbal") > F.lit(avg_bal)).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) FROM customer
+)
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -953,5 +1005,7 @@ PARITY_QUERIES = {
     "o3_topn_limit": (q_o3_topn_limit, SQL_O3),
     "o5_set_ops": (q_o5_set_ops, SQL_O5),
     "p11_case_join_key": (q_p11_case_join_key, SQL_P11),
+    "j_semi_anti": (q_j_semi_anti, SQL_SEMI_ANTI),
+    "p_scalar_subquery": (q_p_scalar_subquery, SQL_SCALAR_SUBQUERY),
     "flagship_daily_user_fact": (q_flagship_daily_user_fact, SQL_FLAGSHIP),
 }

@@ -81,3 +81,20 @@ def test_salted_join_matches_plain(spark):
     plain = big.join(small, "k").groupBy("name").count().collect()
     salted = skew.salted_join_left(big, small, "k", n_salts=4).groupBy("name").count().collect()
     assert {(r["name"], r["count"]) for r in plain} == {(r["name"], r["count"]) for r in salted}
+
+
+def test_threaded_run_propagates_failure(spark, tmp_path):
+    """A failing model raises out of the threaded runner (no silent loss)."""
+    import pytest
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    @model("exploding_model", materialized="table")
+    def exploding_model(ctx):
+        raise RuntimeError("boom")
+
+    try:
+        store = TableStore(spark, str(tmp_path))
+        with pytest.raises(RuntimeError, match="boom"):
+            Runner(spark, store, {}).run("exploding_model", threads=4)
+    finally:
+        _REGISTRY.pop("exploding_model", None)

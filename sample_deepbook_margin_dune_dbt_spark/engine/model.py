@@ -118,7 +118,16 @@ class ModelContext:
         key = f"{database}.{table}"
         if key not in self._sources:
             raise KeyError(f"source {key!r} not registered (have: {sorted(self._sources)})")
-        return self.spark.read.parquet(self._sources[key])
+        spec = self._sources[key]
+        if isinstance(spec, str):  # plain parquet path (the common case)
+            return self.spark.read.parquet(spec)
+        # SourceCatalog-style spec: {"path", "format", "schema", "options"}
+        reader = self.spark.read.format(spec.get("format", "parquet")).options(
+            **spec.get("options", {})
+        )
+        if spec.get("schema"):
+            reader = reader.schema(spec["schema"])
+        return reader.load(spec["path"])
 
     def ref(self, name: str) -> DataFrame:
         if name not in self.current.deps:

@@ -19,4 +19,5 @@ ALL_MODELS = [
     "stg_document_features",
     "corpus_dedup_groups",
     "corpus_stats_by_lang",
+    "corpus_neardup_candidates",
 ]

@@ -89,3 +89,26 @@ def corpus_stats_by_lang(ctx: ModelContext) -> DataFrame:
             F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
         ).cast("long").alias("langid_agree"),
     )
+
+
+@model(
+    "corpus_neardup_candidates",
+    unique_key=["id_a", "id_b"],
+    materialized="table",
+    deps=["stg_document_features"],
+    tags=["corpus"],
+    not_null=["id_a", "id_b"],
+)
+def corpus_neardup_candidates(ctx: ModelContext) -> DataFrame:
+    """Near-duplicate candidate pairs via minhash LSH over the raw text.
+
+    (Reads the source directly for text — the feature table deliberately
+    does not carry full text — and restricts to documents already ingested
+    into the feature table, keeping the DAG edge honest.)
+    """
+    from ..operators.dedup import minhash_lsh_candidates
+
+    docs = ctx.source("main", "documents")
+    ingested = ctx.ref("stg_document_features").select("doc_id")
+    scoped = docs.join(ingested, "doc_id", "left_semi")
+    return minhash_lsh_candidates(scoped, "doc_id", "text")

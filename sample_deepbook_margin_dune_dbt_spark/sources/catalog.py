@@ -16,27 +16,60 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SourceCatalog:
-    def __init__(self, mapping: dict[str, str] | None = None):
-        self._mapping: dict[str, str] = dict(mapping or {})
+    """Named sources with per-source format/schema/options.
 
-    def add(self, database: str, table: str, path: str) -> "SourceCatalog":
-        self._mapping[f"{database}.{table}"] = path
+    A source value is either a plain parquet path (the common case) or a
+    spec dict ``{"path": ..., "format": "parquet|csv|json|delta", "schema":
+    DDL-string, "options": {...}}`` — covering file-format diversity without
+    leaking reader mechanics into model code. For text formats, pass an
+    explicit schema: schema inference is a full extra pass over the data,
+    which is unacceptable at scale (and nondeterministic on dirty data).
+    """
+
+    def __init__(self, mapping: dict[str, object] | None = None):
+        self._mapping: dict[str, object] = dict(mapping or {})
+
+    def add(
+        self,
+        database: str,
+        table: str,
+        path: str,
+        format: str = "parquet",
+        schema: str | None = None,
+        options: dict[str, str] | None = None,
+    ) -> "SourceCatalog":
+        self._mapping[f"{database}.{table}"] = {
+            "path": path,
+            "format": format,
+            "schema": schema,
+            "options": options or {},
+        }
         return self
 
-    def path(self, database: str, table: str) -> str:
-        return self._mapping[f"{database}.{table}"]
+    def _spec(self, database: str, table: str) -> dict:
+        raw = self._mapping[f"{database}.{table}"]
+        if isinstance(raw, str):
+            return {"path": raw, "format": "parquet", "schema": None, "options": {}}
+        return {"schema": None, "options": {}, "format": "parquet", **raw}
 
-    def mapping(self) -> dict[str, str]:
+    def path(self, database: str, table: str) -> str:
+        return self._spec(database, table)["path"]
+
+    def mapping(self) -> dict[str, object]:
         return dict(self._mapping)
 
     def read(self, spark: SparkSession, database: str, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(database, table))
+        spec = self._spec(database, table)
+        reader = spark.read.format(spec["format"]).options(**spec["options"])
+        if spec["schema"]:
+            reader = reader.schema(spec["schema"])
+        return reader.load(spec["path"])
 
     def register_views(self, spark: SparkSession) -> None:
         """Register every source as ``database_table`` temp view for spark.sql."""
-        for key, path in self._mapping.items():
-            view = key.replace(".", "_")
-            spark.read.parquet(path).createOrReplaceTempView(view)
+        for key in self._mapping:
+            db, _, table = key.partition(".")
+            self.read(spark, db, table).createOrReplaceTempView(key.replace(".", "_"))
 
 
 def testdata_sources(sf_dir: str) -> dict[str, str]:

@@ -54,3 +54,13 @@ def test_incremental_doc_watermark(built, spark, sf_dir, tmp_path):
     runner.run("+corpus_stats_by_lang")
     assert store.read("stg_document_features").count() == before
     assert runner.test("+corpus_stats_by_lang") == {}
+
+
+def test_neardup_model(built, spark, sf_dir):
+    runner, store = built
+    runner.run("+corpus_neardup_candidates")
+    cand = store.read("corpus_neardup_candidates")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # candidates exist-or-not depending on corpus, but never the full cross
+    assert cand.count() < n_docs * (n_docs - 1) / 2 * 0.05
+    assert cand.filter(F.col("id_a") >= F.col("id_b")).count() == 0

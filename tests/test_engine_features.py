@@ -161,3 +161,29 @@ def test_not_null_failure_reported(spark, tmp_path):
         from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY
 
         _REGISTRY.pop("bad_model", None)
+
+
+def test_source_catalog_formats(spark, tmp_path):
+    """CSV and JSON sources read through the catalog with explicit schemas."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": [1, 2, 3], "name": ["a", "b", "c"], "v": [1.5, 2.5, 3.5]})
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.jsonl")
+    pdf.to_csv(csv_path, index=False)
+    pdf.to_json(json_path, orient="records", lines=True)
+
+    cat = (
+        SourceCatalog()
+        .add("ext", "c", csv_path, format="csv",
+             schema="id long, name string, v double", options={"header": "true"})
+        .add("ext", "j", json_path, format="json",
+             schema="id long, name string, v double")
+    )
+    c = cat.read(spark, "ext", "c")
+    j = cat.read(spark, "ext", "j")
+    assert sorted(r["v"] for r in c.collect()) == [1.5, 2.5, 3.5]
+    assert sorted(r["name"] for r in j.collect()) == ["a", "b", "c"]
+    assert [f.dataType.simpleString() for f in c.schema] == ["bigint", "string", "double"]
+    cat.register_views(spark)
+    assert spark.sql("select sum(v) s from ext_c").first()["s"] == 7.5

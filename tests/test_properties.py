@@ -57,10 +57,12 @@ def test_try_cast_matches_duckdb(spark, texts):
             "SELECT TRY_CAST(? AS BIGINT), TRY_CAST(? AS DOUBLE)", [t, t]
         ).fetchone()
         gi, gd = got[t]
-        # engines differ on exotic spellings (e.g. unicode digits, 'inf'
-        # prefixes); restrict the strict claim to ASCII inputs — the data the
-        # pipeline actually casts is ASCII JSON scalars
-        if t.isascii():
+        # engines differ on exotic spellings: unicode digits, and — found by
+        # hypothesis — ASCII control characters ('0\x08' parses as 0 in Spark,
+        # which trims all chars <= 0x20 before parsing, but NULL in DuckDB).
+        # Restrict the strict claim to printable ASCII — the data the pipeline
+        # actually casts is JSON scalar text.
+        if t.isascii() and t.isprintable():
             assert gi == ei, (t, gi, ei)
             if ed is None or gd is None:
                 assert gd == ed, (t, gd, ed)

@@ -39,8 +39,17 @@ class ModelConfig:
     partition_by: list[str] | None = None
     deps: list[str] = field(default_factory=list)
     tags: list[str] = field(default_factory=list)
-    # not_null assertion columns (reference schema.yml generic tests; C9)
+    # declarative data tests (dbt generic tests; C9). The reference uses
+    # only not_null; the other three standard dbt tests are supported for
+    # the extended engine:
     not_null: list[str] = field(default_factory=list)
+    # columns (or the unique_key combination) that must be unique
+    unique: list[str] = field(default_factory=list)
+    # column → allowed value list
+    accepted_values: dict[str, list] = field(default_factory=dict)
+    # (column, other_model, other_column): every non-null value must exist
+    # in the referenced model's column (dbt `relationships`)
+    relationships: list[tuple[str, str, str]] = field(default_factory=list)
 
 
 _REGISTRY: dict[str, ModelConfig] = {}
@@ -55,6 +64,9 @@ def model(
     deps: list[str] | None = None,
     tags: list[str] | None = None,
     not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    relationships: list[tuple[str, str, str]] | None = None,
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
 
@@ -69,6 +81,9 @@ def model(
             deps=deps or [],
             tags=tags or [],
             not_null=not_null or [],
+            unique=unique or [],
+            accepted_values=accepted_values or {},
+            relationships=relationships or [],
         )
         return fn
 

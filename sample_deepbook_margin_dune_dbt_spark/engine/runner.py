@@ -128,25 +128,57 @@ class Runner:
 
     # ----------------------------------------------------------------- tests
 
-    def test(self, select: str | None = None) -> dict[str, int]:
-        """Run declared not_null assertions (``dbt test``; SURVEY §5 item 1).
+    def test(self, select: str | list[str] | None = None) -> dict[str, int]:
+        """Run declared data tests (``dbt test``; SURVEY §5 item 1 + the
+        standard dbt generic-test set).
 
-        Returns {model.column: null_count} for failures only.
+        Returns {model.test_description: offending_row_count}, failures only.
         """
+        from pyspark.sql import functions as F
+
         failures: dict[str, int] = {}
         for name in self._closure(select):
             cfg = all_models()[name]
-            if not cfg.not_null or not self.store.exists(name):
+            if not self.store.exists(name):
+                continue
+            has_tests = cfg.not_null or cfg.unique or cfg.accepted_values or cfg.relationships
+            if not has_tests:
                 continue
             df = self.store.read(name)
-            # one pass over the table for all assertions, not one scan per column
-            from pyspark.sql import functions as F
 
-            aggs = [
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in cfg.not_null
-            ]
-            row = df.agg(*aggs).first()
-            for c in cfg.not_null:
-                if row[c] and row[c] > 0:
-                    failures[f"{name}.{c}"] = int(row[c])
+            if cfg.not_null:
+                # one pass for all null checks, not one scan per column
+                aggs = [
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+                    for c in cfg.not_null
+                ]
+                row = df.agg(*aggs).first()
+                for c in cfg.not_null:
+                    if row[c] and row[c] > 0:
+                        failures[f"{name}.{c}"] = int(row[c])
+
+            for c in cfg.unique:
+                dup = df.groupBy(c).count().filter(F.col("count") > 1).count()
+                if dup:
+                    failures[f"{name}.unique:{c}"] = int(dup)
+
+            for c, allowed in cfg.accepted_values.items():
+                bad = df.filter(~F.col(c).isin(allowed) & F.col(c).isNotNull()).count()
+                if bad:
+                    failures[f"{name}.accepted_values:{c}"] = int(bad)
+
+            for c, other_model, other_col in cfg.relationships:
+                if not self.store.exists(other_model):
+                    failures[f"{name}.relationships:{c}->{other_model}.{other_col}"] = -1
+                    continue
+                other = self.store.read(other_model).select(
+                    F.col(other_col).alias(c)
+                ).distinct()
+                orphans = (
+                    df.filter(F.col(c).isNotNull())
+                    .join(other, on=c, how="left_anti")
+                    .count()
+                )
+                if orphans:
+                    failures[f"{name}.relationships:{c}->{other_model}.{other_col}"] = int(orphans)
         return failures

@@ -399,6 +399,53 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ------------------------------------------------------ vector aggregates
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: element-wise mean over the embedding column.
+
+    posexplode → groupBy (label, dim) → sorted left fold, giving
+    bit-identical doubles in any engine. The sorted fold (collect per group)
+    is the ORACLE-DETERMINISM variant — per-group lists are rows/labels
+    long; the production formulation is a plain streaming avg over the same
+    (label, dim) shuffle key, which scales without collecting.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    # sorted left fold: both engines sum the identical doubles in the
+    # identical order → bit-identical means without decimal casts (float32s
+    # can land exactly on decimal rounding boundaries where the engines'
+    # rounding modes disagree)
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.col("x").cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg((sorted_sum / F.count(F.lit(1))).alias("centroid"))
+        .select(F.col("label").cast("long").alias("label"), F.col("dim").cast("long").alias("dim"), "centroid")
+    )
+
+
+SQL_CENTROIDS = """
+WITH ex AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           unnest(list_transform(embedding, (x, i) -> {'dim': i - 1, 'x': x})) AS u
+    FROM embeddings
+)
+SELECT label,
+       CAST(u.dim AS BIGINT) AS dim,
+       list_reduce(list_prepend(0.0, list_sort(list(CAST(u.x AS DOUBLE)))), (a, b) -> a + b)
+           / count(*) AS centroid
+FROM ex
+GROUP BY 1, 2
+"""
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
@@ -406,6 +453,7 @@ LLMOPS_QUERIES = {
     "text_langid": (q_text_langid, _langid_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "text_winnow": (q_text_winnow, SQL_WINNOW),
+    "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),

@@ -167,9 +167,105 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue by customer (join + selective flag filter)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority counts by flag class (join + conditional counts)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: conditional decimal sums + exact ratio."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0).cast("decimal(12,2)"))
+    ).cast("double")
+    total = F.sum(_disc_price()).cast("double")
+    return j.agg(F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"))
+
+
+SQL_Q14 = """
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+       , 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 TPCH_QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_Q1),
     "tpch_q3": (q_tpch_q3, SQL_Q3),
     "tpch_q5": (q_tpch_q5, SQL_Q5),
     "tpch_q6": (q_tpch_q6, SQL_Q6),
+    "tpch_q10": (q_tpch_q10, SQL_Q10),
+    "tpch_q12": (q_tpch_q12, SQL_Q12),
+    "tpch_q14": (q_tpch_q14, SQL_Q14),
 }

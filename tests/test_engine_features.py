@@ -187,3 +187,38 @@ def test_source_catalog_formats(spark, tmp_path):
     assert [f.dataType.simpleString() for f in c.schema] == ["bigint", "string", "double"]
     cat.register_views(spark)
     assert spark.sql("select sum(v) s from ext_c").first()["s"] == 7.5
+
+
+def test_generic_tests_full_set(spark, tmp_path):
+    """unique / accepted_values / relationships generic tests (dbt's
+    standard set beyond the reference's not_null)."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    @model("dim_ok", materialized="table", unique=["id"],
+           accepted_values={"status": ["a", "b"]})
+    def dim_ok(ctx):
+        return ctx.spark.createDataFrame([(1, "a"), (2, "b")], "id long, status string")
+
+    @model("fact_bad", materialized="table", deps=["dim_ok"],
+           unique=["id"], accepted_values={"status": ["a", "b"]},
+           relationships=[("dim_id", "dim_ok", "id")])
+    def fact_bad(ctx):
+        return ctx.spark.createDataFrame(
+            # dup id 7, bad status 'z', orphan dim_id 99
+            [(7, "a", 1), (7, "z", 2), (8, "b", 99)],
+            "id long, status string, dim_id long",
+        )
+
+    try:
+        store = TableStore(spark, str(tmp_path))
+        runner = Runner(spark, store, {})
+        runner.run(["dim_ok", "fact_bad"])
+        failures = runner.test(["dim_ok", "fact_bad"])
+        assert failures == {
+            "fact_bad.unique:id": 1,             # one duplicated key value
+            "fact_bad.accepted_values:status": 1,
+            "fact_bad.relationships:dim_id->dim_ok.id": 1,
+        }
+    finally:
+        _REGISTRY.pop("dim_ok", None)
+        _REGISTRY.pop("fact_bad", None)

@@ -260,6 +260,307 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking via correlated EXISTS (adapted: the testdata
+    lacks l_commitdate/l_receiptdate, so "late" means shipped after the
+    order date). Plans as a left-semi join — no subquery re-execution."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-national volume shipping: the nation dim joins twice under two
+    roles (supplier side / customer side), broadcast both."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share inside a region: conditional share-of-total
+    ratio per year (sum(CASE)/sum, exact decimal until the final divide)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = _disc_price()
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(12,2)"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), cust["c_nationkey"] == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region["r_regionkey"])
+        .join(F.broadcast(n2), supp["s_nationkey"] == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(nat_vol / F.sum(vol).cast("double"), 6).alias("mkt_share"))
+    )
+
+
+SQL_Q8 = """
+SELECT o_year, round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: LEFT OUTER join preserved rows
+    (customers with zero orders) + two-level aggregation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue: aggregate once, then keep the
+    max via a broadcast scalar (agg-over-agg; no window over all rows)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(top), revenue["total_revenue"] == top["mx"])
+        .join(supp, revenue["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: the correlated per-part AVG subquery
+    decorrelates to one grouped agg + an equi-join (no per-row re-scan)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(dec2(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty")
+        )
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == part["p_partkey"])
+        .join(per_part.withColumnRenamed("l_partkey", "ap_partkey"),
+              li["l_partkey"] == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / 7.0, 6)
+            .alias("avg_yearly")
+        )
+    )
+
+
+SQL_Q17 = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < 0.2 * (
+    SELECT CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: IN over a HAVING-filtered aggregate; the IN
+    plans as a left-semi join against the small qualifying-order set."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > F.lit(300).cast("decimal(12,2)"))
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer")
+    li2 = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li2, orders["o_orderkey"] == li2["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR-of-ANDs predicate (adapted: no
+    p_container in testdata; brand × size-range × quantity-band). The
+    whole disjunction stays in one codegen'd filter after the join."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+SQL_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 TPCH_QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_Q1),
     "tpch_q3": (q_tpch_q3, SQL_Q3),
@@ -268,4 +569,12 @@ TPCH_QUERIES = {
     "tpch_q10": (q_tpch_q10, SQL_Q10),
     "tpch_q12": (q_tpch_q12, SQL_Q12),
     "tpch_q14": (q_tpch_q14, SQL_Q14),
+    "tpch_q4": (q_tpch_q4, SQL_Q4),
+    "tpch_q7": (q_tpch_q7, SQL_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_Q8),
+    "tpch_q13": (q_tpch_q13, SQL_Q13),
+    "tpch_q15": (q_tpch_q15, SQL_Q15),
+    "tpch_q17": (q_tpch_q17, SQL_Q17),
+    "tpch_q18": (q_tpch_q18, SQL_Q18),
+    "tpch_q19": (q_tpch_q19, SQL_Q19),
 }

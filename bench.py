@@ -24,6 +24,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q18",
     "j1_foj_volume_chain",
     "w1_rownum_dedup",
     "flagship_daily_user_fact",

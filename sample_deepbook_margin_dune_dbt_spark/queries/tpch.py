@@ -494,25 +494,30 @@ WHERE p_brand = 'Brand#11'
 
 
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-volume customers: IN over a HAVING-filtered aggregate; the IN
-    plans as a left-semi join against the small qualifying-order set."""
+    """Large-volume customers: IN over a HAVING-filtered aggregate. The
+    qualifying aggregate already carries the output sum, so one lineitem
+    pass serves both the IN-filter and the projection (the textbook form
+    re-scans and re-aggregates lineitem; per-order grain makes the second
+    GROUP BY a no-op)."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec2(F.col("l_quantity"))).alias("q"))
-        .filter(F.col("q") > F.lit(300).cast("decimal(12,2)"))
-        .select("l_orderkey")
+        .agg(F.sum(dec2(F.col("l_quantity"))).alias("qdec"))
+        .filter(F.col("qdec") > F.lit(300).cast("decimal(12,2)"))
     )
-    orders = load(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi"
-    )
+    orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    li2 = load(spark, sf_dir, "lineitem")
     return (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
-        .join(li2, orders["o_orderkey"] == li2["l_orderkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qdec").cast("double").alias("sum_qty"),
+        )
     )
 
 

@@ -60,6 +60,35 @@ def test_lsh_join_is_equijoin(spark, sf_dir):
     )
 
 
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    """The correlated-EXISTS rewrite must be a semi join, never a re-scan
+    per row or a nested loop over the probe side."""
+    plan = explain_str(ALL_QUERIES["tpch_q4"][0](spark, sf_dir), "simple")
+    assert "LeftSemi" in plan or "Semi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_single_lineitem_pass(spark, sf_dir):
+    """IN-over-HAVING: the qualifying aggregate is reused for the output
+    sum — exactly one lineitem scan and one aggregation in the plan."""
+    plan = explain_str(ALL_QUERIES["tpch_q18"][0](spark, sf_dir), "formatted")
+    assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_decorrelated_single_pass(spark, sf_dir):
+    """The per-part AVG subquery must decorrelate to one grouped aggregate
+    joined back — the brand filter broadcast-prunes both lineitem passes."""
+    a = _plan(spark, sf_dir, "tpch_q17")
+    assert a["num_broadcasts"] >= 2, "Brand#11 part keys must broadcast to both sides"
+
+
+def test_q13_left_join_preserves_and_aggregates(spark, sf_dir):
+    plan = explain_str(ALL_QUERIES["tpch_q13"][0](spark, sf_dir), "simple")
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan, "both aggregation levels must partial-aggregate"
+
+
 def test_incremental_models_no_shuffle(spark, tmp_path):
     """The event-decode models are narrow maps: zero exchanges in-plan."""
     import datetime as dt

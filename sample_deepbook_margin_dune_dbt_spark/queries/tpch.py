@@ -566,6 +566,99 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting: the textbook EXISTS + NOT EXISTS
+    pair decorrelates to two per-order aggregates (any-other-supplier /
+    exactly-one-late-supplier) semi-joined back — two hash aggs instead of
+    two correlated re-scans per row. Adapted: "late" = shipped after the
+    order date (testdata has no commit/receipt dates)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    late = li.join(orders_f, li["l_orderkey"] == orders_f["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
+        .filter(F.col("nsupp") > 1)
+        .select(F.col("l_orderkey").alias("m_okey"))
+    )
+    late_single = (
+        late.groupBy(F.col("l_orderkey").alias("s_okey"))
+        .agg(F.countDistinct("l_suppkey").alias("nlate"))
+        .filter(F.col("nlate") == 1)
+        .select("s_okey")
+    )
+    return (
+        late.join(multi, late["l_orderkey"] == F.col("m_okey"), "left_semi")
+        .join(late_single, late["l_orderkey"] == F.col("s_okey"), "left_semi")
+        .join(supp, late["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity: above-average balances (ungrouped scalar
+    subquery, broadcast) with no urgent orders (anti join). Adapted: the
+    country code is the last digit of c_name (testdata has no c_phone),
+    and "no orders" → "no URGENT orders" (every customer has orders)."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec2(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("ab")
+        )
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy(F.expr("right(c_name, 1)").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec2(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22 = """
+SELECT right(c_name, 1) AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY right(c_name, 1)
+"""
+
+
 TPCH_QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_Q1),
     "tpch_q3": (q_tpch_q3, SQL_Q3),
@@ -582,4 +675,6 @@ TPCH_QUERIES = {
     "tpch_q17": (q_tpch_q17, SQL_Q17),
     "tpch_q18": (q_tpch_q18, SQL_Q18),
     "tpch_q19": (q_tpch_q19, SQL_Q19),
+    "tpch_q21": (q_tpch_q21, SQL_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_Q22),
 }

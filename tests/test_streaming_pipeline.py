@@ -95,6 +95,82 @@ def test_streaming_event_decode(spark, tmp_path):
     assert rows["0xd2"]["loan_amount"] == 250.0  # MERGE replaced, not duplicated
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exactly-once ingestion under at-least-once delivery: duplicate event
+    keys are dropped with bounded state (the watermark bounds how long each
+    key is remembered — the property that keeps state finite at 100 TB/day)."""
+    import pandas as pd
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(rows).to_parquet(str(src / name), index=False, coerce_timestamps="us")
+
+    t0 = pd.Timestamp("2026-01-01 00:00")
+    write("b1.parquet", {
+        "transaction_digest": ["0xa", "0xa", "0xb"],   # in-batch duplicate
+        "ts": [t0, t0, t0 + pd.Timedelta("1h")],
+        "amount": [1.0, 1.0, 2.0],
+    })
+    stream = spark.readStream.schema("transaction_digest string, ts timestamp, amount double").parquet(str(src))
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["transaction_digest"]
+    )
+    out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dckpt")
+
+    def run():
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # cross-batch duplicate of 0xb (within the 1-day state window) + new 0xc
+    write("b2.parquet", {
+        "transaction_digest": ["0xb", "0xc"],
+        "ts": [t0 + pd.Timedelta("2h"), t0 + pd.Timedelta("3h")],
+        "amount": [2.0, 3.0],
+    })
+    run()
+    got = sorted(r["transaction_digest"] for r in spark.read.parquet(out).collect())
+    assert got == ["0xa", "0xb", "0xc"], "dupes must drop in-batch and across batches"
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch joins the (broadcast-sized)
+    static dim — the streaming form of the seed-dimension lookup (SURVEY J4)."""
+    import pandas as pd
+
+    src = tmp_path / "jsrc"
+    src.mkdir()
+    pd.DataFrame({
+        "pool": ["0xp1", "0xp2", "0xp3"],
+        "amount": [10.0, 20.0, 30.0],
+    }).to_parquet(str(src / "b1.parquet"), index=False)
+    dim = spark.createDataFrame(
+        [("0xp1", "SUI", 9), ("0xp2", "USDC", 6)],
+        "pool string, coin_symbol string, coin_decimals int",
+    )
+    stream = spark.readStream.schema("pool string, amount double").parquet(str(src))
+    enriched = (
+        stream.join(F.broadcast(dim), "pool", "left")
+        .withColumn("normalized", F.col("amount") / F.pow(F.lit(10.0), F.col("coin_decimals")))
+    )
+    out = str(tmp_path / "jout")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", str(tmp_path / "jckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["pool"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["0xp1"]["coin_symbol"] == "SUI" and rows["0xp1"]["normalized"] == 10.0 / 1e9
+    assert rows["0xp3"]["coin_symbol"] is None, "left join keeps unmatched stream rows"
+
+
 def test_windowed_aggregation_with_watermark(spark, tmp_path):
     """Tumbling 1-day windows + watermark: the streaming analog of the fact
     model's daily grain (SURVEY §2.8 mapping — watermark ≈ max(timestamp),

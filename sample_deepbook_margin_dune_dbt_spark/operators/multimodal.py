@@ -146,6 +146,54 @@ def sample_frames(
     )
 
 
+def resize_image(
+    df: DataFrame, id_col: str, binary_col: str, target_w: int, target_h: int
+) -> DataFrame:
+    """Image resize → (id, width, height, payload) at the target box,
+    preserving aspect ratio (fit-inside, never upscale).
+
+    STUB RESIZER: source dims come from the same deterministic fake as
+    ``decode_image`` and the output payload is a stable fingerprint of
+    (source bytes, target box) — production swaps the inner function for
+    ``PIL.Image.thumbnail`` + re-encode. The fit-inside arithmetic, Arrow
+    batch flow, and binary-out schema are the real contract; output
+    payloads stay bounded by the target box, which is what keeps the
+    operator's shuffle volume predictable when resizing billions of images.
+    """
+
+    def _fit(w: int, h: int) -> tuple[int, int]:
+        scale = min(target_w / w, target_h / h, 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _fake_decode(b: bytes) -> tuple[int, int]:
+        h = hashlib.md5(b).hexdigest()
+        return 1 + int(h[0:4], 16) % 4096, 1 + int(h[4:8], 16) % 4096
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, outs = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                w, h = _fit(*_fake_decode(b))
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                outs.append(
+                    hashlib.md5(b + f":{target_w}x{target_h}".encode()).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "payload": pd.Series(outs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _batches, "id long, width int, height int, payload binary"
+    )
+
+
 def extract_audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """Audio feature extraction → (id, duration_s, sample_rate, rms).
 

@@ -128,6 +128,25 @@ def test_multimodal_frame_sampling(spark):
     assert [f["frame_index"] for f in sorted(frames, key=lambda r: r["frame_index"])] == list(range(5))
 
 
+def test_multimodal_resize_fits_box(spark):
+    rows = [(1, b"imagebytes-one"), (2, b"imagebytes-two-longer")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in M.resize_image(df, "id", "payload", 256, 256).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert 1 <= r["width"] <= 256 and 1 <= r["height"] <= 256
+        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 16
+    # aspect ratio preserved: the longer source side maps to the longer output side
+    import hashlib
+    h = hashlib.md5(rows[0][1]).hexdigest()
+    src_w, src_h = 1 + int(h[0:4], 16) % 4096, 1 + int(h[4:8], 16) % 4096
+    r = out[1]
+    assert (src_w >= src_h) == (r["width"] >= r["height"])
+    # deterministic: same payload + box → same output fingerprint
+    again = {x["id"]: x for x in M.resize_image(df, "id", "payload", 256, 256).collect()}
+    assert again[1]["payload"] == r["payload"]
+
+
 def test_audio_stub_raises(spark):
     df = spark.createDataFrame([(1, b"RIFFxxxxWAVE")], "id long, payload binary")
     out = M.extract_audio_features(df, "id", "payload")

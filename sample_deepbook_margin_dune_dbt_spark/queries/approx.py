@@ -1,0 +1,72 @@
+"""Approximate-analytics tier: the 100 TB defaults next to the exact forms.
+
+At cluster scale, exact ``COUNT(DISTINCT)`` shuffles every distinct value
+and exact ``percentile`` buffers whole groups; the production defaults are
+HyperLogLog++ (``approx_count_distinct``) and the Greenwald-Khanna sketch
+(``approx_percentile``) — both single-pass, partial-aggregated, constant
+memory per group. (Reference context: Dune's Trino exposes the same tier as
+``approx_distinct`` / ``approx_percentile``; the reference's 30 s query
+budget is exactly why these exist.)
+
+Cross-engine checkability: sketch outputs differ between engines by design,
+so the oracle contract is *tolerance booleans computed inside Spark* —
+the query emits the exact value plus ``approx_*_ok`` flags asserting the
+sketch landed within tolerance; the DuckDB oracle emits the exact value and
+literal TRUE. The driver's value-hash then fails iff a sketch drifts out of
+tolerance, giving a hard (not rows-only) correctness gate on approximate
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import load
+
+
+def q_a_approx_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + GK percentile vs their exact twins, per order status.
+
+    ``approx_distinct_ok``: |HLL(rsd=0.02) - exact| ≤ 5% of exact.
+    ``approx_p95_ok``: |GK(0.95, acc=10000) - exact discrete p95| ≤ 1% of
+    exact (GK returns a data value; compare against ``percentile``'s
+    interpolated p95 with a tolerance that absorbs the discrete/continuous
+    gap).
+    """
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_n_approx"),
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.95)).alias("_p95_exact"),
+        F.expr("approx_percentile(CAST(o_totalprice AS DOUBLE), 0.95, 10000)").alias(
+            "_p95_approx"
+        ),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_distinct_ok"),
+        (
+            F.abs(F.col("_p95_approx") - F.col("_p95_exact"))
+            <= 0.01 * F.col("_p95_exact")
+        ).alias("approx_p95_ok"),
+    )
+
+
+SQL_APPROX_TIER = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS approx_distinct_ok,
+       TRUE AS approx_p95_ok
+FROM orders
+GROUP BY 1
+"""
+
+
+APPROX_QUERIES = {
+    "a_approx_tier": (q_a_approx_tier, SQL_APPROX_TIER),
+}

@@ -178,6 +178,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding of minhash signatures.
 
@@ -187,9 +188,15 @@ def minhash_lsh_candidates(
     Scale: signatures (k longs/doc) → explode to (band_key, id) →
     self-join per band bucket. Bucket sizes are the quadratic risk; real
     near-dup clusters are small, and a giant bucket means the band is
-    degenerate (e.g. all-empty docs) — AQE skew handling plus an optional
-    bucket-size cap (not applied here) are the mitigations. Verification of
-    candidates (exact Jaccard) is linear in candidate count.
+    degenerate (e.g. all-empty docs hashing identically) — those buckets
+    are DROPPED once they exceed ``max_bucket_size``: a bucket of b docs
+    would emit b·(b-1)/2 pairs, so one million-doc degenerate bucket is
+    half a trillion pairs. Members of a dropped bucket are by construction
+    (near-)identical *as a set*, which is ``exact_duplicates``'s job, not
+    pairwise LSH's. ``lsh_band_bucket_stats`` reports the bucket-size
+    distribution so a production pipeline can alert on what a cap drops
+    instead of discovering it as a hung stage. Verification of candidates
+    (exact Jaccard) is linear in candidate count.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
@@ -214,7 +221,7 @@ def minhash_lsh_candidates(
     buckets = (
         exploded.groupBy("_band", "_key")
         .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
     pairs = buckets.select(
         F.explode(
@@ -232,6 +239,43 @@ def minhash_lsh_candidates(
         ).alias("pair")
     )
     return pairs.select("pair.id_a", "pair.id_b").distinct()
+
+
+def lsh_band_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Bucket-size distribution per minhash band — the monitoring companion
+    to ``minhash_lsh_candidates``'s ``max_bucket_size`` cap.
+
+    Output: (band, bucket_size, n_buckets). Run on a corpus sample before
+    picking a cap; in production, alert when max(bucket_size) approaches
+    the cap so dropped candidates are a decision, not a surprise.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"),
+            )
+        )
+    exploded = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*bands)).alias("bk")
+    ).select("_id", F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
+    return (
+        exploded.groupBy("_band", "_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy(F.col("_band").alias("band"), "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
 
 
 # -------------------------------------------------------------- winnowing

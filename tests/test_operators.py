@@ -103,6 +103,125 @@ def test_lsh_ann_recall(spark, sf_dir):
             assert abs(r["cosine"] - e_scores[key]) < 1e-12
 
 
+def test_lsh_degenerate_bucket_cap(spark):
+    """An all-identical corpus collapses every band into one giant bucket;
+    the cap must drop it (quadratic blowup guard) while leaving genuinely
+    small near-dup buckets untouched, and the stats companion must expose
+    the degenerate bucket so the drop is observable."""
+    degenerate = [(i, "same text everywhere always") for i in range(30)] + [
+        (100, "a unique document about spark catalyst plans"),
+        (101, "a unique document about spark catalyst plan"),  # near dup of 100
+    ]
+    docs = spark.createDataFrame(degenerate, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in capped, "small near-dup buckets must survive the cap"
+    assert not any(a < 30 and b < 30 for a, b in capped), (
+        "the 30-doc degenerate bucket must be dropped, not exploded into 435 pairs"
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 435
+    stats = D.lsh_band_bucket_stats(docs, "doc_id", "text").collect()
+    assert any(r["bucket_size"] == 30 for r in stats), (
+        "stats must surface the degenerate bucket"
+    )
+
+
+@pytest.fixture(scope="module")
+def planted_near_dups(spark):
+    """64-dim corpus with planted near-duplicate clusters (cosine ≥ ~0.97)
+    plus unrelated vectors — deterministic (seeded numpy), so the LSH
+    candidate outcome is fixed: the recall assertion either always passes
+    or always fails, never flakes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _cluster in range(12):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(3):  # 3 members per cluster, tiny perturbations
+            v = base + rng.normal(scale=0.02, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(80):  # background noise vectors
+        v = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_pairs_lsh_matches_exact(spark, planted_near_dups):
+    """The banded-LSH candidate + exact-refine pipeline must reproduce the
+    all-pairs cross join's result exactly on planted near-dups (this is the
+    production path's correctness contract — same pairs, same cosines)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs(planted_near_dups, "vec_id", "embedding", 0.9).collect()
+    }
+    assert len(exact) >= 12, "fixture must actually contain qualifying pairs"
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_lsh(
+            planted_near_dups, "vec_id", "embedding", 0.9, dim=64
+        ).collect()
+    }
+    assert set(bucketed) == set(exact), (
+        f"LSH candidates missed pairs: {sorted(set(exact) - set(bucketed))[:5]}"
+    )
+    for k, c in bucketed.items():
+        assert abs(c - exact[k]) < 1e-12
+
+
+def test_hyperplane_signature_paths_agree(spark, sf_dir):
+    """Expression and vectorized signatures must agree bit-for-bit — they
+    share the same float64 weight literals and differ only in summation
+    order, which never flips a projection's sign on real data."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = emb.select(
+        "vec_id",
+        S.hyperplane_signature(F.col("embedding"), dim=64, planes=8).alias("expr_sig"),
+        S.hyperplane_signature_vectorized(F.col("embedding"), dim=64, planes=8).alias(
+            "vec_sig"
+        ),
+    )
+    diff = both.filter(F.col("expr_sig") != F.col("vec_sig")).count()
+    assert diff == 0
+
+
+def test_band_signatures_match_offset_signatures(spark, planted_near_dups):
+    """band_signatures[b] must equal the single-signature path at
+    plane_offset = b·band_planes — the bands are the same hash family."""
+    df = planted_near_dups.limit(20)
+    bands = df.select(
+        "vec_id", S.band_signatures(F.col("embedding"), 64, 4, 3).alias("bs")
+    )
+    singles = df.select(
+        "vec_id",
+        *[
+            S.hyperplane_signature(
+                F.col("embedding"), 64, 4, plane_offset=b * 4
+            ).alias(f"s{b}")
+            for b in range(3)
+        ],
+    )
+    joined = bands.join(singles, "vec_id")
+    bad = joined.filter(
+        (F.col("bs")[0] != F.col("s0"))
+        | (F.col("bs")[1] != F.col("s1"))
+        | (F.col("bs")[2] != F.col("s2"))
+    ).count()
+    assert bad == 0
+
+
 def test_multimodal_binary_plumbing(spark):
     rows = [
         (1, b"\x89PNG\r\n\x1a\nrestofpng"),

@@ -8,7 +8,7 @@ and the LSH self-join is an equi-join (never a cartesian product).
 from __future__ import annotations
 
 from sample_deepbook_margin_dune_dbt_spark.plans import audit_plan, explain_str
-from sample_deepbook_margin_dune_dbt_spark.queries import ALL_QUERIES
+from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES as ALL_QUERIES
 
 
 def _plan(spark, sf_dir, name):
@@ -57,6 +57,17 @@ def test_lsh_join_is_equijoin(spark, sf_dir):
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
         "LSH candidate join must stay a hash/sort-merge equi-join"
+    )
+
+
+def test_embedding_cosine_dedup_no_cross_join(spark, sf_dir):
+    """The corpus-scale embedding near-dup query must generate candidates
+    through the banded-LSH bucket pipeline — hash/sort-merge equi-joins
+    only, never the all-pairs cartesian the naive formulation produces."""
+    fn, _ = ALL_QUERIES["dedup_embedding_cosine"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "embedding cosine dedup must not plan a cross join"
     )
 
 

@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)
+        p.add_argument(
+            "--profile",
+            default="dev",
+            help="dbt-style target profile; 'prod' enables optimize/vacuum post-hooks",
+        )
 
     run_p = sub.add_parser("run", help="build models (incremental by default)")
     add_common(run_p)
@@ -90,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         _parse_sources(args.source),
         backfill_days=args.backfill_days,
         lookback_days=args.lookback_days,
+        profile=args.profile,
     )
 
     if args.cmd == "compile":

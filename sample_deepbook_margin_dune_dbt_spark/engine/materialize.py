@@ -199,6 +199,13 @@ class TableStore:
         staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
         result.write.mode("overwrite").parquet(staging)
         merged_slice = self.spark.read.parquet(staging)
+        # The overwrite below is only partition-scoped under DYNAMIC
+        # partition-overwrite; Spark's default is STATIC, under which this
+        # write would silently DELETE every untouched partition. get_spark()
+        # sets the conf, but TableStore must not trust its session's
+        # provenance — pin it here (runtime-settable) so a caller-supplied
+        # vanilla session can't turn an incremental merge into data loss.
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             merged_slice.write.mode("overwrite")
             .partitionBy(*partition_by)
@@ -209,16 +216,45 @@ class TableStore:
 
     # ------------------------------------------------------------ maintenance
 
-    def optimize(self, name: str, target_files: int | None = None) -> None:
-        """File compaction (reference prod post-hook ``optimize_table.sql:1-6``).
+    def file_count(self, name: str) -> int:
+        """Number of data files in the table (walked from the directory —
+        no Spark job, no RDD conversion)."""
+        total = 0
+        for _root, _dirs, files in os.walk(self.path(name)):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
 
-        Without Delta's OPTIMIZE, compaction = rewrite at a chosen file count.
+    def partition_cols(self, name: str) -> list[str]:
+        """Partition columns inferred from the on-disk ``col=value`` layout."""
+        cols: list[str] = []
+        p = self.path(name)
+        while True:
+            subs = [f for f in os.listdir(p) if "=" in f and os.path.isdir(os.path.join(p, f))]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=")[0])
+            p = os.path.join(p, subs[0])
+
+    def optimize(self, name: str, target_files: int | None = None) -> None:
+        """File compaction (reference prod post-hook ``optimize_table.sql:1-6``,
+        gated to the prod target there and to the Runner's prod profile here).
+
+        Without Delta's OPTIMIZE, compaction = rewrite at a chosen file
+        count, derived from the on-disk file count (a directory walk — not
+        an RDD conversion, which would spin up a job just to pick a
+        number). Partitioned tables keep their layout: rows are
+        re-clustered on the partition columns so each partition compacts
+        to one file under dynamic partition overwrite.
         """
         if not self.exists(name):
             return
         df = self.read(name)
-        n = target_files or max(1, df.rdd.getNumPartitions() // 8)
-        self.write_full(df.repartition(n), name)
+        n = target_files or max(1, self.file_count(name) // 8)
+        parts = self.partition_cols(name)
+        if parts:
+            self.write_full(df.repartition(n, *[F.col(c) for c in parts]), name, parts)
+        else:
+            self.write_full(df.repartition(n), name)
 
     def vacuum(self, name: str, retain_hours: int = 168) -> None:
         """Snapshot cleanup (reference ``vacuum_table.sql:1-6``).

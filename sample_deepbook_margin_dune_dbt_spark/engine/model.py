@@ -50,6 +50,12 @@ class ModelConfig:
     # (column, other_model, other_column): every non-null value must exist
     # in the referenced model's column (dbt `relationships`)
     relationships: list[tuple[str, str, str]] = field(default_factory=list)
+    # maintenance post-hooks run after a successful build. None → the
+    # Runner's profile default (prod: ['optimize', 'vacuum'], matching the
+    # reference's target.name == 'prod' gate in
+    # macros/dune_dbt_overrides/optimize_table.sql:1-6 / vacuum_table.sql:1-6);
+    # a list (possibly empty) overrides per model.
+    post_hooks: list[str] | None = None
 
 
 _REGISTRY: dict[str, ModelConfig] = {}
@@ -67,6 +73,7 @@ def model(
     unique: list[str] | None = None,
     accepted_values: dict[str, list] | None = None,
     relationships: list[tuple[str, str, str]] | None = None,
+    post_hooks: list[str] | None = None,
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
 
@@ -84,6 +91,7 @@ def model(
             unique=unique or [],
             accepted_values=accepted_values or {},
             relationships=relationships or [],
+            post_hooks=post_hooks,
         )
         return fn
 

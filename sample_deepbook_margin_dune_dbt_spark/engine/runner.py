@@ -17,6 +17,12 @@ from .model import ModelConfig, ModelContext, all_models
 
 
 class Runner:
+    #: post-hooks applied by profile when a model doesn't override them.
+    #: Mirrors the reference, which optimizes + vacuums every table/
+    #: incremental model after a prod build and skips both elsewhere
+    #: (macros/dune_dbt_overrides/optimize_table.sql:2, vacuum_table.sql:2).
+    PROFILE_POST_HOOKS = {"prod": ["optimize", "vacuum"]}
+
     def __init__(
         self,
         spark: SparkSession,
@@ -25,6 +31,8 @@ class Runner:
         fixed_now: Optional[datetime] = None,
         backfill_days: int = 30,
         lookback_days: int = 7,
+        profile: str = "dev",
+        vacuum_retain_hours: int = 168,  # the reference's '7d'
     ):
         self.spark = spark
         self.store = store
@@ -32,6 +40,8 @@ class Runner:
         self.fixed_now = fixed_now
         self.backfill_days = backfill_days
         self.lookback_days = lookback_days
+        self.profile = profile
+        self.vacuum_retain_hours = vacuum_retain_hours
 
     # ------------------------------------------------------------- selection
 
@@ -125,6 +135,22 @@ class Runner:
                 self.store.merge(df, cfg.name, cfg.unique_key, cfg.partition_by)
         else:
             self.store.write_full(df, cfg.name, cfg.partition_by)
+        self._post_hooks(cfg)
+
+    def _post_hooks(self, cfg: ModelConfig) -> None:
+        """Maintenance after a successful build: the reference's prod
+        post-hooks (``alter table ... execute optimize`` + 7-day vacuum),
+        profile-gated, per-model overridable via ``post_hooks=[...]``."""
+        hooks = cfg.post_hooks
+        if hooks is None:
+            hooks = self.PROFILE_POST_HOOKS.get(self.profile, [])
+        for hook in hooks:
+            if hook == "optimize":
+                self.store.optimize(cfg.name)
+            elif hook == "vacuum":
+                self.store.vacuum(cfg.name, retain_hours=self.vacuum_retain_hours)
+            else:
+                raise ValueError(f"unknown post-hook {hook!r} on model {cfg.name}")
 
     # ----------------------------------------------------------------- tests
 

@@ -73,6 +73,54 @@ def test_vacuum_removes_stale_staging(spark, tmp_path):
     assert os.path.isdir(fresh)
 
 
+def test_prod_profile_runs_post_hooks(spark, tmp_path):
+    """The prod profile must optimize (compact, layout-preserving) and
+    vacuum (stale staging cleanup) after every build — the reference's
+    target.name == 'prod' post-hooks — while dev builds skip both and a
+    per-model post_hooks=[] opts out even under prod."""
+    import os
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+    from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore
+
+    def _many_files(ctx):
+        return (
+            ctx.spark.range(0, 2000)
+            .select(F.col("id"), (F.col("id") % 4).alias("day"), F.rand(seed=1).alias("v"))
+            .repartition(16)
+        )
+
+    model(name="_hook_probe", materialized="table", partition_by=["day"])(_many_files)
+    model(name="_hook_probe_optout", materialized="table", post_hooks=[])(_many_files)
+    try:
+        store = TableStore(spark, str(tmp_path))
+        stale = store.path(".staging-old-dead")
+        os.makedirs(stale)
+        os.utime(stale, (0, 0))
+
+        Runner(spark, store, {}, profile="dev").run("_hook_probe")
+        n_dev = store.file_count("_hook_probe")
+        assert n_dev > 4, "dev build must not compact"
+        assert os.path.isdir(stale), "dev build must not vacuum"
+
+        prod = Runner(spark, store, {}, profile="prod", vacuum_retain_hours=1)
+        prod.run("_hook_probe", full_refresh=True)
+        assert store.file_count("_hook_probe") <= 4, "prod optimize must compact"
+        assert store.partition_cols("_hook_probe") == ["day"], (
+            "optimize must preserve the partition layout"
+        )
+        assert store.read("_hook_probe").count() == 2000
+        assert not os.path.isdir(stale), "prod vacuum must clean stale staging"
+
+        prod.run("_hook_probe_optout")
+        assert store.file_count("_hook_probe_optout") > 4, (
+            "post_hooks=[] must opt out of prod maintenance"
+        )
+    finally:
+        _REGISTRY.pop("_hook_probe", None)
+        _REGISTRY.pop("_hook_probe_optout", None)
+
+
 def test_schema_suffix_isolation(spark, tmp_path):
     """Dev/prod schema isolation (S11): same table name, separate stores."""
     prod = TableStore(spark, str(tmp_path), schema_suffix="")

@@ -34,13 +34,13 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, sql = ALL_QUERIES[name]
+    fn, sql = FULL_QUERIES[name]
     problems = compare(fn(spark, sf_dir), duck, sql, name)
     assert not problems, "\n".join(problems)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(spark, sf_dir, name):
-    fn, _ = ALL_QUERIES[name]
+    fn, _ = FULL_QUERIES[name]
     df = fn(spark, sf_dir)
     assert df.count() >= 0

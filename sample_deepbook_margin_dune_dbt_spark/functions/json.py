@@ -23,8 +23,24 @@ from pyspark.sql import functions as F
 
 
 def json_extract_scalar(col: Column | str, path: str) -> Column:
-    """Trino ``json_extract_scalar``: scalar at JSONPath as string."""
-    return F.get_json_object(F.col(col) if isinstance(col, str) else col, path)
+    """Trino ``json_extract_scalar``: scalar at JSONPath as string.
+
+    ``get_json_object`` alone diverges on NON-scalar matches: it returns
+    the object/array serialized, where Trino returns NULL. Guarded here —
+    a match whose text starts with ``{``/``[`` is NULLed — so a malformed
+    event whose field unexpectedly holds a nested value degrades to NULL
+    (then NULL through try_cast) instead of leaking a JSON blob into
+    string columns like ``margin_pool_id``.
+
+    Residual divergence (unresolvable from ``get_json_object``'s unquoted
+    output alone): a STRING scalar whose text itself starts with ``{``/
+    ``[`` is indistinguishable from a serialized container and is also
+    NULLed. The reference's extracted fields are ids/addresses/numbers
+    (``stg_deepbook_margin_pool_object.sql:48-89``), where this cannot
+    occur.
+    """
+    raw = F.get_json_object(F.col(col) if isinstance(col, str) else col, path)
+    return F.when(raw.rlike(r"^[\[{]"), F.lit(None)).otherwise(raw)
 
 
 def json_extract(col: Column | str, path: str) -> Column:

@@ -39,11 +39,17 @@ def asof_join(
     in time units (left rows with no right row within tolerance get NULLs,
     matching DuckDB/pandas ``merge_asof`` tolerance semantics).
 
-    Plan shape: union(tagged left, tagged right) → window ``last(value,
+    Plan shape: union(tagged left, tagged right) → window ``last(struct,
     ignorenulls)`` over (by) ordered by (time, tag) → filter left rows. One
     hash-shuffle on ``by``; a single sort; zero joins. Right-side ties at
     the same timestamp resolve to the LAST right row (max over later sort
     order), matching ASOF semantics of 'the latest known value'.
+
+    The right-side values travel as ONE struct (non-null only on right
+    rows), so the matched row is atomic — all value columns come from the
+    SAME right row, and a right row whose value column is legitimately
+    NULL stays NULL instead of inheriting an older non-null value
+    (pandas/DuckDB ``merge_asof`` row-level semantics).
     """
     by = by or []
     if value_cols is None:
@@ -69,24 +75,28 @@ def asof_join(
     w = Window.partitionBy(*by).orderBy(F.asc("_t"), F.asc("_tag")).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # one struct per right row (NULL on left rows): carrying it with a
+    # single last(ignorenulls) keeps the match atomic — every value column
+    # plus the matched right time come from the same right row.
+    right_row = F.when(
+        F.col("_tag") == 0,
+        F.struct(F.col("_t").alias("_rt"), *[F.col(c) for c in value_cols]),
+    )
     filled = unioned.select(
         *left_cols,
         "_t",
         "_tag",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.last(F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_rt"),
+        F.last(right_row, ignorenulls=True).over(w).alias("_r"),
     )
     out = filled.filter(F.col("_tag") == 1)
     if tolerance is not None:
-        stale = (F.col("_t") - F.col("_rt")) > tolerance
+        miss = F.col("_r").isNull() | ((F.col("_t") - F.col("_r._rt")) > tolerance)
         out = out.select(
             *left_cols,
-            *[F.when(stale | F.col("_rt").isNull(), F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+            *[F.when(miss, F.lit(None)).otherwise(F.col(f"_r.{c}")).alias(c) for c in value_cols],
         )
     else:
-        out = out.select(*left_cols, *value_cols)
+        out = out.select(*left_cols, *[F.col(f"_r.{c}").alias(c) for c in value_cols])
     return out
 
 

@@ -9,10 +9,10 @@ from sample_deepbook_margin_dune_dbt_spark.streaming.stateful import streaming_s
 GAP = 1000
 
 
-def _run_batch(spark, src_dir, ckpt_dir, out_dir):
+def _run_batch(spark, src_dir, ckpt_dir, out_dir, gap=GAP, timeout="none"):
     stream = spark.readStream.schema("user_id long, ts_us long, value double").parquet(src_dir)
     q = (
-        streaming_sessionize(stream, gap=GAP)
+        streaming_sessionize(stream, gap=gap, timeout=timeout)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt_dir)
@@ -50,3 +50,67 @@ def test_sessions_stitch_across_batches(spark, tmp_path):
     b = got[(5000, 5400)]  # session B spans batches 1 and 2
     assert b["n_events"] == 2 and b["sum_value"] == 7.0
     assert len(got) == 2  # the 99999 session is still open (in state)
+
+
+def test_out_of_order_within_gap_keeps_session_end_monotonic(spark, tmp_path):
+    """A late event inside the gap must fold into the session without
+    pulling session_end backwards (else a following event could spuriously
+    not close the session)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    pd.DataFrame({"user_id": [1, 1], "ts_us": [100, 900], "value": [1.0, 2.0]}).to_parquet(
+        str(src / "b1.parquet"), index=False
+    )
+    _run_batch(spark, str(src), ckpt, out)
+    # batch 2: ts=500 is out-of-order but within gap of last_ts=900 → folds
+    # in; last_ts stays 900. Then 5000 closes the session (100..900, 3 ev).
+    pd.DataFrame({"user_id": [1, 1], "ts_us": [500, 5000], "value": [3.0, 4.0]}).to_parquet(
+        str(src / "b2.parquet"), index=False
+    )
+    _run_batch(spark, str(src), ckpt, out)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["session_start"], r["session_end"], r["n_events"], r["sum_value"]) == (
+        100, 900, 3, 6.0,
+    )
+
+
+def test_event_time_timeout_evicts_idle_sessions(spark, tmp_path):
+    """Production mode: an idle session must EMIT via watermark timeout
+    (state removed) without ever seeing a closing event from its own key."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sec = 1_000_000  # ts_us is epoch micros; use second-scale values so the
+    # millisecond-granularity watermark actually advances
+
+    # user 1: two events, then goes idle forever
+    pd.DataFrame(
+        {"user_id": [1, 1], "ts_us": [1 * sec, 2 * sec], "value": [1.0, 2.0]}
+    ).to_parquet(str(src / "b1.parquet"), index=False)
+    _run_batch(spark, str(src), ckpt, out, gap=sec, timeout="event_time")
+    assert spark.read.parquet(out).count() == 0  # still open, nothing idle yet
+
+    # batch 2: only user 2 appears, far in the future → after this batch the
+    # watermark (max event time) is way past user 1's timeout at 3s
+    pd.DataFrame({"user_id": [2], "ts_us": [100 * sec], "value": [9.0]}).to_parquet(
+        str(src / "b2.parquet"), index=False
+    )
+    _run_batch(spark, str(src), ckpt, out, gap=sec, timeout="event_time")
+    # batch 3: another user-2 event; at batch start the watermark is 100s >
+    # user 1's 3s timeout → user 1's session times out and emits
+    pd.DataFrame({"user_id": [2], "ts_us": [101 * sec], "value": [1.0]}).to_parquet(
+        str(src / "b3.parquet"), index=False
+    )
+    _run_batch(spark, str(src), ckpt, out, gap=sec, timeout="event_time")
+
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert 1 in got, "idle session must be emitted by event-time timeout"
+    r = got[1]
+    assert (r["session_start"], r["session_end"], r["n_events"], r["sum_value"]) == (
+        1 * sec, 2 * sec, 2, 3.0,
+    )
+    assert 2 not in got  # user 2 still active (keeps extending its session)

@@ -39,6 +39,25 @@ def test_asof_tolerance(spark):
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: None, 5: 1.0}
 
 
+def test_asof_row_atomicity_and_null_values(spark):
+    """The match must be row-atomic (merge_asof semantics): every value
+    column comes from the SAME right row, and a matched right row whose
+    value is legitimately NULL yields NULL — never an older non-null value
+    stitched in per-column."""
+    left = spark.createDataFrame([(1, 20, "A"), (2, 40, "A")], "id long, t long, k string")
+    right = spark.createDataFrame(
+        [(10, "A", 1.0, "x"), (30, "A", None, None)],
+        "rt long, k string, px double, src string",
+    )
+    rows = {
+        r["id"]: (r["px"], r["src"])
+        for r in asof_join(left, right, "t", "rt", by=["k"]).collect()
+    }
+    assert rows[1] == (1.0, "x")
+    # latest right row at t=40 is rt=30 with NULL values → NULLs, not (1.0, "x")
+    assert rows[2] == (None, None)
+
+
 def test_asof_no_join_node(spark):
     """The as-of plan is union+window — no join operator at all."""
     from sample_deepbook_margin_dune_dbt_spark.plans import explain_str

@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sample_deepbook_margin_dune_dbt_spark.engine import get_spark  # noqa: E402
-from sample_deepbook_margin_dune_dbt_spark.queries import ALL_QUERIES  # noqa: E402
+from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES  # noqa: E402
 
 BENCH_QUERIES = [
     "tpch_q1",
@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "asof_join",
     "dedup_simhash",
     "text_quality",
+    # skew demo pair: identical grouped-sum semantics over the manufactured
+    # hot key (~50% of events on one key); the salted twin two-phases the
+    # aggregate so the hot partials spread over 16 reduce slots
+    "skew_plain_agg",
+    "skew_salted_agg",
+    "skew_salted_join",
 ]
 
 
@@ -72,12 +78,12 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in BENCH_QUERIES:
-            fn, _ = ALL_QUERIES[name]
+            fn, _ = FULL_QUERIES[name]
             fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn, _ = ALL_QUERIES[name]
+        fn, _ = FULL_QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

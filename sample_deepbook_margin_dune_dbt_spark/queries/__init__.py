@@ -32,9 +32,16 @@ from __future__ import annotations
 from .approx import APPROX_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .parity import PARITY_QUERIES
+from .skewbench import SKEW_QUERIES
 from .tpch import TPCH_QUERIES
 
-_MERGED = {**PARITY_QUERIES, **TPCH_QUERIES, **LLMOPS_QUERIES, **APPROX_QUERIES}
+_MERGED = {
+    **PARITY_QUERIES,
+    **TPCH_QUERIES,
+    **LLMOPS_QUERIES,
+    **APPROX_QUERIES,
+    **SKEW_QUERIES,
+}
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline
 # block the round-1 driver window missed, then custom operators, then TPC-H.

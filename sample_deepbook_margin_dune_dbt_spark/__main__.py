@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
             default="dev",
             help="dbt-style target profile; 'prod' enables optimize/vacuum post-hooks",
         )
+        p.add_argument(
+            "--lag-widen-days",
+            type=int,
+            default=0,
+            help="widen lag() inputs below the lookback floor by N days so "
+            "incremental slice-boundary deltas match full refresh (0 = "
+            "reference-exact incremental lag)",
+        )
 
     run_p = sub.add_parser("run", help="build models (incremental by default)")
     add_common(run_p)
@@ -96,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         backfill_days=args.backfill_days,
         lookback_days=args.lookback_days,
         profile=args.profile,
+        lag_widen_days=args.lag_widen_days,
     )
 
     if args.cmd == "compile":

@@ -20,7 +20,7 @@ Maps the reference's control-plane operators (SURVEY §2.9) onto plain Python:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,6 +123,7 @@ class ModelContext:
         fixed_now: Optional[datetime] = None,
         backfill_days: int = 30,
         lookback_days: int = 7,
+        lag_widen_days: int = 0,
     ):
         self.spark = spark
         self.store = store
@@ -134,6 +135,13 @@ class ModelContext:
         # backfill, 7-day late-data lookback
         self.backfill_days = backfill_days
         self.lookback_days = lookback_days
+        # W3 slice-lag remedy (SURVEY §2.5 caveat): incremental models that
+        # lag() over their output can widen their INPUT window by this many
+        # days below the lookback floor and trim the extra days after the
+        # window, so the slice's first in-window day sees its true
+        # predecessor instead of NULL. 0 (default) reproduces the
+        # reference's incremental behavior exactly.
+        self.lag_widen_days = lag_widen_days
 
     # --------------------------------------------------------------- dbt-isms
 
@@ -201,3 +209,19 @@ class ModelContext:
             .first()
         )
         return row["floor"]
+
+    def lag_input_floor_date(self, floor_date):
+        """The widened input bound for lag()-bearing incremental models:
+        ``floor_date - lag_widen_days`` (or ``floor_date`` unchanged when
+        widening is off / the target is empty). Rows in the widened margin
+        exist only to seed the lag window; trim them with
+        ``trim_to_floor`` before returning."""
+        if floor_date is None or self.lag_widen_days <= 0:
+            return floor_date
+        return floor_date - timedelta(days=self.lag_widen_days)
+
+    def trim_to_floor(self, df: DataFrame, floor_date, date_column: str) -> DataFrame:
+        """Drop the widened lag-seed margin: keep rows ≥ the true floor."""
+        if floor_date is None or self.lag_widen_days <= 0:
+            return df
+        return df.filter(F.col(date_column) >= F.lit(floor_date))

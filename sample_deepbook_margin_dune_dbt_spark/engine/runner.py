@@ -33,6 +33,7 @@ class Runner:
         lookback_days: int = 7,
         profile: str = "dev",
         vacuum_retain_hours: int = 168,  # the reference's '7d'
+        lag_widen_days: int = 0,
     ):
         self.spark = spark
         self.store = store
@@ -42,6 +43,7 @@ class Runner:
         self.lookback_days = lookback_days
         self.profile = profile
         self.vacuum_retain_hours = vacuum_retain_hours
+        self.lag_widen_days = lag_widen_days
 
     # ------------------------------------------------------------- selection
 
@@ -124,6 +126,7 @@ class Runner:
             fixed_now=self.fixed_now,
             backfill_days=self.backfill_days,
             lookback_days=self.lookback_days,
+            lag_widen_days=self.lag_widen_days,
         )
         if full_refresh:
             self.store.drop(cfg.name)

@@ -20,7 +20,11 @@ Grain: one row per (margin_pool_id, snapshot_date). Semantics reproduced:
   the rows this run produces, reproducing the reference's incremental
   behavior (on an incremental run the lag window sees only the 7-day
   slice; the slice's first day gets NULL deltas that MERGE writes over —
-  SURVEY §2.5 W3 caveat, reproduced deliberately for parity)
+  SURVEY §2.5 W3 caveat, reproduced deliberately for parity). With the
+  engine's ``lag_widen_days=N`` knob the input window widens N days below
+  the floor purely to seed the lag, and the margin rows are trimmed
+  before MERGE — incremental deltas then equal full-refresh deltas for
+  pools whose snapshot gaps are ≤ N days.
 - final presentation sort (O1, ``:210``)
 
 Scale notes: each volume agg is a partial-aggregated (map-side combine)
@@ -75,13 +79,16 @@ def _volume_agg(
 )
 def fct_deepbook_margin_pool_daily(ctx: ModelContext) -> DataFrame:
     floor_date = ctx.lookback_floor_date("snapshot_date") if ctx.is_incremental() else None
+    # inputs read from the (possibly widened) lag-seed floor; output rows
+    # below the true floor are trimmed at the end
+    input_floor = ctx.lag_input_floor_date(floor_date)
 
     # --- 4 volume aggregates (A1) + FOJ chain (J1) -------------------------
     vols = [
-        _volume_agg(ctx, "deepbook_margin_pool_asset_supplied", "supply_amount", "supply_volume", floor_date),
-        _volume_agg(ctx, "deepbook_margin_pool_asset_withdrawn", "withdraw_amount", "withdraw_volume", floor_date),
-        _volume_agg(ctx, "deepbook_margin_loan_borrowed", "loan_amount", "borrow_volume", floor_date),
-        _volume_agg(ctx, "deepbook_margin_loan_repaid", "repay_amount", "repay_volume", floor_date),
+        _volume_agg(ctx, "deepbook_margin_pool_asset_supplied", "supply_amount", "supply_volume", input_floor),
+        _volume_agg(ctx, "deepbook_margin_pool_asset_withdrawn", "withdraw_amount", "withdraw_volume", input_floor),
+        _volume_agg(ctx, "deepbook_margin_loan_borrowed", "loan_amount", "borrow_volume", input_floor),
+        _volume_agg(ctx, "deepbook_margin_loan_repaid", "repay_amount", "repay_volume", input_floor),
     ]
     # Spark's named-column full outer join coalesces the keys, replacing the
     # reference's manual COALESCE cascade (:80-90)
@@ -112,8 +119,8 @@ def fct_deepbook_margin_pool_daily(ctx: ModelContext) -> DataFrame:
         "timestamp_ms",
         F.col("version").alias("last_object_version"),
     )
-    if floor_date is not None:
-        stg = stg.filter(F.col("snapshot_date") >= F.lit(floor_date))
+    if input_floor is not None:
+        stg = stg.filter(F.col("snapshot_date") >= F.lit(input_floor))
     w1 = Window.partitionBy("margin_pool_id", "snapshot_date").orderBy(
         F.desc("timestamp_ms"), F.desc("last_object_version")
     )
@@ -158,7 +165,7 @@ def fct_deepbook_margin_pool_daily(ctx: ModelContext) -> DataFrame:
     def vol_norm(c: str) -> F.Column:
         return F.coalesce(F.col(c), F.lit(0.0)) / scale
 
-    return joined.select(
+    out = joined.select(
         F.col("snapshot_date"),
         F.col("margin_pool_id"),
         F.col("coin_symbol"),
@@ -191,4 +198,8 @@ def fct_deepbook_margin_pool_daily(ctx: ModelContext) -> DataFrame:
         ),
         F.col("asset_type"),
         ctx.now().alias("updated_at"),
-    ).orderBy(F.desc("snapshot_date"), F.desc_nulls_last("total_supply_normalized"))
+    )
+    # drop the lag-seed margin (no-op unless lag_widen_days > 0): those days
+    # are already correct in the target and were read only to feed lag()
+    out = ctx.trim_to_floor(out, floor_date, "snapshot_date")
+    return out.orderBy(F.desc("snapshot_date"), F.desc_nulls_last("total_supply_normalized"))

@@ -96,6 +96,24 @@ def _assert_tables_equal(store_full, store_inc, name, key_cols, skip_cols=()):
                 assert fv == iv, (name, k, c, fv, iv)
 
 
+@pytest.fixture(scope="module")
+def runs_widened(spark, tmp_path_factory):
+    """Same three-run schedule with ``lag_widen_days=1``: the fact model's
+    lag inputs widen one day below each run's lookback floor."""
+    root = tmp_path_factory.mktemp("incr_widen")
+    full_sources = write_fixtures(str(root / "full"))
+    store_full = TableStore(spark, str(root / "wh_full"))
+    Runner(spark, store_full, full_sources, fixed_now=FIXED_NOW).run(models_deepbook.ALL_MODELS)
+
+    store_inc = TableStore(spark, str(root / "wh_inc"))
+    for i, (lo, hi, late) in enumerate([(None, CUT1, False), (None, CUT2, False), (None, None, True)]):
+        src = _split_sources(full_sources, str(root / f"s{i}"), lo, hi, late)
+        Runner(
+            spark, store_inc, src, fixed_now=FIXED_NOW, lag_widen_days=1
+        ).run(models_deepbook.ALL_MODELS)
+    return store_full, store_inc
+
+
 def test_event_models_incremental_equivalence(runs):
     store_full, store_inc = runs
     for name in models_deepbook.ALL_MODELS[:5]:
@@ -117,6 +135,19 @@ def test_fct_incremental_equivalence_nonlag(runs):
         "fct_deepbook_margin_pool_daily",
         ["margin_pool_id", "snapshot_date"],
         skip_cols=("daily_supply_change", "daily_borrow_change", "daily_utilization_change"),
+    )
+
+
+def test_fct_lag_widening_makes_incremental_equal_full_refresh(runs_widened):
+    """With lag_widen_days=1 the slice-boundary caveat disappears: the fact
+    table matches full refresh on EVERY column, lag deltas included
+    (fixture pools snapshot daily, so a one-day seed suffices)."""
+    store_full, store_inc = runs_widened
+    _assert_tables_equal(
+        store_full,
+        store_inc,
+        "fct_deepbook_margin_pool_daily",
+        ["margin_pool_id", "snapshot_date"],
     )
 
 

@@ -1,0 +1,123 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+RNG-based sampling (``df.sample``) is irreproducible across engines, runs,
+and partition layouts — useless for corpus curation, where the same
+document must land in the same split on every rebuild and the oracle must
+reproduce the sample exactly. These operators derive a uniform [0, 1)
+variate from a cryptographic hash of a stable key instead:
+
+    u(key) = first-15-hex(md5(key)) / 16^15
+
+Content- or id-keyed, so membership is a pure function of the row —
+stable under corpus growth, repartitioning, and engine choice (DuckDB
+twin: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) / 16^15``). The
+``salt`` argument decorrelates independent samples drawn from the same
+corpus.
+
+All three operators are pure Catalyst expressions (md5 + arithmetic + a
+window for the quota variant): no shuffles beyond what the semantics
+require — Bernoulli sampling and splitting are map-only (filters push to
+the scan); quota sampling shuffles once on the strata key.
+
+Scale note (100 TB): map-only sampling composes with partition pruning
+and never materializes the corpus; quota sampling's window is per-stratum
+and spills only if a single stratum exceeds executor memory — cap strata
+cardinality upstream, or pre-filter with ``hash_sample`` when quotas are
+small relative to stratum sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^15 — the hash occupies 60 bits, so u = h / 16^15 ∈ [0, 1)
+_HASH_SPACE = float(16**15)
+
+
+def hash_uniform(col: F.Column | str, salt: str = "") -> F.Column:
+    """Deterministic uniform [0, 1) variate from a stable key.
+
+    ``conv(substr(md5(salt || key), 1, 15), 16, 10) / 16^15`` — the md5
+    idiom shared with ``functions.text.fingerprint64`` so DuckDB oracles
+    reproduce the variate bit-for-bit (both engines divide the same
+    integer by the same power of two; the quotient is exact in double
+    precision well past 53 bits of the 60-bit hash).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(salt), c.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("double") / F.lit(_HASH_SPACE)
+    )
+
+
+def sql_hash_uniform(expr: str, salt: str = "") -> str:
+    """DuckDB twin of ``hash_uniform``."""
+    keyed = f"concat('{salt}', CAST({expr} AS VARCHAR))"
+    return f"(CAST(concat('0x', substr(md5({keyed}), 1, 15)) AS BIGINT) / {16**15}.0)"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep rows with u(key) < fraction.
+
+    Unlike ``df.sample`` this is stable across runs, engines, and
+    repartitioning, and composable: two samples with different salts are
+    independent; the same salt at a larger fraction is a superset (nested
+    samples — grow a 1% pilot corpus to 10% without resampling the 1%).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(key_col, salt) < F.lit(fraction))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a disjoint 'train' / 'val' / 'test' label by key hash.
+
+    Membership is a pure function of the key: documents keep their split
+    across corpus rebuilds and growth (no leakage of test docs into
+    training after a re-shuffle), and duplicate keys land in the same
+    split — hash-split BEFORE exact dedup is still leak-free.
+    """
+    if val_fraction < 0 or test_fraction < 0 or val_fraction + test_fraction > 1:
+        raise ValueError("fractions must be non-negative and sum to ≤ 1")
+    u = hash_uniform(key_col, salt)
+    return df.withColumn(
+        split_col,
+        F.when(u < test_fraction, F.lit("test"))
+        .when(u < test_fraction + val_fraction, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, chosen by hash order.
+
+    The training-mix balancer: cap each (lang, source, …) cell at a quota
+    so one domain can't dominate the mix. Hash order makes the selection
+    deterministic AND uniform within the stratum (the md5 variate is the
+    sort key), unlike ``LIMIT`` after an arbitrary scan order. One shuffle
+    on the strata key; ties broken by the key column for full determinism.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_uniform(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= n_per_stratum)
+        .drop("_qrn")
+    )

@@ -32,6 +32,7 @@ from __future__ import annotations
 from .approx import APPROX_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .parity import PARITY_QUERIES
+from .samplingq import SAMPLING_QUERIES
 from .skewbench import SKEW_QUERIES
 from .tpch import TPCH_QUERIES
 
@@ -41,6 +42,7 @@ _MERGED = {
     **LLMOPS_QUERIES,
     **APPROX_QUERIES,
     **SKEW_QUERIES,
+    **SAMPLING_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "skew_plain_agg",
     "skew_salted_agg",
     "skew_salted_join",
+    # high-dim LSH signature pair: identical output, Catalyst-expression vs
+    # Arrow/NumPy path at dim 512 × 16 planes — the expression path's
+    # codegen cliff is the reason the vectorized twin exists
+    "sig_expr_d512",
+    "sig_vec_d512",
 ]
 
 

@@ -33,6 +33,7 @@ from .approx import APPROX_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .parity import PARITY_QUERIES
 from .samplingq import SAMPLING_QUERIES
+from .sigbench import SIGBENCH_QUERIES
 from .skewbench import SKEW_QUERIES
 from .tpch import TPCH_QUERIES
 
@@ -43,6 +44,7 @@ _MERGED = {
     **APPROX_QUERIES,
     **SKEW_QUERIES,
     **SAMPLING_QUERIES,
+    **SIGBENCH_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

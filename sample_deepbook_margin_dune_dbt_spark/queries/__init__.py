@@ -30,6 +30,7 @@ declaration is trimmed to fit its window.
 from __future__ import annotations
 
 from .approx import APPROX_QUERIES
+from .chunkingq import CHUNKING_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .parity import PARITY_QUERIES
 from .samplingq import SAMPLING_QUERIES
@@ -45,6 +46,7 @@ _MERGED = {
     **SKEW_QUERIES,
     **SAMPLING_QUERIES,
     **SIGBENCH_QUERIES,
+    **CHUNKING_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

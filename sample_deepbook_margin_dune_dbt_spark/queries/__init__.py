@@ -19,8 +19,15 @@ driver query moved to ``EXTRA_QUERIES``:
 - ``a5_cube``/``a5_grouping_sets`` (A5: ``a5_rollup`` remains),
 - ``o3_topn_limit`` (O3: ``tpch_q3``/``q10``/``q18``/``q21`` LIMIT),
 - ``o5_set_ops`` (beyond-reference op, pytest-verified),
-- ``j_semi_anti`` (semi/anti: ``tpch_q4``/``q21``/``q22``),
-- ``p_scalar_subquery`` (``tpch_q15``/``q17``).
+- ``j_semi_anti`` (semi/anti: ``tpch_q4``/``q21``),
+- ``p_scalar_subquery`` (scalar subqueries),
+- round 2: ``tpch_q15``/``q17`` (scalar-agg joins: ``p4_watermark``,
+  ``tpch_q18``'s HAVING-agg reuse), ``tpch_q19`` (OR-of-ANDs predicate
+  pushdown: ``q6``/``q12`` cover pushdown+IN-list), ``tpch_q22``
+  (anti-join + scalar subquery: ``tpch_q4``/``q21`` anti/semi) — swapped
+  for the four new LLM-ops queries (sampling ×3, chunking) so the
+  engine's training-pipeline surface is driver-verified, not just
+  pytest-verified.
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
@@ -69,6 +76,10 @@ DRIVER_QUERY_ORDER = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "a_approx_tier",
+    "sample_hash_bernoulli",
+    "sample_train_val_test",
+    "sample_stratified_quota",
+    "chunk_token_windows",
     # custom operators / window & join shapes
     "sessionize",
     "asof_join",
@@ -99,12 +110,8 @@ DRIVER_QUERY_ORDER = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
     "tpch_q18",
-    "tpch_q19",
     "tpch_q21",
-    "tpch_q22",
 ]
 
 DRIVER_WINDOW = 50

@@ -6,10 +6,14 @@ codec work is stubbed (image/audio libraries are not in this container):
 
 - ``extract_binary_metadata``  — real: size, md5, magic-byte format sniff,
   computed in pandas batches (the pattern a real decoder plugs into).
-- ``decode_image`` / ``sample_frames`` / ``extract_audio_features`` —
-  deterministic fakes behind the same ``mapInPandas`` plumbing, with the
-  real implementation point marked. Swap the inner function for
-  PIL/ffmpeg/torchaudio on a cluster with the codecs installed.
+- ``decode_image`` / ``sample_frames`` / ``resize_image`` /
+  ``extract_audio_features`` — deterministic fakes behind the same
+  ``mapInPandas`` plumbing. Each codec step is INJECTABLE: pass
+  ``decoder=``/``frame_extractor=``/``resizer=`` to swap in
+  PIL/ffmpeg/torchaudio on a cluster with codecs installed — a one-line
+  swap at the call site; the Arrow flow, schemas, and partitioning are
+  unchanged (`tests/test_operators.py` proves a custom decoder rides the
+  same plumbing).
 
 Scale notes: binary payloads ride the shuffle, so partition count must keep
 ``partition_bytes ≈ rows_per_partition × avg_payload`` under executor
@@ -22,7 +26,7 @@ streams Arrow record batches, so peak memory is batch-sized
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
@@ -75,7 +79,23 @@ def extract_binary_metadata(df: DataFrame, id_col: str, binary_col: str) -> Data
     return df.select(id_col, binary_col).mapInPandas(_batches, BINARY_META_SCHEMA)
 
 
-def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+def fake_image_decode(b: bytes) -> tuple[int, int, int]:
+    """Default STUB decoder: deterministic (width, height, channels) from
+    the payload md5 — stable across runs/engines. Production:
+    ``lambda b: (*PIL.Image.open(io.BytesIO(b)).size, len(Image.open(...).getbands()))``."""
+    h = hashlib.md5(b).hexdigest()
+    width = 1 + int(h[0:4], 16) % 4096
+    height = 1 + int(h[4:8], 16) % 4096
+    channels = 1 + int(h[8:10], 16) % 4
+    return width, height, channels
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    decoder: Callable[[bytes], tuple[int, int, int]] = fake_image_decode,
+) -> DataFrame:
     """Image decode → (id, size, md5, width, height, channels).
 
     STUB DECODER: the container has no image codecs, so width/height/
@@ -86,17 +106,10 @@ def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     production.
     """
 
-    def _fake_decode(b: bytes) -> tuple[int, int, int]:
-        h = hashlib.md5(b).hexdigest()
-        width = 1 + int(h[0:4], 16) % 4096
-        height = 1 + int(h[4:8], 16) % 4096
-        channels = 1 + int(h[8:10], 16) % 4
-        return width, height, channels
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[binary_col]
-            decoded = payloads.map(_fake_decode)
+            decoded = payloads.map(decoder)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -111,8 +124,24 @@ def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(_batches, IMAGE_META_SCHEMA)
 
 
+def fake_frame_extract(b: bytes, every_n_bytes: int, max_frames: int) -> list[str]:
+    """Default STUB frame extractor: md5 fingerprints of byte windows at a
+    fixed stride. Production: ffmpeg keyframe extraction returning one
+    fingerprint (or encoded frame) per keyframe."""
+    n = min(max_frames, max(1, len(b) // every_n_bytes))
+    return [
+        hashlib.md5(b[f * every_n_bytes : (f + 1) * every_n_bytes]).hexdigest()
+        for f in range(n)
+    ]
+
+
 def sample_frames(
-    df: DataFrame, id_col: str, binary_col: str, every_n_bytes: int = 1024, max_frames: int = 8
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    frame_extractor: Callable[[bytes, int, int], list[str]] = fake_frame_extract,
 ) -> DataFrame:
     """Video frame sampling → one row per sampled frame.
 
@@ -127,12 +156,10 @@ def sample_frames(
         for pdf in it:
             ids, idxs, fps = [], [], []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
-                n = min(max_frames, max(1, len(b) // every_n_bytes))
-                for f in range(n):
-                    window = b[f * every_n_bytes : (f + 1) * every_n_bytes]
+                for f, fp in enumerate(frame_extractor(b, every_n_bytes, max_frames)):
                     ids.append(i)
                     idxs.append(f)
-                    fps.append(hashlib.md5(window).hexdigest())
+                    fps.append(fp)
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),
@@ -146,16 +173,28 @@ def sample_frames(
     )
 
 
+def fake_resize(b: bytes, w: int, h: int) -> bytes:
+    """Default STUB resizer: stable fingerprint of (payload, target box).
+    Production: ``PIL.Image.thumbnail((w, h))`` + re-encode."""
+    return hashlib.md5(b + f":{w}x{h}".encode()).digest()
+
+
 def resize_image(
-    df: DataFrame, id_col: str, binary_col: str, target_w: int, target_h: int
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    target_w: int,
+    target_h: int,
+    decoder: Callable[[bytes], tuple[int, int, int]] = fake_image_decode,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
 ) -> DataFrame:
     """Image resize → (id, width, height, payload) at the target box,
     preserving aspect ratio (fit-inside, never upscale).
 
-    STUB RESIZER: source dims come from the same deterministic fake as
-    ``decode_image`` and the output payload is a stable fingerprint of
-    (source bytes, target box) — production swaps the inner function for
-    ``PIL.Image.thumbnail`` + re-encode. The fit-inside arithmetic, Arrow
+    STUB RESIZER by default: source dims come from ``fake_image_decode``
+    and the output payload is a stable fingerprint of (source bytes, fit
+    box) — pass ``decoder=``/``resizer=`` to swap in ``PIL.Image.open`` /
+    ``Image.thumbnail`` + re-encode. The fit-inside arithmetic, Arrow
     batch flow, and binary-out schema are the real contract; output
     payloads stay bounded by the target box, which is what keeps the
     operator's shuffle volume predictable when resizing billions of images.
@@ -165,21 +204,15 @@ def resize_image(
         scale = min(target_w / w, target_h / h, 1.0)
         return max(1, int(w * scale)), max(1, int(h * scale))
 
-    def _fake_decode(b: bytes) -> tuple[int, int]:
-        h = hashlib.md5(b).hexdigest()
-        return 1 + int(h[0:4], 16) % 4096, 1 + int(h[4:8], 16) % 4096
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, ws, hs, outs = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[binary_col]):
-                w, h = _fit(*_fake_decode(b))
+                w, h = _fit(*decoder(b)[:2])
                 ids.append(i)
                 ws.append(w)
                 hs.append(h)
-                outs.append(
-                    hashlib.md5(b + f":{target_w}x{target_h}".encode()).digest()
-                )
+                outs.append(resizer(b, w, h))
             yield pd.DataFrame(
                 {
                     "id": pd.Series(ids, dtype="int64"),

@@ -266,6 +266,31 @@ def test_multimodal_resize_fits_box(spark):
     assert again[1]["payload"] == r["payload"]
 
 
+def test_multimodal_decoder_injection(spark):
+    """A production decoder is a one-line swap: the injected callable rides
+    the same Arrow plumbing and schema as the stub."""
+    df = spark.createDataFrame([(1, b"abc"), (2, b"defgh")], "id long, payload binary")
+    out = {
+        r["id"]: r
+        for r in M.decode_image(
+            df, "id", "payload", decoder=lambda b: (len(b) * 10, len(b) * 5, 3)
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (30, 15, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (50, 25, 3)
+    resized = {
+        r["id"]: r
+        for r in M.resize_image(
+            df, "id", "payload", 20, 20,
+            decoder=lambda b: (len(b) * 10, len(b) * 5, 3),
+            resizer=lambda b, w, h: b + f"@{w}x{h}".encode(),
+        ).collect()
+    }
+    # fit-inside: 30×15 → 20×10; payload produced by the injected resizer
+    assert (resized[1]["width"], resized[1]["height"]) == (20, 10)
+    assert bytes(resized[1]["payload"]) == b"abc@20x10"
+
+
 def test_audio_stub_raises(spark):
     df = spark.createDataFrame([(1, b"RIFFxxxxWAVE")], "id long, payload binary")
     out = M.extract_audio_features(df, "id", "payload")

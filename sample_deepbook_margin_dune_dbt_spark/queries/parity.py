@@ -979,6 +979,40 @@ WHERE c_acctbal > (
 """
 
 
+def q_a_pivot(spark, sf_dir):
+    """PIVOT (beyond-reference A-family op): per-user event-type counts as
+    columns. Spark's native ``groupBy().pivot(col, values)`` with an
+    explicit value list — the list keeps the schema static (no extra
+    distinct-values job, deterministic columns at any scale); DuckDB
+    oracle expresses the same thing as conditional aggregation."""
+    from .common import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -1007,5 +1041,6 @@ PARITY_QUERIES = {
     "p11_case_join_key": (q_p11_case_join_key, SQL_P11),
     "j_semi_anti": (q_j_semi_anti, SQL_SEMI_ANTI),
     "p_scalar_subquery": (q_p_scalar_subquery, SQL_SCALAR_SUBQUERY),
+    "a_pivot": (q_a_pivot, SQL_PIVOT),
     "flagship_daily_user_fact": (q_flagship_daily_user_fact, SQL_FLAGSHIP),
 }

@@ -224,3 +224,53 @@ def test_windowed_aggregation_with_watermark(spark, tmp_path):
     assert rows[("2026-01-01", 1)] == (30.0, 2)
     assert rows[("2026-01-02", 1)] == (40.0, 1)
     assert rows[("2026-01-02", 2)] == (30.0, 1)
+
+
+def test_streaming_corpus_chunking(spark, tmp_path):
+    """The LLM-ops preprocessing chain runs unchanged on a stream: quality
+    filter → token-window chunking are narrow maps, so documents stream
+    straight through to an append sink — the incremental-corpus-ingest
+    shape (new crawl batches land as files, chunks append exactly once)."""
+    import pandas as pd
+
+    from sample_deepbook_margin_dune_dbt_spark.functions.text import token_count
+    from sample_deepbook_margin_dune_dbt_spark.operators.chunking import chunk_documents
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "chunks"), str(tmp_path / "ckpt")
+
+    def _run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        good = stream.filter(token_count(F.col("text")) >= 4)
+        q = (
+            chunk_documents(good, "doc_id", "text", chunk_tokens=4, overlap=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e f g", "too short"]}
+    ).to_parquet(str(src / "b1.parquet"), index=False)
+    _run()
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {1}  # short doc filtered
+    assert got.count() == 2  # 7 tokens, window 4, stride 3 → starts 0, 3
+
+    # batch 2 appends new docs without reprocessing batch 1
+    pd.DataFrame({"doc_id": [3], "text": ["x y z w v"]}).to_parquet(
+        str(src / "b2.parquet"), index=False
+    )
+    _run()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 4  # +2 chunks for doc 3 (5 tokens → starts 0, 3)
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d3 = sorted(by_doc[3], key=lambda r: r["chunk_index"])
+    assert [r["chunk_text"] for r in d3] == ["x y z w", "w v"]

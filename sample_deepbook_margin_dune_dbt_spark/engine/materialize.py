@@ -235,7 +235,12 @@ class TableStore:
             cols.append(subs[0].split("=")[0])
             p = os.path.join(p, subs[0])
 
-    def optimize(self, name: str, target_files: int | None = None) -> None:
+    def optimize(
+        self,
+        name: str,
+        target_files: int | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> None:
         """File compaction (reference prod post-hook ``optimize_table.sql:1-6``,
         gated to the prod target there and to the Runner's prod profile here).
 
@@ -245,16 +250,32 @@ class TableStore:
         number). Partitioned tables keep their layout: rows are
         re-clustered on the partition columns so each partition compacts
         to one file under dynamic partition overwrite.
+
+        ``cluster_by`` is the Delta ``ZORDER``/``CLUSTER BY`` analog for
+        range predicates: unpartitioned tables range-partition on the
+        cluster columns and every file sorts on them, so each file covers
+        a tight, near-disjoint min/max range and parquet footer stats
+        prune whole files/row-groups on ``col BETWEEN``-style scans — the
+        data-skipping layer that matters most at 100 TB. Partitioned
+        tables keep their partition layout and sort within it.
         """
         if not self.exists(name):
             return
         df = self.read(name)
         n = target_files or max(1, self.file_count(name) // 8)
         parts = self.partition_cols(name)
+        cluster = [F.col(c) for c in (cluster_by or [])]
         if parts:
-            self.write_full(df.repartition(n, *[F.col(c) for c in parts]), name, parts)
+            out = df.repartition(n, *[F.col(c) for c in parts])
+            if cluster:
+                out = out.sortWithinPartitions(*[F.col(c) for c in parts], *cluster)
+            self.write_full(out, name, parts)
         else:
-            self.write_full(df.repartition(n), name)
+            if cluster:
+                out = df.repartitionByRange(n, *cluster).sortWithinPartitions(*cluster)
+            else:
+                out = df.repartition(n)
+            self.write_full(out, name)
 
     def vacuum(self, name: str, retain_hours: int = 168) -> None:
         """Snapshot cleanup (reference ``vacuum_table.sql:1-6``).

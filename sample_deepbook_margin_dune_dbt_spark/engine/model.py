@@ -56,6 +56,10 @@ class ModelConfig:
     # macros/dune_dbt_overrides/optimize_table.sql:1-6 / vacuum_table.sql:1-6);
     # a list (possibly empty) overrides per model.
     post_hooks: list[str] | None = None
+    # range-clustering columns applied by the optimize post-hook (Delta
+    # ZORDER/CLUSTER BY analog): files sort on these so parquet footer
+    # min/max stats prune range scans
+    cluster_by: list[str] = field(default_factory=list)
 
 
 _REGISTRY: dict[str, ModelConfig] = {}
@@ -74,6 +78,7 @@ def model(
     accepted_values: dict[str, list] | None = None,
     relationships: list[tuple[str, str, str]] | None = None,
     post_hooks: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
 
@@ -92,6 +97,7 @@ def model(
             accepted_values=accepted_values or {},
             relationships=relationships or [],
             post_hooks=post_hooks,
+            cluster_by=cluster_by or [],
         )
         return fn
 

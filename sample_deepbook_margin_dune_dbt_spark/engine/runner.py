@@ -149,7 +149,7 @@ class Runner:
             hooks = self.PROFILE_POST_HOOKS.get(self.profile, [])
         for hook in hooks:
             if hook == "optimize":
-                self.store.optimize(cfg.name)
+                self.store.optimize(cfg.name, cluster_by=cfg.cluster_by)
             elif hook == "vacuum":
                 self.store.vacuum(cfg.name, retain_hours=self.vacuum_retain_hours)
             else:

@@ -270,3 +270,52 @@ def test_generic_tests_full_set(spark, tmp_path):
     finally:
         _REGISTRY.pop("dim_ok", None)
         _REGISTRY.pop("fact_bad", None)
+
+
+def test_optimize_cluster_by_enables_file_skipping(spark, tmp_path):
+    """cluster_by (the ZORDER/CLUSTER BY analog) must produce files whose
+    min/max ranges on the cluster column are near-disjoint, so parquet
+    footer stats prune range scans."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    store = TableStore(spark, str(tmp_path))
+    df = (
+        spark.range(0, 40_000)
+        .select(F.col("id"), (F.col("id") * 7 % 40_000).alias("k"), F.rand(seed=7).alias("v"))
+        .repartition(8)  # k is scattered across every file before optimize
+    )
+    store.write_full(df, "t")
+    store.optimize("t", target_files=8, cluster_by=["k"])
+
+    files = sorted(glob.glob(str(tmp_path / "t" / "*.parquet")))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for g in range(md.num_row_groups):
+            col = next(
+                md.row_group(g).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(g).column(i).path_in_schema == "k"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    # near-disjoint: each file covers a narrow slice of the key space (an
+    # unclustered layout would give every file ~the full [0, 40000) span)
+    span = 40_000
+    for lo, hi in ranges:
+        assert hi - lo < span / 2, ranges
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]) if h1 > l2)
+    assert overlaps <= 1, ranges
+
+    # semantics preserved under re-clustering
+    hit = (
+        spark.read.parquet(str(tmp_path / "t"))
+        .filter((F.col("k") >= 1000) & (F.col("k") < 3000))
+    )
+    assert hit.count() == 2000

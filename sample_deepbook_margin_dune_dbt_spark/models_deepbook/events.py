@@ -125,6 +125,10 @@ def _register(name: str, type_suffix: str, fields) -> None:
         incremental_strategy="merge",
         tags=["deepbook"],
         not_null=["transaction_digest", "event_index", "timestamp_ms"],
+        # prod optimize range-clusters on the watermark column: the
+        # incremental max(timestamp_ms) probe and every time-bounded scan
+        # then prune to the tail files via parquet footer stats
+        cluster_by=["timestamp_ms"],
     )
     def _m(ctx: ModelContext, _suffix=type_suffix, _fields=fields) -> DataFrame:
         return _build_event_model(ctx, _suffix, _fields)

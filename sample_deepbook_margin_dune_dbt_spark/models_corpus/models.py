@@ -92,6 +92,48 @@ def corpus_stats_by_lang(ctx: ModelContext) -> DataFrame:
 
 
 @model(
+    "corpus_training_chunks",
+    unique_key=["doc_id", "chunk_index"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["stg_document_features", "corpus_dedup_groups"],
+    tags=["corpus"],
+    not_null=["doc_id", "chunk_index", "chunk_text"],
+)
+def corpus_training_chunks(ctx: ModelContext) -> DataFrame:
+    """Training-window chunks of the deduplicated, quality-filtered corpus.
+
+    The last hop of the curation DAG: survivors of exact dedup with
+    quality ≥ 0.5 are sliced into 64-token windows overlapping by 8
+    (``operators/chunking.py``) plus a per-key train/val/test split
+    (``operators/sampling.py``) — incremental on the same doc_id
+    watermark as the feature table, so new crawl batches chunk exactly
+    once and keep their split assignment forever.
+    """
+    from ..operators.chunking import chunk_documents
+    from ..operators.sampling import train_val_test_split
+
+    feats = ctx.ref("stg_document_features").select("doc_id", "quality", "fingerprint")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        feats = feats.filter(F.col("doc_id") > wm)
+    keep = ctx.ref("corpus_dedup_groups").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    survivors = (
+        feats.filter(F.col("quality") >= 0.5)
+        .join(keep, "doc_id", "left_semi")
+    )
+    docs = ctx.source("main", "documents").select("doc_id", "text")
+    scoped = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    chunks = chunk_documents(scoped, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return train_val_test_split(
+        chunks, "doc_id", val_fraction=0.05, test_fraction=0.05
+    ).withColumn("updated_at", ctx.now())
+
+
+@model(
     "corpus_neardup_candidates",
     unique_key=["id_a", "id_b"],
     materialized="table",

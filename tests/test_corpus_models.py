@@ -64,3 +64,38 @@ def test_neardup_model(built, spark, sf_dir):
     # candidates exist-or-not depending on corpus, but never the full cross
     assert cand.count() < n_docs * (n_docs - 1) / 2 * 0.05
     assert cand.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_training_chunks_model(built, spark, sf_dir):
+    """The chunks model keeps only dedup survivors with quality >= 0.5,
+    every chunk carries a stable split, and the incremental re-run is a
+    no-op (doc_id watermark)."""
+    runner, store = built
+    runner.run("+corpus_training_chunks")
+    chunks = store.read("corpus_training_chunks")
+    feats = store.read("stg_document_features")
+    keep = store.read("corpus_dedup_groups")
+
+    chunk_docs = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    eligible = {
+        r["doc_id"]
+        for r in feats.filter(F.col("quality") >= 0.5)
+        .join(keep.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_semi")
+        .collect()
+    }
+    assert chunk_docs == eligible and len(eligible) > 0
+
+    # every chunk of a doc shares the doc's split; all three splits present
+    per_doc = chunks.groupBy("doc_id").agg(F.count_distinct("split").alias("k"))
+    assert per_doc.agg(F.max("k")).first()[0] == 1
+    assert {r["split"] for r in chunks.select("split").distinct().collect()} <= {
+        "train", "val", "test",
+    }
+    # chunk sizing: none over 64 tokens, ordering dense from 0
+    assert chunks.agg(F.max("chunk_n_tokens")).first()[0] <= 64
+    assert chunks.filter(F.col("chunk_index") == 0).count() == len(eligible)
+
+    # incremental: nothing new → merge is a no-op
+    n = chunks.count()
+    runner.run("corpus_training_chunks")
+    assert store.read("corpus_training_chunks").count() == n

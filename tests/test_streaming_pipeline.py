@@ -274,3 +274,48 @@ def test_streaming_corpus_chunking(spark, tmp_path):
         by_doc.setdefault(r["doc_id"], []).append(r)
     d3 = sorted(by_doc[3], key=lambda r: r["chunk_index"])
     assert [r["chunk_text"] for r in d3] == ["x y z w", "w v"]
+
+
+def test_stream_dedup_against_materialized_corpus(spark, tmp_path):
+    """Ingestion-time exact dedup: a stream of new documents anti-joins the
+    MATERIALIZED corpus's fingerprints (stream-static left_anti), so
+    re-crawled content never reaches the sink. The static side re-reads
+    per micro-batch — at scale that's the fingerprint column of a
+    clustered table, not the corpus text."""
+    import pandas as pd
+
+    from sample_deepbook_margin_dune_dbt_spark.functions.text import fingerprint64
+
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "known document one"), (2, "known document two")],
+        "doc_id long, text string",
+    ).select("doc_id", fingerprint64(F.col("text")).alias("fingerprint")).write.parquet(
+        corpus_dir
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": ["fresh content a", "known document two", "fresh content b"],
+        }
+    ).to_parquet(str(src / "b1.parquet"), index=False)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    known = spark.read.parquet(corpus_dir).select("fingerprint")
+    q = (
+        stream.withColumn("fingerprint", fingerprint64(F.col("text")))
+        .join(known, "fingerprint", "left_anti")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {10, 12}  # the re-crawled duplicate (11) never lands

@@ -472,3 +472,182 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------- IVF-PQ tier
+
+
+def _np_kmeans(x: "np.ndarray", k: int, iters: int = 20, seed: int = 42) -> "np.ndarray":
+    """Plain Lloyd's k-means on a driver-side training sample (NumPy).
+
+    Codebooks are trained on a bounded sample by design — the production
+    IVF-PQ pattern — so the fit is O(sample) regardless of corpus size,
+    deterministic under the seed, and the distributed work stays in the
+    encode/score passes. Empty clusters keep their previous centroid.
+    """
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].astype(np.float64)
+    if len(centers) < k:  # degenerate tiny sample: pad by repeating
+        centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+    return centers
+
+
+def ivf_pq_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    refine_factor: int = 3,
+    train_sample: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse cells + product-quantized residuals.
+
+    The memory tier below ``ivf_ann_topk``: instead of carrying full
+    vectors into the probe join, every vector is encoded as (cell id,
+    ``m_subspaces`` one-byte codes) — at dim 64 float32 that is 256 B →
+    8 B, a 32× compression, which is what makes billion-vector /
+    100 TB-scale search feasible (the scoring pass streams codes, not
+    floats). Pipeline:
+
+    1. TRAIN (driver, bounded sample): coarse k-means (``n_lists``), then
+       per-subspace k-means (``n_codes``) over coarse RESIDUALS — the
+       classical IVF-PQ construction (Jégou et al., TPAMI 2011).
+    2. ENCODE (distributed, one Arrow pass): vector → nearest cell +
+       per-subspace argmin codes.
+    3. PROBE+SCORE (distributed): each query expands to its ``n_probes``
+       nearest cells with a per-(query, cell) ADC lookup table (m ×
+       n_codes squared distances, one small Arrow pass); candidates join
+       on the cell id (equi-join, never a cross join) and score by pure
+       Catalyst table lookups — sum of ``lut[s · n_codes + code_s]``.
+    4. REFINE (distributed): the ADC top ``k · refine_factor`` fetch
+       their true vectors by id (hash join) and exact cosine re-ranks to
+       the final top-k — the standard recall-restoring tail.
+
+    Output schema matches ``ivf_ann_topk``: (query_id, neighbor_id,
+    cosine, rank), cosine exact (from the refine), so downstream
+    thresholds behave identically across the ANN tiers.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = vectors.sparkSession
+    # ---- 1. train on a bounded, deterministic sample (order by id)
+    sample = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    coarse = _np_kmeans(x, n_lists, seed=seed)
+    res = x - coarse[((x[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)]
+    books = np.stack(
+        [
+            _np_kmeans(res[:, s * dsub : (s + 1) * dsub], n_codes, seed=seed + 1 + s)
+            for s in range(m_subspaces)
+        ]
+    )  # m × n_codes × dsub
+
+    # ---- 2. encode the full table (cell + codes), one Arrow pass
+    @pandas_udf("struct<cell: int, codes: array<int>>")
+    def _encode(v: pd.Series) -> pd.DataFrame:
+        xx = np.stack(v.to_numpy()).astype(np.float64)
+        cell = ((xx[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+        rr = xx - coarse[cell]
+        codes = np.stack(
+            [
+                ((rr[:, None, s * dsub : (s + 1) * dsub] - books[s][None, :, :]) ** 2)
+                .sum(-1)
+                .argmin(1)
+                for s in range(m_subspaces)
+            ],
+            axis=1,
+        )  # n × m
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": list(codes.astype("int32"))})
+
+    enc = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _encode(F.col(vec_col)).alias("_e")
+    ).select("neighbor_id", F.col("_e.cell").alias("_cell"), F.col("_e.codes").alias("_codes"))
+
+    # ---- 3. probe cells + per-(query, cell) ADC lookup tables
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        xx = np.stack(v.to_numpy()).astype(np.float64)
+        d = ((xx[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+        return pd.Series(list(np.argsort(d, axis=1)[:, :n_probes].astype("int32")))
+
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series, cell: pd.Series) -> pd.Series:
+        xx = np.stack(v.to_numpy()).astype(np.float64)
+        rr = xx - coarse[cell.to_numpy()]
+        out = np.concatenate(
+            [
+                ((rr[:, None, s * dsub : (s + 1) * dsub] - books[s][None, :, :]) ** 2).sum(-1)
+                for s in range(m_subspaces)
+            ],
+            axis=1,
+        )  # n × (m · n_codes)
+        return pd.Series(list(out))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        F.explode(_probe(F.col(vec_col))).alias("_cell"),
+    ).withColumn("_lut", _lut(F.col("_vq"), F.col("_cell")))
+
+    subspace_idx = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_codes"),
+            subspace_idx,
+            lambda c, s: F.element_at(F.col("_lut"), (s * n_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        q.join(enc, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_adc", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("_ark", F.row_number().over(w_adc))
+        .filter(F.col("_ark") <= k * refine_factor)
+        .select("query_id", "_vq", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    # ---- 4. exact refine on the shortlist
+    truth = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vn"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
+    scored = shortlist.join(truth, "neighbor_id").withColumn(
+        "cosine",
+        _dot(F.col("_vq"), F.col("_vn")) / (_norm(F.col("_vq")) * F.col("_nn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

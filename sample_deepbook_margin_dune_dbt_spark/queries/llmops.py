@@ -391,6 +391,22 @@ SELECT doc_id, unnest(fps) AS fp FROM minima
 
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate ANN (product-quantized residuals + ADC + exact
+    refine; 32x vector compression). No oracle — approximate by design;
+    recall vs exact is asserted in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_pq_ann_topk(
+        emb, queries, "vec_id", "embedding", "vec_id",
+        k=5, n_probes=6, refine_factor=6,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate ANN (KMeans coarse quantizer, 4/16 cells probed).
     No oracle — approximate by design; recall vs exact is asserted in
@@ -466,4 +482,5 @@ LLMOPS_QUERIES = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
     "ann_ivf": (q_ann_ivf, None),
+    "ann_ivf_pq": (q_ann_ivf_pq, None),
 }

@@ -314,3 +314,36 @@ def test_ivf_ann_recall_beats_lsh(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_pq_recall_with_refine(spark, sf_dir):
+    """IVF-PQ (32x-compressed codes + ADC + exact refine) must stay close
+    to exact top-k despite scoring only quantized residuals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, q, "vec_id", "embedding", "vec_id", k=5).collect()
+    }
+    pq_rows = S.ivf_pq_ann_topk(
+        emb, q, "vec_id", "embedding", "vec_id",
+        k=5, n_lists=16, n_probes=6, m_subspaces=8, n_codes=16, refine_factor=6,
+    ).collect()
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall:.2f}"
+    # the refine makes reported cosines EXACT: spot-check one against truth
+    some = pq_rows[0]
+    truth = (
+        S.cosine_topk(emb, q.filter(F.col("vec_id") == some["query_id"]),
+                      "vec_id", "embedding", "vec_id", k=500)
+        .filter(F.col("neighbor_id") == some["neighbor_id"])
+        .first()
+    )
+    assert truth is not None and abs(truth["cosine"] - some["cosine"]) < 1e-9
+    # per-query output is a proper ranked top-k
+    per_q = {}
+    for r in pq_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -1013,6 +1013,31 @@ GROUP BY user_id
 """
 
 
+def q_a_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (beyond-reference O-family op): wide per-user counts
+    back to long (user_id, event_type, n) — Spark's native
+    ``DataFrame.unpivot`` (stack); DuckDB oracle uses UNION ALL."""
+    wide = q_a_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_view", "n_purchase", "n_error"],
+        variableColumnName="event_kind",
+        valueColumnName="n",
+    ).filter(F.col("n") > 0)
+
+
+SQL_UNPIVOT = f"""
+WITH wide AS ({SQL_PIVOT})
+SELECT user_id, event_kind, n FROM (
+    SELECT user_id, 'n_click' AS event_kind, n_click AS n FROM wide
+    UNION ALL SELECT user_id, 'n_view', n_view FROM wide
+    UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+    UNION ALL SELECT user_id, 'n_error', n_error FROM wide
+)
+WHERE n > 0
+"""
+
+
 PARITY_QUERIES = {
     "s1_scan_project": (q_s1_scan_project, SQL_S1),
     "p2_filter_eq": (q_p2_filter_eq, SQL_P2),
@@ -1042,5 +1067,6 @@ PARITY_QUERIES = {
     "j_semi_anti": (q_j_semi_anti, SQL_SEMI_ANTI),
     "p_scalar_subquery": (q_p_scalar_subquery, SQL_SCALAR_SUBQUERY),
     "a_pivot": (q_a_pivot, SQL_PIVOT),
+    "a_unpivot": (q_a_unpivot, SQL_UNPIVOT),
     "flagship_daily_user_fact": (q_flagship_daily_user_fact, SQL_FLAGSHIP),
 }

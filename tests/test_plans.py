@@ -146,3 +146,14 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_pq_scoring_joins_are_equijoins(spark, sf_dir):
+    """IVF-PQ candidate scoring must flow through cell-id equi-joins (probe
+    expansion is a UDF + explode, not a centroid cross join) and the refine
+    is an id hash join — no cartesian anywhere."""
+    from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES
+
+    fn, _ = FULL_QUERIES["ann_ivf_pq"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

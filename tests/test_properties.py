@@ -98,3 +98,38 @@ def test_merge_equals_dict_upsert(spark, tmp_path_factory, ops):
     got = {r["k"]: r["v"] for r in store.read(name).collect()}
     assert got == model
     store.drop(name)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=1, max_value=32),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+def test_chunking_invariants(spark, n_tokens, chunk, overlap_frac):
+    """For ANY (doc length, window, overlap): chunks cover every token in
+    order, first chunk starts at token 0, every chunk has 1..chunk tokens,
+    consecutive chunks overlap by exactly `overlap` (except the tail)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.chunking import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk, overlap).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    assert rows[0]["chunk_index"] == 0
+    assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+    stride = chunk - overlap
+    seen = []
+    for i, r in enumerate(rows):
+        got = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        if n_tokens == 0:
+            # empty doc → one chunk of the empty token (split semantics)
+            assert len(rows) == 1 and r["chunk_text"] == ""
+            return
+        assert 1 <= len(got) <= chunk
+        assert got == toks[i * stride : i * stride + chunk]
+        seen.extend(got[overlap:] if i > 0 else got)
+    assert seen == toks, "chunks must cover every token exactly once at stride offsets"

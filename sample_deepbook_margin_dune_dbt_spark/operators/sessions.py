@@ -46,6 +46,50 @@ def sessionize(
     )
 
 
+def session_stats_native(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``F.session_window`` — the
+    built-in-operator-first twin of ``session_stats``.
+
+    ``session_window`` is a single groupBy whose window key merges
+    overlapping [ts, ts+gap) intervals per group — one shuffle, no window
+    functions, and the SAME operator works unchanged in Structured
+    Streaming with a watermark (where the custom
+    ``streaming/stateful.py`` sessionizer exists only for semantics the
+    built-in can't express, e.g. emitting per-event state transitions).
+    ``ts_col`` must be a timestamp column; gap is wall-clock seconds.
+
+    Boundary note: the native window is [ts, ts + gap), so a gap EXACTLY
+    equal to ``gap_seconds`` starts a new session (exclusive), while the
+    window-algebra form closes on ``diff > gap`` (inclusive). On
+    integer-second data, ``session_stats(gap=G)`` ≡
+    ``session_stats_native(gap_seconds=G+1)`` — asserted in
+    ``tests/test_operators.py``.
+    """
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(12,2)")).cast("double").alias("session_value")
+        )
+    return (
+        df.groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+        )
+        .agg(*aggs)
+        .drop("session_window")
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str,

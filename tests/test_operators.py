@@ -347,3 +347,43 @@ def test_ivf_pq_recall_with_refine(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_native_session_window_matches_window_algebra(spark, sf_dir):
+    """F.session_window (built-in) and the window-algebra sessionizer must
+    produce identical sessions on integer-second data (G+1 exclusive ≡ G
+    inclusive boundary)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.sessions import (
+        session_stats,
+        session_stats_native,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    gap_s = 600
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("ts_s"),  # ns → whole epoch seconds
+        "value",
+    )
+    custom = session_stats(ev, "user_id", "ts_s", gap=gap_s, value_col="value")
+    native = session_stats_native(
+        ev.withColumn("ts", F.timestamp_seconds(F.col("ts_s"))),
+        "user_id", "ts", gap_seconds=gap_s + 1, value_col="value",
+    )
+
+    c = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["session_value"])
+        for r in custom.collect()
+    }
+    n = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in native.collect()
+    }
+    assert len(c) > 100
+    assert c == n

@@ -53,5 +53,16 @@ def json_extract(col: Column | str, path: str) -> Column:
 
 
 def try_cast_scalar(col: Column, dtype: str) -> Column:
-    """Trino ``try_cast``: NULL on conversion failure (never raises)."""
+    """Trino ``try_cast``: NULL on conversion failure (never raises).
+
+    Known cross-engine quirk (hypothesis-found, pinned in
+    ``tests/test_properties.py::test_try_cast_matches_duckdb``): on
+    sign-only spellings — ``'-'``, ``'+'``, ``'- '`` (sign then
+    whitespace) — Spark returns NULL (a sign must be followed by digits)
+    while DuckDB's ``TRY_CAST`` parses sign-then-whitespace as an empty
+    digit string equal to 0. Trino agrees with Spark (NULL). No reference
+    model casts free-form text (only JSON-extracted id/number fields), so
+    the divergence is unreachable in the pipeline; the property test
+    carves these spellings out of the strict parity claim.
+    """
     return col.try_cast(dtype)

@@ -7,6 +7,8 @@ batch does the fuzzing work).
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -59,10 +61,14 @@ def test_try_cast_matches_duckdb(spark, texts):
         gi, gd = got[t]
         # engines differ on exotic spellings: unicode digits, and — found by
         # hypothesis — ASCII control characters ('0\x08' parses as 0 in Spark,
-        # which trims all chars <= 0x20 before parsing, but NULL in DuckDB).
-        # Restrict the strict claim to printable ASCII — the data the pipeline
-        # actually casts is JSON scalar text.
-        if t.isascii() and t.isprintable():
+        # which trims all chars <= 0x20 before parsing, but NULL in DuckDB),
+        # and sign-only spellings ('-', '- ', '+'): Spark NULLs a sign with no
+        # digits, DuckDB parses sign-then-whitespace as an empty digit string
+        # equal to 0. Restrict the strict claim to printable ASCII that isn't
+        # a bare sign — the data the pipeline actually casts is JSON scalar
+        # text. Divergence documented at functions/json.py (try_cast notes).
+        sign_only = re.fullmatch(r"\s*[+-]\s*", t) is not None
+        if t.isascii() and t.isprintable() and not sign_only:
             assert gi == ei, (t, gi, ei)
             if ed is None or gd is None:
                 assert gd == ed, (t, gd, ed)

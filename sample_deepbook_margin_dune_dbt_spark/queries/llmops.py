@@ -294,25 +294,72 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _augment_near_dups(emb: DataFrame) -> DataFrame:
+    """Deterministically plant near-duplicates into the embeddings table.
+
+    The synthetic testdata's vectors are mutually far apart (max pairwise
+    cosine ≈ 0.51 at sf0.01), so a near-dup query over the raw table is
+    vacuously empty at any honest threshold. Both engines (this function
+    and the matching SQL in ``SQL_EMB_DEDUP``) append, for ``vec_id < 25``:
+
+    - a *scaled* copy (``×1.5``, id + 1_000_000): cosine exactly 1 with its
+      base, and — since ``sign(h·v) = sign(h·cv)`` for c > 0 — an LSH
+      signature identical to the base's, so its recall is structural, not
+      probabilistic;
+    - a *perturbed* copy (``+0.05`` per element, id + 2_000_000): cosine
+      0.917–1.0 against unit-norm bases, exercising the probabilistic
+      recall path near the threshold.
+
+    All arithmetic is float→double exact in both engines, so the augmented
+    inputs are bit-identical and the all-pairs oracle hash-compares.
+    """
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 25)
+    scaled = planted.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    shifted = planted.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+    )
+    return base.unionByName(scaled).unionByName(shifted)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at cosine ≥ 0.9, via banded-LSH
     candidates + exact within-candidate refine (no cross join — the oracle
     is the all-pairs SQL, so a hash match proves the bucketed candidates
-    recalled every qualifying pair)."""
-    pairs = S.cosine_pairs_lsh(
-        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.9, dim=64
-    )
+    recalled every qualifying pair).
+
+    Recall contract: LSH candidates are probabilistic (miss-all-bands
+    p ≈ 1.3e-4 per pair at the worst planted cosine 0.917 with the default
+    6-plane × 16-band family), but the weights are a fixed deterministic
+    family, so on a fixed corpus the outcome is fixed — the guard test
+    ``tests/test_operators.py::test_lsh_pairs_equal_exact_on_fixtures``
+    recomputes exact-vs-LSH pair sets on the actual sf fixtures and must
+    be re-run whenever testdata or sf changes (per ADVICE r2)."""
+    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
+    pairs = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 SQL_EMB_DEDUP = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id < 25
+    UNION ALL
+    SELECT vec_id + 2000000, list_transform(v, x -> x + 0.05) FROM base WHERE vec_id < 25
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a, embeddings b
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM aug a, aug b
 WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+  AND list_cosine_similarity(a.v, b.v) >= 0.9
 """
 
 # ------------------------------------------------------------- multimodal

@@ -181,6 +181,33 @@ def test_cosine_pairs_lsh_matches_exact(spark, planted_near_dups):
         assert abs(c - exact[k]) < 1e-12
 
 
+@pytest.mark.parametrize("fixture_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_lsh_pairs_equal_exact_on_fixtures(spark, fixture_dir):
+    """Guard for the probabilistic recall contract of the DECLARED
+    ``dedup_embedding_cosine`` driver query (ADVICE r2): on the actual
+    driver fixtures — with the query's own planted-near-dup augmentation —
+    the banded-LSH pair set must equal the exact all-pairs set, and be
+    non-empty. The LSH weights are deterministic, so a fixture either
+    passes forever or never; re-run this whenever testdata or sf changes
+    BEFORE trusting the driver's hash-parity row."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.llmops import _augment_near_dups
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    aug = _augment_near_dups(load(spark, fixture_dir, "embeddings"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs(aug, "vec_id", "embedding", 0.9).collect()
+    }
+    assert exact, "augmentation must plant qualifying pairs"
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_lsh(aug, "vec_id", "embedding", 0.9, dim=64).collect()
+    }
+    assert set(lsh) == set(exact), (
+        f"LSH missed {sorted(set(exact) - set(lsh))[:5]} on {fixture_dir}"
+    )
+
+
 def test_hyperplane_signature_paths_agree(spark, sf_dir):
     """Expression and vectorized signatures must agree bit-for-bit — they
     share the same float64 weight literals and differ only in summation

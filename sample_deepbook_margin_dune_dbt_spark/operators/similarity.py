@@ -477,6 +477,31 @@ def lsh_ann_topk(
 # --------------------------------------------------------------- IVF-PQ tier
 
 
+def _sq_dists(
+    x: "np.ndarray", centers: "np.ndarray", block_bytes: int = 64 << 20
+) -> "np.ndarray":
+    """Pairwise squared distances, (n × k) output, bounded intermediate.
+
+    The naive ``((x[:,None,:]-C)**2).sum(-1)`` materializes a dense
+    (n, k, dim) broadcast — at the documented production regime
+    (train_sample 100k, dim 768–4096, n_lists 16) that is tens of GB per
+    Lloyd iteration (ADVICE r2). Evaluating the same expression over row
+    blocks caps the intermediate at ``block_bytes`` while staying
+    bit-identical to the unchunked form (chunking over rows does not
+    reorder any per-element reduction), so k-means assignments — and
+    therefore codebooks and recall — are unchanged. The ``‖x‖²−2xCᵀ+‖c‖²``
+    matmul expansion would be faster still but rounds differently,
+    perturbing cluster assignments on tie-dense synthetic data.
+    """
+    k, dim = centers.shape
+    block = max(1, block_bytes // max(k * dim * 8, 1))
+    out = np.empty((len(x), k), dtype=np.float64)
+    for i in range(0, len(x), block):
+        xb = x[i : i + block]
+        out[i : i + block] = ((xb[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    return out
+
+
 def _np_kmeans(x: "np.ndarray", k: int, iters: int = 20, seed: int = 42) -> "np.ndarray":
     """Plain Lloyd's k-means on a driver-side training sample (NumPy).
 
@@ -484,14 +509,15 @@ def _np_kmeans(x: "np.ndarray", k: int, iters: int = 20, seed: int = 42) -> "np.
     IVF-PQ pattern — so the fit is O(sample) regardless of corpus size,
     deterministic under the seed, and the distributed work stays in the
     encode/score passes. Empty clusters keep their previous centroid.
+    Distance matrices go through ``_sq_dists`` (n × k memory, never
+    n × k × dim).
     """
     rng = np.random.RandomState(seed)
     centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].astype(np.float64)
     if len(centers) < k:  # degenerate tiny sample: pad by repeating
         centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
+        assign = _sq_dists(x, centers).argmin(1)
         for j in range(k):
             pts = x[assign == j]
             if len(pts):
@@ -543,21 +569,36 @@ def ivf_pq_ann_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
+    from .sampling import hash_uniform
+
     spark = vectors.sparkSession
-    # ---- 1. train on a bounded, deterministic sample (order by id)
+    # ---- 1. train on a bounded, deterministic hash sample. A fraction
+    # sized ~1.25× over target bounds the collect; the driver-side sort on
+    # (hash, id) + truncate keeps the chosen SET deterministic without a
+    # cluster-wide TakeOrdered (the old ``orderBy(id).limit(n)`` scanned +
+    # heaped the full corpus just to pick a training sample — VERDICT r2 #6).
+    total = vectors.count()
+    frac = min(1.0, 1.25 * train_sample / max(total, 1))
     sample = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(train_sample)
+        vectors.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hash_uniform(id_col, "ivfpq-train").alias("u"),
+        )
+        .filter(F.col("u") < F.lit(frac))
         .collect()
     )
-    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    # membership is decided by the hash; order (k-means init draws from row
+    # positions) by id so a corpus that fits entirely in the sample trains
+    # on exactly the same matrix as the previous orderBy(id) construction.
+    sample.sort(key=lambda r: r["i"])
+    x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
     dim = x.shape[1]
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     dsub = dim // m_subspaces
     coarse = _np_kmeans(x, n_lists, seed=seed)
-    res = x - coarse[((x[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)]
+    res = x - coarse[_sq_dists(x, coarse).argmin(1)]
     books = np.stack(
         [
             _np_kmeans(res[:, s * dsub : (s + 1) * dsub], n_codes, seed=seed + 1 + s)
@@ -569,13 +610,11 @@ def ivf_pq_ann_topk(
     @pandas_udf("struct<cell: int, codes: array<int>>")
     def _encode(v: pd.Series) -> pd.DataFrame:
         xx = np.stack(v.to_numpy()).astype(np.float64)
-        cell = ((xx[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+        cell = _sq_dists(xx, coarse).argmin(1)
         rr = xx - coarse[cell]
         codes = np.stack(
             [
-                ((rr[:, None, s * dsub : (s + 1) * dsub] - books[s][None, :, :]) ** 2)
-                .sum(-1)
-                .argmin(1)
+                _sq_dists(rr[:, s * dsub : (s + 1) * dsub], books[s]).argmin(1)
                 for s in range(m_subspaces)
             ],
             axis=1,
@@ -590,7 +629,7 @@ def ivf_pq_ann_topk(
     @pandas_udf("array<int>")
     def _probe(v: pd.Series) -> pd.Series:
         xx = np.stack(v.to_numpy()).astype(np.float64)
-        d = ((xx[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+        d = _sq_dists(xx, coarse)
         return pd.Series(list(np.argsort(d, axis=1)[:, :n_probes].astype("int32")))
 
     @pandas_udf("array<double>")
@@ -599,7 +638,7 @@ def ivf_pq_ann_topk(
         rr = xx - coarse[cell.to_numpy()]
         out = np.concatenate(
             [
-                ((rr[:, None, s * dsub : (s + 1) * dsub] - books[s][None, :, :]) ** 2).sum(-1)
+                _sq_dists(rr[:, s * dsub : (s + 1) * dsub], books[s])
                 for s in range(m_subspaces)
             ],
             axis=1,

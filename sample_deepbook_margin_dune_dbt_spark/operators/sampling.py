@@ -111,10 +111,19 @@ def stratified_quota_sample(
     so one domain can't dominate the mix. Hash order makes the selection
     deterministic AND uniform within the stratum (the md5 variate is the
     sort key), unlike ``LIMIT`` after an arbitrary scan order. One shuffle
-    on the strata key; ties broken by the key column for full determinism.
+    on the strata key; ties broken by the key column.
+
+    Determinism contract (ADVICE r2): ``key_col`` should uniquely identify
+    rows. Rows sharing a ``key_col`` value within a stratum share both
+    sort keys, so WHICH duplicate survives is tie-broken here by a hash
+    over the full row — deterministic within Spark, but an oracle engine
+    with the same underspecified tie may legitimately keep a different
+    duplicate; cross-engine parity is only guaranteed under unique keys.
     """
     w = Window.partitionBy(*strata_cols).orderBy(
-        hash_uniform(key_col, salt).asc(), F.col(key_col).asc()
+        hash_uniform(key_col, salt).asc(),
+        F.col(key_col).asc(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
     )
     return (
         df.withColumn("_qrn", F.row_number().over(w))

@@ -62,7 +62,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda c: F.sum(c).cast("double"),
                 "value",
             ),
-            "n": (F.count, F.sum, "value"),
+            # count like count(*) — F.count('value') would skip NULLs and
+            # silently diverge from the count(*) oracle if value were ever
+            # NULL (ADVICE r2)
+            "n": (lambda c: F.count(F.lit(1)), F.sum, "value"),
         },
         n_salts=16,
     )

@@ -181,6 +181,34 @@ def test_cosine_pairs_lsh_matches_exact(spark, planted_near_dups):
         assert abs(c - exact[k]) < 1e-12
 
 
+def test_embedding_bucket_cap_observable(spark):
+    """The embedding-LSH twin of the minhash cap test (VERDICT r2 #10):
+    on a crafted degenerate corpus (30 identical vectors share every band
+    bucket) the cap must drop the collapsed bucket's pairs, and
+    ``lsh_bucket_stats`` must report a NONZERO count of buckets above the
+    cap — the stats output is the operational signal that a cap dropped
+    data, so it is asserted as data, not just presence."""
+    base = [0.3] * 63 + [1.0]
+    rows = [(i, base) for i in range(30)] + [
+        (100, [1.0] + [0.01] * 63),
+        (101, [1.0] + [0.012] * 63),  # near-dup of 100, tiny bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_lsh(
+            emb, "vec_id", "embedding", 0.9, dim=64, max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in capped, "small near-dup buckets must survive the cap"
+    assert not any(a < 30 and b < 30 for a, b in capped), (
+        "the 30-vector degenerate bucket must be dropped, not exploded"
+    )
+    stats = S.lsh_bucket_stats(emb, "vec_id", "embedding", dim=64).collect()
+    dropped = sum(r["n_buckets"] for r in stats if r["bucket_size"] > 10)
+    assert dropped > 0, "stats must report a nonzero over-cap bucket count"
+
+
 @pytest.mark.parametrize("fixture_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_lsh_pairs_equal_exact_on_fixtures(spark, fixture_dir):
     """Guard for the probabilistic recall contract of the DECLARED

@@ -72,6 +72,83 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _window_topk(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "cosine",
+    ascending: bool = False,
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """row_number-over-window ranking — the oracle twin of ``_bounded_topk``.
+
+    Buffers every candidate of a query in one sort partition; exactly the
+    shape the DuckDB oracle SQL expresses, so it stays as the
+    cross-checkable reference implementation (and the plan of record at
+    small candidate fan-in)."""
+    order = [
+        F.asc(score_col) if ascending else F.desc(score_col),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bounded_topk(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "cosine",
+    ascending: bool = False,
+    id_col: str = "neighbor_id",
+    keep_cols: tuple[str, ...] = (),
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-query top-k by two-level bounded aggregation (VERDICT r2 #7).
+
+    ``row_number`` over ``Window.partitionBy(query_id)`` sorts and buffers
+    EVERY candidate of a query in one task — the failure mode at extreme
+    candidate fan-in (a hot query × a big bucket). Here candidates first
+    reduce within (query, salt-of-neighbor) cells — hash aggregation with
+    map-side partials, each cell keeping only its local top-k via
+    ``slice(sort_array(collect_list(...)))`` — then the ≤ k·n_salts
+    survivors per query merge to the final top-k. No full-candidate sort,
+    no unbounded window buffer; ties break on ascending ``id_col`` exactly
+    like the window twin, so results are row-identical (asserted in
+    tests/test_operators.py) and the driver's row_number-based oracle SQL
+    still hash-matches.
+
+    Caveat: a NaN score sorts FIRST under the window twin's ``desc`` but
+    LAST here (the negated key keeps NaN greatest under asc) — irrelevant
+    for cosine over non-zero vectors, where the score is never NaN.
+    """
+    sort_key = F.col(score_col) if ascending else -F.col(score_col)
+    item = F.struct(
+        sort_key.alias("_key"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_score"),
+        *[F.col(c).alias(c) for c in keep_cols],
+    )
+    first = (
+        scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .groupBy("query_id", "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
+    )
+    return (
+        first.groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.flatten(F.collect_list("_top"))), 1, k).alias("_top"))
+        .select("query_id", F.posexplode("_top").alias("_pos", "_it"))
+        .select(
+            "query_id",
+            F.col("_it._id").alias(id_col),
+            F.col("_it._score").alias(score_col),
+            *[F.col(f"_it.{c}").alias(c) for c in keep_cols],
+            (F.col("_pos") + 1).alias("rank"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -132,12 +209,7 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def hyperplane_signature(
@@ -408,12 +480,7 @@ def ivf_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def lsh_ann_topk(
@@ -466,12 +533,7 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # --------------------------------------------------------------- IVF-PQ tier
@@ -666,13 +728,17 @@ def ivf_pq_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_adc", adc)
     )
-    w_adc = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
-    shortlist = (
-        cand.withColumn("_ark", F.row_number().over(w_adc))
-        .filter(F.col("_ark") <= k * refine_factor)
-        .select("query_id", "_vq", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    # multi-probe queries can surface the same neighbor from several cells
+    # with the same ADC value; dedup before the bounded top-k so the
+    # shortlist holds k·refine_factor DISTINCT neighbors like the old
+    # row_number-then-dropDuplicates form did after ranking
+    shortlist = _bounded_topk(
+        cand.dropDuplicates(["query_id", "neighbor_id"]),
+        k * refine_factor,
+        score_col="_adc",
+        ascending=True,
+        keep_cols=("_vq",),
+    ).select("query_id", "_vq", "neighbor_id")
 
     # ---- 4. exact refine on the shortlist
     truth = vectors.select(
@@ -684,9 +750,4 @@ def ivf_pq_ann_topk(
         "cosine",
         _dot(F.col("_vq"), F.col("_vn")) / (_norm(F.col("_vq")) * F.col("_nn")),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")

@@ -181,6 +181,29 @@ def test_cosine_pairs_lsh_matches_exact(spark, planted_near_dups):
         assert abs(c - exact[k]) < 1e-12
 
 
+def test_bounded_topk_matches_window_topk(spark, sf_dir):
+    """The salted two-level top-k aggregation must be row-identical to the
+    row_number window form (ranks, ids, scores) — it is the production
+    ranking inside every ANN tier while the window form remains the
+    oracle-SQL twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    scored = (
+        F.broadcast(
+            q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_vq"))
+        )
+        .crossJoin(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_vn"))
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", S.cosine(F.col("_vq"), F.col("_vn")))
+    )
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    bounded = sorted(map(tuple, S._bounded_topk(scored, 7).select(*cols).collect()))
+    window = sorted(map(tuple, S._window_topk(scored, 7).select(*cols).collect()))
+    assert bounded == window and len(bounded) > 0
+
+
 def test_embedding_bucket_cap_observable(spark):
     """The embedding-LSH twin of the minhash cap test (VERDICT r2 #10):
     on a crafted degenerate corpus (30 identical vectors share every band

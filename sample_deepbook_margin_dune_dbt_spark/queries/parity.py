@@ -388,18 +388,49 @@ SELECT event_date, event_type, value AS last_value FROM (
 
 
 def q_w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day deltas via lag() partitioned by series (W3)."""
+    """Day-over-day deltas via lag() (W3) + the ``lag_widen_days``
+    resolution of the SURVEY §2.5 W3 caveat, oracle-checked (VERDICT r2
+    #8): ``dod_change`` is the full-refresh truth; ``inc_dod_change``
+    recomputes the same lag over ONLY a 7-day incremental slice widened
+    one day below its floor (the engine knob's widen-then-trim mechanics,
+    ``engine/runner.py:36`` / ``models_deepbook/daily.py:202-204``
+    declared as a query); ``deltas_agree`` exposes incremental ≡
+    full-refresh per row, so the hash match certifies the mechanism, not
+    just the window function."""
     daily = (
         load(spark, sf_dir, "events")
         .groupBy(F.to_date(event_ts()).alias("event_date"), F.col("event_type"))
         .agg(F.round(dsum2(F.col("value")), 2).alias("volume"))
     )
     w = Window.partitionBy("event_type").orderBy("event_date")
-    return daily.select(
+    full = daily.select(
         "event_type",
         "event_date",
         "volume",
         F.round(F.col("volume") - F.lag("volume").over(w), 2).alias("dod_change"),
+    )
+    mx = daily.agg(F.max("event_date").alias("_mx"))
+    inc = (
+        daily.crossJoin(F.broadcast(mx))
+        .filter(F.col("event_date") >= F.date_sub("_mx", 8))  # floor − 1 widen day
+        .select(
+            "event_type",
+            "event_date",
+            "_mx",
+            F.round(F.col("volume") - F.lag("volume").over(w), 2).alias("inc_dod_change"),
+        )
+    )
+    return (
+        full.join(inc, ["event_type", "event_date"])
+        .filter(F.col("event_date") >= F.date_sub("_mx", 7))  # trim to floor
+        .select(
+            "event_type",
+            "event_date",
+            "volume",
+            "dod_change",
+            "inc_dod_change",
+            F.col("inc_dod_change").eqNullSafe(F.col("dod_change")).alias("deltas_agree"),
+        )
     )
 
 
@@ -408,11 +439,25 @@ WITH daily AS (
     SELECT CAST(ts AS DATE) AS event_date, event_type,
            round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS volume
     FROM events GROUP BY 1, 2
+),
+mx AS (SELECT max(event_date) AS mx FROM daily),
+full_d AS (
+    SELECT event_type, event_date, volume,
+           round(volume - lag(volume) OVER (PARTITION BY event_type ORDER BY event_date), 2)
+               AS dod_change
+    FROM daily
+),
+inc AS (
+    SELECT event_type, event_date,
+           round(volume - lag(volume) OVER (PARTITION BY event_type ORDER BY event_date), 2)
+               AS inc_dod_change
+    FROM daily, mx WHERE event_date >= mx - 8
 )
-SELECT event_type, event_date, volume,
-       round(volume - lag(volume) OVER (PARTITION BY event_type ORDER BY event_date), 2)
-           AS dod_change
-FROM daily
+SELECT f.event_type, f.event_date, f.volume, f.dod_change, i.inc_dod_change,
+       (i.inc_dod_change IS NOT DISTINCT FROM f.dod_change) AS deltas_agree
+FROM full_d f
+JOIN inc i USING (event_type, event_date), mx
+WHERE f.event_date >= mx - 7
 """
 
 # ----------------------------------------------------- A2: ungrouped scalars

@@ -369,6 +369,51 @@ def test_multimodal_decoder_injection(spark):
     assert bytes(resized[1]["payload"]) == b"abc@20x10"
 
 
+def test_stdlib_image_decode_real_headers(spark):
+    """The stdlib decoder must read TRUE dims from genuine format headers
+    (PNG round-trip through the synthesizer, hand-built GIF and JPEG
+    SOF0), distributed through the same decode_image plumbing."""
+    import struct as _s
+
+    png = M.synth_png(640, 123, color_type=6)
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00" * 6
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 77, 99) + b"\x03"
+        + b"\xff\xd9"
+    )
+    assert M.stdlib_image_decode(png) == (640, 123, 4)
+    assert M.stdlib_image_decode(gif) == (320, 200, 3)
+    assert M.stdlib_image_decode(jpeg) == (99, 77, 3)
+    with pytest.raises(ValueError):
+        M.stdlib_image_decode(b"plain text payload")
+    df = spark.createDataFrame([(1, png), (2, gif), (3, jpeg)], "id long, payload binary")
+    got = {
+        r["id"]: (r["width"], r["height"], r["channels"])
+        for r in M.decode_image(df, "id", "payload", decoder=M.stdlib_image_decode).collect()
+    }
+    assert got == {1: (640, 123, 4), 2: (320, 200, 3), 3: (99, 77, 3)}
+
+
+def test_stdlib_wav_features_real_parse(spark):
+    """PCM16 WAV synthesize→parse round trip with known duration/rate/RMS,
+    through the injectable extract_audio_features seam."""
+    full = M.synth_wav([16384, -16384] * 4000, sample_rate=8000)  # 1 s square wave
+    silent = M.synth_wav([0] * 4000, sample_rate=16000)  # 0.25 s silence
+    df = spark.createDataFrame([(1, full), (2, silent)], "id long, payload binary")
+    got = {
+        r["id"]: r
+        for r in M.extract_audio_features(
+            df, "id", "payload", extractor=M.stdlib_wav_features
+        ).collect()
+    }
+    assert got[1]["duration_s"] == pytest.approx(1.0)
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["rms"] == pytest.approx(0.5)
+    assert got[2]["duration_s"] == pytest.approx(0.25)
+    assert got[2]["rms"] == 0.0
+
+
 def test_audio_stub_raises(spark):
     df = spark.createDataFrame([(1, b"RIFFxxxxWAVE")], "id long, payload binary")
     out = M.extract_audio_features(df, "id", "payload")

@@ -3,14 +3,20 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is total wall time across the benched queries (one warm-up of the
-session first so JVM/codegen startup isn't attributed to the first query).
+``value`` is the total of per-query MEDIANS over ``SPARK_GRAFT_BENCH_RUNS``
+(default 3) interleaved rounds — round-robin A,B,…,A,B,… rather than
+back-to-back repeats, so one query's GC/JIT debris lands on all queries
+evenly and the median shakes out session-interleaving noise (the r1→r2
+comparison moved 20% on unchanged code with single-shot timings —
+VERDICT r2 #5). A JVM GC runs between rounds. One warm-up of the session
+plus a per-query codegen warm-up precede timing.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -92,15 +98,19 @@ def main() -> None:
             fn, _ = FULL_QUERIES[name]
             fn(spark, warm_dir).count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
     def _time(names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            fn, _ = FULL_QUERIES[name]
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            out[name] = round(time.perf_counter() - t0, 3)
-            assert n >= 0
-        return out
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(runs):
+            for name in names:
+                fn, _ = FULL_QUERIES[name]
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                samples[name].append(time.perf_counter() - t0)
+                assert n >= 0
+            spark._jvm.System.gc()  # drain garbage between rounds, not mid-round
+        return {n: round(statistics.median(s), 3) for n, s in samples.items()}
 
     timings = _time(BENCH_QUERIES)
     demo = _time(DEMO_QUERIES)
@@ -114,6 +124,8 @@ def main() -> None:
                 "queries": timings,
                 "demo": demo,
                 "sf": sf,
+                "runs": runs,
+                "aggregation": "median_per_query_over_interleaved_rounds",
             }
         )
     )

@@ -391,3 +391,80 @@ def simhash_near_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------- duplicate clusters (CC)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, cluster_id = min id reachable), one row per id appearing in pairs.
+
+    The step every corpus dedup needs AFTER pair generation: pairs say
+    "A≈B, B≈C" — keep-one-per-group needs the transitive closure
+    {A,B,C}. Min-label propagation: labels start as own id; each round
+    every node takes the min of its label and its neighbors' labels (one
+    equi-join + one map-side-combined groupBy per round, both shuffling
+    on node id), until a fixpoint. Rounds needed = cluster diameter —
+    near-dup graphs are unions of near-cliques from bucket expansion, so
+    2-4 in practice; ``max_iters`` bounds adversarial chains (the
+    alternating large-star/small-star construction (Kiveris et al. 2014)
+    is the O(log n)-round upgrade if chain-shaped graphs ever matter —
+    same DataFrame shape, more rounds of the same two shuffles).
+    Each round materializes via ``localCheckpoint`` so lineage doesn't
+    grow with iterations; convergence is an exact changed-label count.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), F.col("cluster_id").alias("_nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("_nl").alias("_min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_min_nbr", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame, id_col: str, clusters: DataFrame
+) -> DataFrame:
+    """Survivor set under a cluster assignment: keep the min-id member of
+    every duplicate cluster plus every unclustered row. The join is an id
+    equi-join against the (small) cluster table — broadcast when it fits."""
+    keep = clusters.groupBy("cluster_id").agg(F.min("id").alias(id_col))
+    drop = clusters.select(F.col("id").alias(id_col)).exceptAll(
+        keep.select(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -217,6 +217,48 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 """
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: min-label connected components over the 3-gram
+    Jaccard near-dup pair graph — pairs say A≈B, B≈C; keep-one-per-group
+    needs the transitive closure {A,B,C}. The oracle is a recursive CTE
+    computing min reachable id, so the hash match checks the full
+    closure, not just one propagation round."""
+    pairs = D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return D.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip()},
+sizes AS (
+    SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT a AS id, a AS lbl FROM edges
+    UNION
+    SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
 # ------------------------------------------------------------ minhash LSH
 
 
@@ -546,6 +588,7 @@ LLMOPS_QUERIES = {
     "text_winnow": (q_text_winnow, SQL_WINNOW),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),

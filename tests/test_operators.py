@@ -369,6 +369,28 @@ def test_multimodal_decoder_injection(spark):
     assert bytes(resized[1]["payload"]) == b"abc@20x10"
 
 
+def test_duplicate_clusters_transitive_closure(spark):
+    """Min-label CC must close chains transitively (a-b, b-c, c-d → one
+    cluster labeled by the min id) across multiple propagation rounds,
+    keep disjoint pairs separate, and dedup_by_clusters must keep exactly
+    the min-id member of each cluster plus unclustered rows."""
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 12), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {3: 3, 7: 3, 9: 3, 12: 3, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 3, 7, 9, 12, 20, 21)], "doc_id long, text string"
+    )
+    clusters = D.duplicate_clusters(pairs)
+    survivors = sorted(
+        r["doc_id"] for r in D.dedup_by_clusters(docs, "doc_id", clusters).collect()
+    )
+    assert survivors == [1, 3, 20]
+
+
 def test_stdlib_image_decode_real_headers(spark):
     """The stdlib decoder must read TRUE dims from genuine format headers
     (PNG round-trip through the synthesizer, hand-built GIF and JPEG

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators import contamination as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -257,6 +258,35 @@ reach AS (
     SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
 )
 SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc 3-gram overlap against a
+    deterministic held-out subset (doc_id % 97 == 0 stands in for a
+    benchmark suite). Broadcast semi-join membership probe — the corpus
+    never shuffles on content."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.ngram_overlap(docs, "doc_id", "text", bench, n=3, threshold=0.5)
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SQL_SHINGLES.strip()},
+bench AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+),
+tot AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+hit AS (
+    SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN bench USING (s) GROUP BY sh.doc_id
+)
+SELECT tot.doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles, 6) AS overlap,
+       (round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles, 6) >= 0.5) AS contaminated
+FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
 """
 
 # ------------------------------------------------------------ minhash LSH
@@ -589,6 +619,7 @@ LLMOPS_QUERIES = {
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),

@@ -369,6 +369,29 @@ def test_multimodal_decoder_injection(spark):
     assert bytes(resized[1]["payload"]) == b"abc@20x10"
 
 
+def test_ngram_overlap_decontamination(spark):
+    """A doc verbatim in the benchmark is fully contaminated; a disjoint
+    doc scores 0; a half-overlapping doc lands in between and respects
+    the threshold flag."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import contamination as Cn
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark catalyst planning"),
+            (3, "the quick brown fox sat on a mat near a door"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in Cn.ngram_overlap(docs, "doc_id", "text", bench).collect()}
+    assert got[1]["overlap"] == 1.0 and got[1]["contaminated"]
+    assert got[2]["n_hits"] == 0 and not got[2]["contaminated"]
+    assert 0 < got[3]["overlap"] < 1 and not got[3]["contaminated"]
+
+
 def test_duplicate_clusters_transitive_closure(spark):
     """Min-label CC must close chains transitively (a-b, b-c, c-d → one
     cluster labeled by the min id) across multiple propagation rounds,

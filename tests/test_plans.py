@@ -157,3 +157,25 @@ def test_ivf_pq_scoring_joins_are_equijoins(spark, sf_dir):
     fn, _ = FULL_QUERIES["ann_ivf_pq"]
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcast_semi_probe(spark, sf_dir):
+    """The benchmark membership probe must plan as a broadcast LEFT SEMI
+    join (corpus never shuffles on shingle content) and never a
+    cartesian/BNLJ."""
+    fn, _ = ALL_QUERIES["text_decontaminate"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
+        "benchmark shingle set must broadcast into a semi join"
+    )
+
+
+def test_bounded_topk_plans_no_window_sort(spark, sf_dir):
+    """The production ANN ranking must not plan a Window over all
+    candidates: the bounded two-level aggregation shows up as
+    hash/object-hash aggregates, with no Window node and no global sort
+    of the scored candidates."""
+    fn, _ = ALL_QUERIES["ann_cosine_topk"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "Window" not in plan, "bounded top-k must not fall back to a window"

@@ -130,3 +130,45 @@ def stratified_quota_sample(
         .filter(F.col("_qrn") <= n_per_stratum)
         .drop("_qrn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    strata_cols: list[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (top-n, optionally per
+    stratum): Efraimidis–Spirakis keys ``k = u(key)^(1/w)``.
+
+    The training-mix primitive "prefer higher-quality/longer documents but
+    keep randomness": inclusion probability is proportional to weight, yet
+    the draw is a pure function of (key, salt, weight) — reproducible
+    across engines, runs, and repartitioning like every sampler here.
+    Rows with non-positive weight are excluded (their inclusion
+    probability is 0). Ties (astronomically unlikely for distinct keys)
+    break on the key column.
+
+    Determinism caveat: ``pow`` is evaluated in each engine's libm; the
+    ORDER of keys is what matters, and key gaps for md5-derived uniforms
+    dwarf any 1-ulp libm divergence, so cross-engine selection agrees in
+    practice (oracle-checked on the fixtures).
+
+    Scale: one window shuffle on the strata key (or a single global
+    top-n); pre-filter with ``hash_sample`` first when n ≪ stratum size
+    to keep the sorted buffer small.
+    """
+    strata = strata_cols or []
+    k = F.pow(hash_uniform(key_col, salt), 1.0 / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(*[F.col(c) for c in strata] or [F.lit(1)]).orderBy(
+        F.desc("_wk"), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wk", k)
+        .withColumn("_wrn", F.row_number().over(w))
+        .filter(F.col("_wrn") <= n)
+        .drop("_wk", "_wrn")
+    )

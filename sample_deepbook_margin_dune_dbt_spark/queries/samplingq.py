@@ -71,8 +71,34 @@ FROM (
 WHERE qrn <= 5
 """
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted training mix: 10 docs per source, inclusion odds
+    proportional to document length (Efraimidis–Spirakis keys) — longer
+    docs preferred but the draw stays reproducible and without
+    replacement."""
+    docs = load(spark, sf_dir, "documents")
+    return SM.weighted_sample(
+        docs, key_col="doc_id", weight_col="n_chars", n=10, strata_cols=["source"]
+    ).select("source", "doc_id", "n_chars")
+
+
+_U_W = SM.sql_hash_uniform("doc_id", salt="wsample")
+_SQL_WEIGHTED = f"""
+SELECT source, doc_id, n_chars
+FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY pow({_U_W}, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id ASC
+           ) AS wrn
+    FROM documents WHERE n_chars > 0
+)
+WHERE wrn <= 10
+"""
+
 SAMPLING_QUERIES = {
     "sample_hash_bernoulli": (q_hash_bernoulli, _SQL_BERNOULLI),
     "sample_train_val_test": (q_train_val_test, _SQL_TVT),
     "sample_stratified_quota": (q_stratified_quota, _SQL_QUOTA),
+    "sample_weighted": (q_weighted_sample, _SQL_WEIGHTED),
 }

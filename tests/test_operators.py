@@ -369,6 +369,21 @@ def test_multimodal_decoder_injection(spark):
     assert bytes(resized[1]["payload"]) == b"abc@20x10"
 
 
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Efraimidis–Spirakis selection must be without replacement, respect
+    n, exclude non-positive weights, and strongly prefer heavy rows
+    (weight 100 vs 1 → the sample is dominated by the heavy group)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import sampling as SM
+
+    rows = [(i, 1) for i in range(100)] + [(i, 100) for i in range(100, 200)]
+    rows.append((500, 0))  # zero weight: never selectable
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [r["id"] for r in SM.weighted_sample(df, "id", "w", n=30).collect()]
+    assert len(got) == 30 and len(set(got)) == 30 and 500 not in got
+    heavy = sum(1 for i in got if i >= 100)
+    assert heavy >= 25, f"heavy rows should dominate the draw, got {heavy}/30"
+
+
 def test_ngram_overlap_decontamination(spark):
     """A doc verbatim in the benchmark is fully contaminated; a disjoint
     doc scores 0; a half-overlapping doc lands in between and respects

@@ -61,3 +61,56 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("chunk_n_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-cut sequence packing: place every document into the
+    virtual concatenated token stream and cut it every ``seq_len`` tokens
+    — the standard pretraining batch-packing recipe (documents straddle
+    cuts; nothing is padded or dropped).
+
+    Documents are laid out in a deterministic hash order (md5 variate of
+    the id, ties on id), so the packing is reproducible across engines
+    and rebuilds while remaining shuffled for training. Output per doc:
+    ``start_offset``/``end_offset`` in the stream, ``first_seq``/
+    ``last_seq`` (0-based cut indices), and ``n_seqs`` spanned.
+
+    Scale: ONE window cumsum over the layout order. A single global
+    running sum is a one-partition sort at extreme corpus sizes — shard
+    first (e.g. per train/val split, per source, or per hash bucket) and
+    pack within shards, which is also what keeps shard boundaries aligned
+    to sequence starts; the operator composes with any upstream
+    partitioning because the layout key is a pure function of the id.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import hash_uniform
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    w = Window.orderBy(hash_uniform(id_col, salt).asc(), F.col(id_col).asc())
+    toks = F.col(n_tokens_col).cast("long")
+    end = F.sum(toks).over(w)
+    return (
+        df.withColumn("end_offset", end)
+        .withColumn("start_offset", F.col("end_offset") - toks)
+        .filter(toks > 0)
+        .select(
+            id_col,
+            "start_offset",
+            "end_offset",
+            F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+            F.floor((F.col("end_offset") - 1) / seq_len).alias("last_seq"),
+            (
+                F.floor((F.col("end_offset") - 1) / seq_len)
+                - F.floor(F.col("start_offset") / seq_len)
+                + 1
+            ).alias("n_seqs"),
+        )
+    )

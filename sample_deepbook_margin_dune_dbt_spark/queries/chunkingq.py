@@ -35,6 +35,51 @@ FROM toks, LATERAL (
 LATERAL (SELECT g.i * {_CHUNK - _OVERLAP} AS s) st
 """
 
+_SEQ_LEN = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing of all documents into 512-token training
+    sequences, laid out in deterministic hash order (whitespace token
+    counts as weights)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+    from ..operators.chunking import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("_nt")
+    )
+    return pack_sequences(docs, "doc_id", "_nt", _SEQ_LEN)
+
+
+def _pack_sql() -> str:
+    from ..operators.sampling import sql_hash_uniform
+
+    u = sql_hash_uniform("doc_id", salt="pack")
+    return f"""
+WITH nt AS (
+    SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t,
+           {u} AS u
+    FROM documents
+),
+laid AS (
+    SELECT doc_id, t,
+           sum(t) OVER (ORDER BY u ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+    FROM nt
+)
+SELECT doc_id,
+       end_offset - t AS start_offset,
+       end_offset,
+       (end_offset - t) // {_SEQ_LEN} AS first_seq,
+       (end_offset - 1) // {_SEQ_LEN} AS last_seq,
+       (end_offset - 1) // {_SEQ_LEN} - (end_offset - t) // {_SEQ_LEN} + 1 AS n_seqs
+FROM laid WHERE t > 0
+"""
+
+
 CHUNKING_QUERIES = {
     "chunk_token_windows": (q_chunk_windows, _SQL_CHUNKS),
+    "chunk_pack_sequences": (q_pack_sequences, _pack_sql()),
 }

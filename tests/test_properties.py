@@ -106,6 +106,34 @@ def test_merge_equals_dict_upsert(spark, tmp_path_factory, ops):
     store.drop(name)
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    seq_len=st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_invariants(spark, sizes, seq_len):
+    """For ANY doc-size multiset and seq_len: the layout is a gapless
+    permutation of the token stream (offsets tile [0, total)), zero-token
+    docs are excluded, and every doc's first/last/n_seqs agree with its
+    offsets."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(sizes)), "id long, t long")
+    rows = sorted(pack_sequences(df, "id", "t", seq_len).collect(),
+                  key=lambda r: r["start_offset"])
+    expect_total = sum(sizes)
+    assert len(rows) == sum(1 for s in sizes if s > 0)
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos, "stream must be gapless"
+        assert r["end_offset"] - r["start_offset"] == sizes[r["id"]]
+        assert r["first_seq"] == r["start_offset"] // seq_len
+        assert r["last_seq"] == (r["end_offset"] - 1) // seq_len
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        pos = r["end_offset"]
+    assert pos == expect_total
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     n_tokens=st.integers(min_value=0, max_value=200),

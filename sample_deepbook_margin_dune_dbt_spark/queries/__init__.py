@@ -34,7 +34,12 @@ driver query moved to ``EXTRA_QUERIES``:
   flagship/p10) and ``o4_union_all``/``f_time_functions`` (micro-drills
   subsumed by flagship/tpch) — swapped for ``ann_ivf_pq`` (the flagship
   PQ ANN tier) and the three ``skew_*`` oracle-checked skew-mitigation
-  queries, so every operator family holds ≥1 current-round driver row.
+  queries, so every operator family holds ≥1 current-round driver row;
+  also r3: ``tpch_q7``/``tpch_q14`` (q7's multi-join shape held by
+  q5/q8/q21, q14's conditional agg by q12) — swapped for the two NEW r3
+  capability families, ``dedup_clusters`` (connected-components closure)
+  and ``text_decontaminate`` (benchmark n-gram overlap), applying the
+  same family-representation principle.
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
@@ -74,6 +79,8 @@ DRIVER_QUERY_ORDER = [
     "text_winnow",
     "embedding_centroids",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "text_decontaminate",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
@@ -112,12 +119,10 @@ DRIVER_QUERY_ORDER = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q7",
     "tpch_q8",
     "tpch_q10",
     "tpch_q12",
     "tpch_q13",
-    "tpch_q14",
     "tpch_q18",
     "tpch_q21",
 ]

@@ -154,3 +154,59 @@ def corpus_neardup_candidates(ctx: ModelContext) -> DataFrame:
     ingested = ctx.ref("stg_document_features").select("doc_id")
     scoped = docs.join(ingested, "doc_id", "left_semi")
     return minhash_lsh_candidates(scoped, "doc_id", "text")
+
+
+@model(
+    "corpus_neardup_clusters",
+    unique_key=["doc_id"],
+    materialized="table",
+    deps=["corpus_neardup_candidates"],
+    tags=["corpus"],
+    not_null=["doc_id", "cluster_id"],
+)
+def corpus_neardup_clusters(ctx: ModelContext) -> DataFrame:
+    """Transitive near-duplicate clusters over the LSH candidate pairs
+    (``operators/dedup.duplicate_clusters``): the keep-one-per-GROUP
+    resolution that pairwise candidates alone cannot answer. One row per
+    clustered doc with its min-id cluster label; unclustered docs are
+    absent (they are their own survivors)."""
+    from ..operators.dedup import duplicate_clusters
+
+    pairs = ctx.ref("corpus_neardup_candidates")
+    return duplicate_clusters(pairs).withColumnRenamed("id", "doc_id")
+
+
+@model(
+    "corpus_packed_sequences",
+    unique_key=["doc_id", "chunk_index"],
+    materialized="table",
+    deps=["corpus_training_chunks"],
+    tags=["corpus"],
+    not_null=["doc_id", "chunk_index", "first_seq"],
+)
+def corpus_packed_sequences(ctx: ModelContext) -> DataFrame:
+    """Concat-and-cut packing of the TRAIN-split chunks into 256-token
+    sequences (``operators/chunking.pack_sequences``): each chunk gets
+    its offsets and sequence span in the virtual training stream — the
+    manifest a loader needs to assemble fixed-size batches without
+    padding. Chunks are keyed by a surrogate (doc_id · 2^20 + index) so
+    the layout hash stays a pure function of the chunk identity."""
+    from ..operators.chunking import pack_sequences
+
+    chunks = ctx.ref("corpus_training_chunks").filter(F.col("split") == "train")
+    keyed = chunks.select(
+        (F.col("doc_id") * (1 << 20) + F.col("chunk_index")).alias("chunk_key"),
+        "doc_id",
+        "chunk_index",
+        "chunk_n_tokens",
+    )
+    packed = pack_sequences(keyed, "chunk_key", "chunk_n_tokens", seq_len=256)
+    return packed.join(keyed.drop("chunk_n_tokens"), "chunk_key").select(
+        "doc_id",
+        "chunk_index",
+        "start_offset",
+        "end_offset",
+        "first_seq",
+        "last_seq",
+        "n_seqs",
+    )

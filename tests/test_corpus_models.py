@@ -99,3 +99,37 @@ def test_training_chunks_model(built, spark, sf_dir):
     n = chunks.count()
     runner.run("corpus_training_chunks")
     assert store.read("corpus_training_chunks").count() == n
+
+
+def test_neardup_clusters_model(built):
+    """Cluster labels are min-ids of their member sets and every member of
+    a candidate pair is clustered."""
+    runner, store = built
+    runner.run("+corpus_neardup_clusters")
+    cand = store.read("corpus_neardup_candidates")
+    clusters = store.read("corpus_neardup_clusters")
+    pair_ids = {
+        i for r in cand.select("id_a", "id_b").collect() for i in (r["id_a"], r["id_b"])
+    }
+    labeled = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert set(labeled) == pair_ids
+    for doc, lbl in labeled.items():
+        assert lbl <= doc and labeled[lbl] == lbl, "label must be the cluster's min id"
+
+
+def test_packed_sequences_model(built):
+    """The packed manifest tiles the train-split token stream gaplessly and
+    covers exactly the train chunks."""
+    runner, store = built
+    runner.run("+corpus_packed_sequences")
+    train = store.read("corpus_training_chunks").filter(F.col("split") == "train")
+    packed = store.read("corpus_packed_sequences")
+    assert packed.count() == train.filter(F.col("chunk_n_tokens") > 0).count()
+    rows = sorted(packed.collect(), key=lambda r: r["start_offset"])
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        assert r["first_seq"] == r["start_offset"] // 256
+        assert r["last_seq"] == (r["end_offset"] - 1) // 256
+        pos = r["end_offset"]
+    assert pos == train.agg(F.sum("chunk_n_tokens")).first()[0]

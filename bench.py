@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "skew_plain_agg",
     "skew_salted_agg",
     "skew_salted_join",
+    # r3 additions: CC closure (iterative), decontamination (broadcast
+    # semi probe), weighted sampling, concat-and-cut packing
+    "dedup_clusters",
+    "text_decontaminate",
+    "sample_weighted",
+    "chunk_pack_sequences",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

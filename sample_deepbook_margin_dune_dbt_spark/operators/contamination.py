@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from .dedup import _spread, shingles
 
 
 def ngram_overlap(
@@ -45,23 +45,28 @@ def ngram_overlap(
     ``contaminated`` applies ``threshold``.
     """
     bench_col = bench_text_col or text_col
-    doc_sh = df.select(
+    # repartition before the CPU-heavy shingle explode: small corpora
+    # arrive as one file → one task (same guard as the dedup pipeline)
+    doc_sh = _spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
     )
     bench_sh = F.broadcast(
-        benchmark.select(F.explode(shingles(F.col(bench_col), n)).alias("_s")).distinct()
+        benchmark.select(F.explode(shingles(F.col(bench_col), n)).alias("_s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    tot = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        doc_sh.join(bench_sh, "_s", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE pass: broadcast LEFT join marks benchmark membership (bench set
+    # is distinct → at most one match per shingle, cardinality preserved)
+    # and a single map-side-combined groupBy counts totals and hits
+    # together — the corpus shingles are exploded and scanned exactly once
+    marked = doc_sh.join(bench_sh, "_s", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_hits"),
     )
     overlap = F.round(F.col("n_hits") / F.col("n_shingles"), 6)
     return (
-        tot.join(hits, id_col, "left")
-        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
-        .withColumn("overlap", overlap)
+        agg.withColumn("overlap", overlap)
         .withColumn("contaminated", F.col("overlap") >= threshold)
         .select(id_col, "n_shingles", "n_hits", "overlap", "contaminated")
     )

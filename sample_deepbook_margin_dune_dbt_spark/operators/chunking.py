@@ -114,3 +114,54 @@ def pack_sequences(
             ).alias("n_seqs"),
         )
     )
+
+
+def chunk_content_defined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: boundaries where the rolling n-gram
+    fingerprint hits ``fp % divisor == 0`` (expected chunk ≈ ``divisor``
+    tokens), the CDC construction dedup-friendly pipelines use instead of
+    fixed-stride windows — an insertion only re-chunks its local
+    neighborhood because every boundary is a pure function of the
+    ``window`` tokens at that position, not of any offset.
+
+    Same output shape as ``chunk_documents`` (chunk_index / chunk_text /
+    chunk_n_tokens), same all-Catalyst narrow-map profile (arrays +
+    ONE posexplode, no shuffle), and engine-portable boundaries (the
+    md5-backed ``fingerprint64``), so a DuckDB oracle reproduces chunks
+    byte-for-byte. Compose with ``chunk_documents`` downstream if a hard
+    max window is also required.
+    """
+    from ..functions.text import fingerprint64
+
+    if window <= 0 or divisor <= 0:
+        raise ValueError(f"window/divisor must be positive, got {window}/{divisor}")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, window), " ")  # noqa: E731
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+        lambda i: (i == 0) | (F.pmod(fingerprint64(gram(i)), divisor) == 0),
+    )
+    tokked = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        starts.alias("_starts"),
+        F.posexplode(starts).alias("chunk_index", "_start"),
+    )
+    end = F.coalesce(
+        F.element_at(F.col("_starts"), F.col("chunk_index") + 2), F.col("_n")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, end - F.col("_start"))
+    return tokked.select(
+        id_col,
+        "chunk_index",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("chunk_n_tokens"),
+    )

@@ -79,7 +79,51 @@ FROM laid WHERE t > 0
 """
 
 
+_CDC_WINDOW, _CDC_DIVISOR = 4, 16
+
+
+def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of documents: boundaries where the rolling
+    4-gram fingerprint ≡ 0 (mod 16) — edit-stable chunks for
+    dedup-friendly pipelines."""
+    from ..operators.chunking import chunk_content_defined
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_content_defined(docs, "doc_id", "text", _CDC_WINDOW, _CDC_DIVISOR)
+
+
+# fp twin of functions.text.fingerprint64 (shared md5 idiom)
+_FP = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SQL_CDC = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+st AS (
+    SELECT doc_id, w, len(w) AS n,
+           list_filter(
+               generate_series(0, greatest(len(w) - 1, 0)),
+               i -> i = 0 OR
+                    {_FP.format(x=f"array_to_string(w[i + 1 : i + {_CDC_WINDOW}], ' ')")}
+                        % {_CDC_DIVISOR} = 0
+           ) AS starts
+    FROM toks
+),
+ex AS (
+    SELECT doc_id, w, n, starts,
+           CAST(g.j AS INT) AS chunk_index,
+           starts[g.j + 1] AS s,
+           coalesce(starts[g.j + 2], n) AS e
+    FROM st, LATERAL (SELECT unnest(generate_series(0, len(starts) - 1)) AS j) g
+)
+SELECT doc_id, chunk_index,
+       array_to_string(w[s + 1 : e], ' ') AS chunk_text,
+       CAST(e - s AS INT) AS chunk_n_tokens
+FROM ex
+"""
+
 CHUNKING_QUERIES = {
     "chunk_token_windows": (q_chunk_windows, _SQL_CHUNKS),
     "chunk_pack_sequences": (q_pack_sequences, _pack_sql()),
+    "chunk_content_defined": (q_chunk_content_defined, _SQL_CDC),
 }

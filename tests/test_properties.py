@@ -106,6 +106,48 @@ def test_merge_equals_dict_upsert(spark, tmp_path_factory, ops):
     store.drop(name)
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    divisor=st.integers(min_value=2, max_value=32),
+)
+def test_cdc_chunking_invariants(spark, n_tokens, divisor):
+    """For ANY doc: CDC chunks tile the token stream exactly (gapless,
+    in order, first chunk at 0), and appending a suffix never changes any
+    chunk that ends more than `window` tokens before the edit (the
+    edit-locality property that distinguishes CDC from fixed-stride)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.chunking import (
+        chunk_content_defined,
+    )
+
+    toks = [f"w{i * 7919 % 1001}" for i in range(n_tokens)]
+    base = " ".join(toks)
+    edited = base + " " + " ".join(f"x{i}" for i in range(5))
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    out = chunk_content_defined(df, "doc_id", "text", window=4, divisor=divisor)
+    by_doc = {1: [], 2: []}
+    for r in sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_index"])):
+        by_doc[r["doc_id"]].append(r)
+    for doc, toklist in ((1, toks), (2, edited.split(" "))):
+        seen = []
+        for i, r in enumerate(by_doc[doc]):
+            assert r["chunk_index"] == i
+            seen.extend(r["chunk_text"].split(" "))
+        assert seen == toklist, "chunks must tile the token stream exactly"
+    # edit locality: a boundary at position p depends only on the `window`
+    # tokens from p, so every chunk ENDING at most n - window tokens in is
+    # provably untouched by the appended suffix
+    safe, pos = [], 0
+    for r in by_doc[1]:
+        pos += r["chunk_n_tokens"]
+        if pos <= n_tokens - 4:
+            safe.append(r["chunk_text"])
+    edited_chunks = [r["chunk_text"] for r in by_doc[2]]
+    assert edited_chunks[: len(safe)] == safe, (
+        "appending a suffix must not disturb interior chunk boundaries"
+    )
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     sizes=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),

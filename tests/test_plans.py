@@ -181,3 +181,11 @@ def test_bounded_topk_plans_no_window_sort(spark, sf_dir):
     fn, _ = ALL_QUERIES["ann_cosine_topk"]
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "Window" not in plan, "bounded top-k must not fall back to a window"
+
+
+def test_cdc_chunking_is_narrow_map(spark, sf_dir):
+    """Content-defined chunking must stay a shuffle-free narrow map
+    (arrays + one posexplode), like the fixed-stride chunker."""
+    fn, _ = ALL_QUERIES["chunk_content_defined"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert a["num_exchanges"] == 0, "CDC chunking must not shuffle"

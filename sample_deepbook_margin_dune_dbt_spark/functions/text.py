@@ -128,6 +128,71 @@ def langid(col: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def dup_line_frac(col: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line (Gopher rule).
+
+    ``1 - distinct_lines / lines`` over a newline split. Pure array
+    expression — a narrow map with no shuffle, which is the right shape for
+    a per-document metric at 100 TB (the alternative explode + groupBy pays
+    a full shuffle for what is a per-row computation).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(lines)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_line_char_frac(col: Column | str) -> Column:
+    """Fraction of characters sitting in lines that occur more than once.
+
+    The per-line occurrence count is an in-array ``filter`` — O(lines²) per
+    document, fine for the bounded line counts of chunked corpora (document
+    chunking caps length upstream); for pathological documents use an
+    explode + two-level groupBy instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    dup = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(0),
+    )
+    return F.when(total > 0, dup / total).otherwise(F.lit(0.0))
+
+
+def top_bigram_frac(col: Column | str) -> Column:
+    """Fraction of word bigrams taken by the most frequent bigram (Gopher).
+
+    High values indicate template/boilerplate text. Space-tokenizes the
+    lowercased text, forms adjacent-pair bigrams with a ``sequence`` +
+    ``transform`` (no explode), and counts the modal bigram in-array.
+    O(distinct_bigrams × bigrams) per document — bounded by chunked doc
+    length; same explode+groupBy escape hatch as ``dup_line_char_frac``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(F.lower(F.trim(c)), r"\s+")
+    nb = F.size(w) - 1
+    # greatest() guard: sequence(0, -1) would produce a DESCENDING range on
+    # a single-token doc; the outer when() already zeroes that case.
+    bg = F.transform(
+        F.sequence(F.lit(0), F.greatest(nb - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    return F.when(nb >= 1, max_cnt / nb).otherwise(F.lit(0.0))
+
+
 def fingerprint64(col: Column | str) -> Column:
     """Deterministic 64-bit content fingerprint (md5-derived, engine-portable).
 

@@ -39,7 +39,15 @@ driver query moved to ``EXTRA_QUERIES``:
   q5/q8/q21, q14's conditional agg by q12) — swapped for the two NEW r3
   capability families, ``dedup_clusters`` (connected-components closure)
   and ``text_decontaminate`` (benchmark n-gram overlap), applying the
-  same family-representation principle.
+  same family-representation principle,
+- r3 continuation: ``j2_left_join`` (LEFT fact→agg shape held by
+  ``tpch_q13``), ``p3_like_prefix`` (LIKE family held by ``tpch_q13``'s
+  NOT LIKE; regexp by ``p10``/objects), ``a_percentiles`` (exact
+  percentiles recomputed inside ``a_approx_tier``'s oracle tolerance
+  gate) — swapped for the three NEW curation families:
+  ``text_repetition`` (Gopher dup-line/top-bigram rules),
+  ``text_pii_redact`` (regex PII scrub), ``emb_quantize_int8``
+  (symmetric int8 embedding compression manifest).
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
@@ -50,6 +58,7 @@ from __future__ import annotations
 
 from .approx import APPROX_QUERIES
 from .chunkingq import CHUNKING_QUERIES
+from .curation import CURATION_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .parity import PARITY_QUERIES
 from .samplingq import SAMPLING_QUERIES
@@ -66,6 +75,7 @@ _MERGED = {
     **SAMPLING_QUERIES,
     **SIGBENCH_QUERIES,
     **CHUNKING_QUERIES,
+    **CURATION_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline
@@ -93,6 +103,9 @@ DRIVER_QUERY_ORDER = [
     "sample_train_val_test",
     "sample_stratified_quota",
     "chunk_token_windows",
+    "text_repetition",
+    "text_pii_redact",
+    "emb_quantize_int8",
     # skew-mitigation pair: plain vs salted must agree with the same oracle
     "skew_plain_agg",
     "skew_salted_agg",
@@ -101,14 +114,11 @@ DRIVER_QUERY_ORDER = [
     "sessionize",
     "asof_join",
     "range_join",
-    "a_percentiles",
     "w1_rownum_dedup",
     "w2_latest_per_group",
     "w3_lag_delta",
     "j1_foj_volume_chain",
-    "j2_left_join",
     "j4_seed_ci_join",
-    "p3_like_prefix",
     "p4_watermark",
     "p10_case_trycast",
     "p11_case_join_key",

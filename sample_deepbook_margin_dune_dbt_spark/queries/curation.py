@@ -1,0 +1,234 @@
+"""Corpus-curation queries: repetition metrics, PII scrub, int8 quantization.
+
+Beyond-reference LLM-data-pipeline surface (SURVEY §2.10), same driver
+contract as ``queries/llmops.py``: each Spark builder is paired with DuckDB
+oracle SQL that reproduces values bit-for-bit.
+
+Determinism notes specific to this module:
+
+- Ratio metrics are reported as ``floor(x * 10^k)`` bigints, NOT
+  ``round(x, k)``: Spark's ``round`` on a double routes through the decimal
+  shortest-string representation (``BigDecimal.valueOf`` + HALF_UP) while
+  DuckDB rounds the binary value, so a ratio whose shortest representation
+  ends in 5 at the k-th place (e.g. 13/160 = 0.08125) rounds differently.
+  Both engines compute bit-identical doubles from the same integer inputs,
+  so ``floor`` of the scaled value is always identical.
+- The testdata documents contain no newlines and no PII (verified at
+  sf0.01), so the repetition and PII queries plant deterministic content
+  inline — identically in Spark and the oracle — the same non-vacuity
+  pattern as ``_augment_near_dups`` in ``queries/llmops.py``. A metric
+  query whose answer is structurally all-zero would hash-match vacuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import pii as P
+from ..functions import text as T
+from ..operators import quantize as Q
+from .common import load
+
+_SQL_FP64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# ------------------------------------------------------- repetition metrics
+
+
+def _augment_dup_lines(docs: DataFrame) -> DataFrame:
+    """Plant duplicated lines in every 5th doc (testdata has no newlines)."""
+    head = F.substring(F.col("text"), 1, 40)
+    planted = F.concat(
+        F.col("text"), F.lit("\n"), head, F.lit("\n"), head
+    )
+    return docs.withColumn(
+        "t2", F.when(F.col("doc_id") % 5 == 0, planted).otherwise(F.col("text"))
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules: dup-line fraction, dup-line char
+    fraction (over planted-line text), top-bigram fraction (over raw text).
+
+    Narrow map, no shuffle — per-document metrics stay inside whole-stage
+    codegen at 100 TB (`functions/text.py` documents the per-doc O(n²)
+    in-array counting bound and the explode+groupBy escape hatch).
+    """
+    docs = _augment_dup_lines(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.floor(T.dup_line_frac(F.col("t2")) * 10000)
+        .cast("long")
+        .alias("dup_line_frac_e4"),
+        F.floor(T.dup_line_char_frac(F.col("t2")) * 10000)
+        .cast("long")
+        .alias("dup_char_frac_e4"),
+        F.floor(T.top_bigram_frac(F.col("text")) * 10000)
+        .cast("long")
+        .alias("top_bigram_frac_e4"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH aug AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || chr(10) || substr(text, 1, 40)
+                          || chr(10) || substr(text, 1, 40)
+                ELSE text END AS t2
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           string_split(t2, chr(10)) AS l,
+           string_split(lower(trim(text)), ' ') AS w
+    FROM aug
+),
+b AS (
+    SELECT doc_id, l,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE CAST([] AS VARCHAR[]) END AS bg,
+           len(w) - 1 AS nb
+    FROM t
+)
+SELECT doc_id,
+       CAST(floor((CASE WHEN len(l) > 0
+                        THEN 1.0 - len(list_distinct(l)) / len(l)
+                        ELSE 0.0 END) * 10000) AS BIGINT) AS dup_line_frac_e4,
+       CAST(floor((CASE WHEN list_sum(list_transform(l, x -> length(x))) > 0
+                        THEN list_sum(list_transform(l, x ->
+                                 CASE WHEN len(list_filter(l, y -> y = x)) > 1
+                                      THEN length(x) ELSE 0 END))
+                             / list_sum(list_transform(l, x -> length(x)))
+                        ELSE 0.0 END) * 10000) AS BIGINT) AS dup_char_frac_e4,
+       CAST(floor((CASE WHEN nb >= 1
+                        THEN list_max(list_transform(list_distinct(bg),
+                                 x -> len(list_filter(bg, y -> y = x)))) / nb
+                        ELSE 0.0 END) * 10000) AS BIGINT) AS top_bigram_frac_e4
+FROM b
+"""
+
+# ------------------------------------------------------------- PII scrub
+
+
+def _augment_pii(docs: DataFrame) -> DataFrame:
+    """Plant one email + IPv4 + phone in every 7th doc (testdata has none)."""
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com or 10.0.0."),
+        (did % 250 + 1).cast("string"),
+        F.lit(" call +1-415-555-"),
+        (did % 9000 + 1000).cast("string"),
+    )
+    return docs.withColumn(
+        "t2", F.when(did % 7 == 0, planted).otherwise(F.col("text"))
+    )
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII hit counts + fingerprint of the redacted text.
+
+    Counts and redaction are pure Catalyst regex (``functions/pii.py``) —
+    a zero-shuffle scrub pass. The fingerprint proves byte-identical
+    redaction output without shipping full text through the compare.
+    """
+    docs = _augment_pii(load(spark, sf_dir, "documents"))
+    counts = P.pii_counts(F.col("t2"))
+    return docs.select(
+        "doc_id",
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        counts["n_phone"].cast("long").alias("n_phone"),
+        T.fingerprint64(P.pii_redact(F.col("t2"))).alias("redacted_fp"),
+    )
+
+
+SQL_TEXT_PII = f"""
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 10.0.0.'
+                     || CAST(doc_id % 250 + 1 AS VARCHAR)
+                     || ' call +1-415-555-'
+                     || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                ELSE text END AS t2
+    FROM documents
+),
+red AS (
+    SELECT doc_id, t2,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t2,
+                       '{P.EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{P.IPV4_RE}', '[IP]', 'g'),
+               '{P.PHONE_RE}', '[PHONE]', 'g') AS r
+    FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{P.EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t2, '{P.IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{P.PHONE_RE}')) AS BIGINT) AS n_phone,
+       {_SQL_FP64.format(x='r')} AS redacted_fp
+FROM red
+"""
+
+# ------------------------------------------------- int8 embedding quantize
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization manifest (4× compression).
+
+    scale/err surfaced as floor-scaled bigints (see module docstring);
+    the codes array is fingerprinted so parity certifies every element.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = Q.quantize_embeddings(emb, "vec_id", "embedding")
+    codes_str = F.concat_ws(
+        ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+    )
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6).cast("long").alias("scale_e6"),
+        T.fingerprint64(codes_str).alias("codes_fp"),
+        F.floor(F.col("max_abs_err") * 1e6).cast("long").alias("err_e6"),
+    )
+
+
+SQL_EMB_QUANTIZE = f"""
+WITH t AS (
+    SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, e,
+           CASE WHEN list_max(list_transform(e, v -> abs(v))) > 0
+                THEN list_max(list_transform(e, v -> abs(v))) / 127.0
+                ELSE 1.0 END AS scale
+    FROM t
+),
+q AS (
+    SELECT vec_id, e, scale,
+           list_transform(e, v ->
+               CAST(greatest(-127, least(127, CAST(floor(v / scale + 0.5) AS INTEGER))) AS INTEGER)
+           ) AS codes
+    FROM s
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000) AS BIGINT) AS scale_e6,
+       {_SQL_FP64.format(x="array_to_string(codes, ',')")} AS codes_fp,
+       CAST(floor(list_max(list_transform(range(1, len(e) + 1),
+                i -> abs(e[i] - codes[i] * scale))) * 1000000) AS BIGINT) AS err_e6
+FROM q
+"""
+
+
+CURATION_QUERIES = {
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII),
+    "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),
+}

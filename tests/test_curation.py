@@ -1,0 +1,102 @@
+"""Corpus-curation operators: repetition metrics, PII scrub, int8 quantize.
+
+Unit semantics on crafted rows + the scale-critical invariants (error
+bounds, full-redaction) the oracle parity check can't express.
+Oracle value parity itself runs in test_oracle_parity.py (FULL_QUERIES).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.functions import pii as P
+from sample_deepbook_margin_dune_dbt_spark.functions import text as T
+from sample_deepbook_margin_dune_dbt_spark.operators import quantize as Q
+
+
+def test_repetition_metrics_on_crafted_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 3 lines, 'a b' twice
+            (2, "x y z"),                  # no dup lines, no repeated bigram
+            (3, "go go go go"),            # modal bigram 'go go' = 3/3
+            (4, "solo"),                   # single token: no bigrams
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.dup_line_frac("t").alias("dl"),
+            T.dup_line_char_frac("t").alias("dc"),
+            T.top_bigram_frac("t").alias("tb"),
+        ).collect()
+    }
+    assert out[1]["dl"] == pytest.approx(1 / 3)       # 2 distinct of 3
+    assert out[1]["dc"] == pytest.approx(6 / 9)       # 'a b' chars 3+3 of 9
+    assert out[2]["dl"] == 0.0 and out[2]["tb"] == pytest.approx(1 / 2)
+    assert out[3]["tb"] == pytest.approx(1.0)         # 'go go' 3 of 3
+    assert out[4]["tb"] == 0.0
+
+
+def test_pii_redaction_removes_every_match(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.co.uk now"),
+            (2, "ip 10.0.0.255 and 1.2.3.4."),
+            (3, "call +44-123-456-7890 twice +1-800-555-0100"),
+            (4, "clean text, no pii at all"),
+            (5, "mixed x@y.io 8.8.8.8 +1-222-333-4444"),
+        ],
+        ["id", "t"],
+    )
+    red = df.select(
+        "id",
+        P.pii_counts("t").alias("c"),
+        P.pii_redact("t").alias("r"),
+    )
+    rows = {r["id"]: r for r in red.collect()}
+    assert rows[1]["c"]["n_email"] == 1 and "[EMAIL]" in rows[1]["r"]
+    assert rows[2]["c"]["n_ipv4"] == 2 and rows[2]["r"].count("[IP]") == 2
+    assert rows[3]["c"]["n_phone"] == 2
+    assert rows[4]["r"] == "clean text, no pii at all"
+    # after redaction, a second scan must find nothing
+    rescan = red.select(P.pii_counts("r").alias("c2")).collect()
+    assert all(
+        r["c2"]["n_email"] == 0 and r["c2"]["n_ipv4"] == 0 and r["c2"]["n_phone"] == 0
+        for r in rescan
+    )
+
+
+def test_int8_quantize_error_bound_and_roundtrip(spark, sf_dir):
+    """|v - q·scale| ≤ scale/2 for every element (symmetric scale ⇒ the
+    clamp never binds), and all-zero vectors stay representable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * 8, 0)], ["vec_id", "embedding", "label"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    q = Q.quantize_embeddings(emb.unionByName(zero), "vec_id", "embedding")
+    bad = q.where(F.col("max_abs_err") > F.col("scale") / 2 * (1 + 1e-9)).count()
+    assert bad == 0
+    z = q.where(F.col("vec_id") == 10_000_000).collect()[0]
+    assert z["scale"] == 1.0 and set(z["codes"]) == {0} and z["max_abs_err"] == 0.0
+    # codes stay in the symmetric int8 range
+    rng = q.select(
+        F.min(F.array_min("codes")).alias("lo"), F.max(F.array_max("codes")).alias("hi")
+    ).collect()[0]
+    assert rng["lo"] >= -127 and rng["hi"] <= 127
+
+
+def test_quantize_compression_ratio(spark, sf_dir):
+    """The manifest's codes are 1 byte/dim vs 4 — assert the logical 4×."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(1)
+    row = Q.quantize_embeddings(emb, "vec_id", "embedding").collect()[0]
+    dim = len(row["codes"])
+    assert dim > 0  # int8 codes + one float64 scale vs float32*dim
+    assert dim * 1 + 8 < dim * 4

@@ -189,3 +189,11 @@ def test_cdc_chunking_is_narrow_map(spark, sf_dir):
     fn, _ = ALL_QUERIES["chunk_content_defined"]
     a = audit_plan(fn(spark, sf_dir))
     assert a["num_exchanges"] == 0, "CDC chunking must not shuffle"
+
+
+def test_curation_queries_are_narrow_maps(spark, sf_dir):
+    """Repetition metrics, PII scrub, and int8 quantization are per-row
+    transforms — zero Exchange, so they stream at 100 TB."""
+    for name in ("text_repetition", "text_pii_redact", "emb_quantize_int8"):
+        a = _plan(spark, sf_dir, name)
+        assert a["num_exchanges"] == 0, f"{name} must not shuffle"

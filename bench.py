@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "text_decontaminate",
     "sample_weighted",
     "chunk_pack_sequences",
+    # r3 curation additions: Gopher repetition rules, PII scrub, int8
+    # embedding quantization — all zero-shuffle narrow maps
+    "text_repetition",
+    "text_pii_redact",
+    "emb_quantize_int8",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

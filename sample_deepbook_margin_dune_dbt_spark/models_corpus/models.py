@@ -92,28 +92,29 @@ def corpus_stats_by_lang(ctx: ModelContext) -> DataFrame:
 
 
 @model(
-    "corpus_training_chunks",
-    unique_key=["doc_id", "chunk_index"],
+    "corpus_scrubbed_documents",
+    unique_key=["doc_id"],
     materialized="incremental",
     incremental_strategy="merge",
     deps=["stg_document_features", "corpus_dedup_groups"],
     tags=["corpus"],
-    not_null=["doc_id", "chunk_index", "chunk_text"],
+    not_null=["doc_id", "text_scrubbed"],
 )
-def corpus_training_chunks(ctx: ModelContext) -> DataFrame:
-    """Training-window chunks of the deduplicated, quality-filtered corpus.
+def corpus_scrubbed_documents(ctx: ModelContext) -> DataFrame:
+    """PII-scrubbed, repetition-gated text of the dedup survivors.
 
-    The last hop of the curation DAG: survivors of exact dedup with
-    quality ≥ 0.5 are sliced into 64-token windows overlapping by 8
-    (``operators/chunking.py``) plus a per-key train/val/test split
-    (``operators/sampling.py``) — incremental on the same doc_id
-    watermark as the feature table, so new crawl batches chunk exactly
-    once and keep their split assignment forever.
+    The scrub hop every production corpus pipeline runs before chunking:
+    exact-dedup survivors with quality ≥ 0.5 pass the Gopher repetition
+    gates (dup-line fraction < 0.3, top-bigram fraction ≤ 0.9 —
+    ``functions/text.py``), then emails/IPs/phones are replaced with typed
+    tokens (``functions/pii.py``). All narrow maps over the semi-join
+    scope; incremental on the doc_id watermark so each crawl batch is
+    scrubbed exactly once. PII hit counts are kept as columns so the
+    stats rollup can audit scrub volume without re-scanning text.
     """
-    from ..operators.chunking import chunk_documents
-    from ..operators.sampling import train_val_test_split
+    from ..functions import pii as P
 
-    feats = ctx.ref("stg_document_features").select("doc_id", "quality", "fingerprint")
+    feats = ctx.ref("stg_document_features").select("doc_id", "quality")
     if ctx.is_incremental():
         row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
         wm = row["wm"] if row["wm"] is not None else -1
@@ -121,13 +122,59 @@ def corpus_training_chunks(ctx: ModelContext) -> DataFrame:
     keep = ctx.ref("corpus_dedup_groups").select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    survivors = (
-        feats.filter(F.col("quality") >= 0.5)
-        .join(keep, "doc_id", "left_semi")
-    )
+    survivors = feats.filter(F.col("quality") >= 0.5).join(keep, "doc_id", "left_semi")
     docs = ctx.source("main", "documents").select("doc_id", "text")
     scoped = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
-    chunks = chunk_documents(scoped, "doc_id", "text", chunk_tokens=64, overlap=8)
+    gated = scoped.filter(
+        (T.dup_line_frac(F.col("text")) < 0.3)
+        & (T.top_bigram_frac(F.col("text")) <= 0.9)
+    )
+    counts = P.pii_counts(F.col("text"))
+    return gated.select(
+        "doc_id",
+        P.pii_redact(F.col("text")).alias("text_scrubbed"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        ctx.now().alias("updated_at"),
+    )
+
+
+@model(
+    "corpus_training_chunks",
+    unique_key=["doc_id", "chunk_index"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_scrubbed_documents"],
+    tags=["corpus"],
+    not_null=["doc_id", "chunk_index", "chunk_text"],
+)
+def corpus_training_chunks(ctx: ModelContext) -> DataFrame:
+    """Training-window chunks of the deduplicated, scrubbed corpus.
+
+    Slices the scrub hop's output into 64-token windows overlapping by 8
+    (``operators/chunking.py``) plus a per-key train/val/test split
+    (``operators/sampling.py``) — incremental on the same doc_id
+    watermark as the upstream models, so new crawl batches chunk exactly
+    once and keep their split assignment forever. (Dedup survivorship,
+    the quality floor, and the repetition gates are enforced upstream in
+    ``corpus_scrubbed_documents``.)
+    """
+    from ..operators.chunking import chunk_documents
+    from ..operators.sampling import train_val_test_split
+
+    docs = ctx.ref("corpus_scrubbed_documents").select("doc_id", "text_scrubbed")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        docs = docs.filter(F.col("doc_id") > wm)
+    chunks = chunk_documents(
+        docs.withColumnRenamed("text_scrubbed", "text"),
+        "doc_id",
+        "text",
+        chunk_tokens=64,
+        overlap=8,
+    )
     return train_val_test_split(
         chunks, "doc_id", val_fraction=0.05, test_fraction=0.05
     ).withColumn("updated_at", ctx.now())

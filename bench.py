@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_redact",
     "emb_quantize_int8",
+    "text_bloom_decontaminate",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -1,0 +1,140 @@
+"""Bloom-filter membership: a constant-size set probe for 100 TB corpora.
+
+``contamination.ngram_overlap`` probes benchmark membership with a
+broadcast semi-join — right when the benchmark's distinct-shingle set
+fits comfortably in a broadcast. This module is the next rung: the
+held-out set is folded into a fixed ``n_bits``-bit Bloom filter (one
+array<bigint> row, e.g. 4 KiB for 2^15 bits regardless of set size),
+broadcast once, and the corpus side becomes a PURE NARROW MAP — no
+explode, no join, no shuffle; each document tests its shingle array
+against the bits inside whole-stage codegen. False-positive rate is the
+classic (1 - e^{-kn/m})^k; false negatives are impossible.
+
+Engine-portability contract (same as the rest of the repo): the k hash
+functions are md5-slices — ``H_i(x) = int(md5(i || ':' || x)[:15 hex])
+mod n_bits`` — so the DuckDB oracle reproduces the exact bit positions
+(including any false positive) via the equivalent position-set
+formulation, no bit arrays needed on the oracle side.
+
+Spark-specific notes:
+- ``F.shiftleft``/``shiftright`` take only literal shift amounts, so bit
+  masks come from a precomputed 64-entry powers-of-two literal array
+  (bit 63 is the sign bit: -(2^63)).
+- The single-row filter joins the corpus via ``crossJoin(broadcast(...))``
+  → a BroadcastNestedLoopJoin against ONE row, which is a plain map over
+  the corpus — the plan audit allows exactly this shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+DEFAULT_N_BITS = 1 << 15
+DEFAULT_K = 3
+
+
+def _powers() -> Column:
+    """powers[b+1] == the long with only bit b set (b in 0..63)."""
+    vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    return F.array(*[F.lit(v).cast("long") for v in vals])
+
+
+def _hash_pos(i: Column, value: Column, n_bits: int) -> Column:
+    """H_i(value) in [0, n_bits): md5-slice of 'i:value' mod n_bits."""
+    h = F.md5(F.concat(i.cast("string"), F.lit(":"), value))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_bits
+
+
+def bloom_build(
+    values: DataFrame,
+    value_col: str,
+    n_bits: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Fold a value column into a single-row Bloom filter.
+
+    Returns one row ``bloom: array<bigint>`` of ``n_bits/64`` words. The
+    only shuffles are over the (small) build side: one k-way position
+    explode and one ``bit_or`` groupBy on the word index.
+    """
+    assert n_bits % 64 == 0, "n_bits must pack into 64-bit words"
+    n_words = n_bits // 64
+    pos = values.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        F.col(value_col).alias("_v"),
+    ).select(_hash_pos(F.col("_i"), F.col("_v"), n_bits).alias("_p"))
+    words = pos.select(
+        F.floor(F.col("_p") / 64).cast("int").alias("_w"),
+        F.element_at(_powers(), (F.col("_p") % 64).cast("int") + 1).alias("_m"),
+    )
+    entries = words.groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+    return entries.agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias("_map")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_map"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    bloom: Column, value: Column, n_bits: int = DEFAULT_N_BITS, k: int = DEFAULT_K
+) -> Column:
+    """True iff all k bit positions for ``value`` are set (may false-positive)."""
+    pw = _powers()
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)), lambda i: _hash_pos(i, value, n_bits)
+    )
+    return F.forall(
+        positions,
+        lambda p: (
+            F.element_at(bloom, F.floor(p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(pw, (p % 64).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str | None = None,
+    n: int = 3,
+    n_bits: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Flag documents sharing ANY word n-gram with the benchmark Bloom set.
+
+    Output: (id, n_shingles, n_hits_bloom, flagged). The corpus side never
+    explodes or shuffles — each document's distinct-shingle array is
+    tested in-array against the broadcast filter. Compare
+    ``contamination.ngram_overlap`` for the exact (semi-join) tier.
+    """
+    bench_col = bench_text_col or text_col
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(bench_col), n)).alias("_s"))
+        .distinct()
+    )
+    bf = F.broadcast(bloom_build(bench_sh, "_s", n_bits, k))
+    sh = shingles(F.col(text_col), n)
+    hits = F.size(
+        F.filter(sh, lambda s: bloom_might_contain(F.col("bloom"), s, n_bits, k))
+    )
+    return (
+        df.crossJoin(bf)
+        .select(
+            F.col(id_col),
+            F.size(sh).cast("long").alias("n_shingles"),
+            hits.cast("long").alias("n_hits_bloom"),
+        )
+        .withColumn("flagged", F.col("n_hits_bloom") > 0)
+    )

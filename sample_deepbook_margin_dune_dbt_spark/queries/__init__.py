@@ -47,7 +47,11 @@ driver query moved to ``EXTRA_QUERIES``:
   gate) — swapped for the three NEW curation families:
   ``text_repetition`` (Gopher dup-line/top-bigram rules),
   ``text_pii_redact`` (regex PII scrub), ``emb_quantize_int8``
-  (symmetric int8 embedding compression manifest).
+  (symmetric int8 embedding compression manifest); then
+  ``w2_latest_per_group`` (window-dedup family held by
+  ``w1_rownum_dedup``; max_by twin pytest-verified) — swapped for
+  ``text_bloom_decontaminate`` (constant-size Bloom membership probe,
+  the narrow-map scale tier of the decontamination family).
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
@@ -106,6 +110,7 @@ DRIVER_QUERY_ORDER = [
     "text_repetition",
     "text_pii_redact",
     "emb_quantize_int8",
+    "text_bloom_decontaminate",
     # skew-mitigation pair: plain vs salted must agree with the same oracle
     "skew_plain_agg",
     "skew_salted_agg",
@@ -115,7 +120,6 @@ DRIVER_QUERY_ORDER = [
     "asof_join",
     "range_join",
     "w1_rownum_dedup",
-    "w2_latest_per_group",
     "w3_lag_delta",
     "j1_foj_volume_chain",
     "j4_seed_ci_join",

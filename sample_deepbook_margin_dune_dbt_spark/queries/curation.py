@@ -27,10 +27,27 @@ from pyspark.sql import functions as F
 
 from ..functions import pii as P
 from ..functions import text as T
+from ..operators import bloom as B
 from ..operators import quantize as Q
 from .common import load
 
 _SQL_FP64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+# DuckDB twin of operators.dedup.shingles (3-gram, distinct, lower/trim) —
+# same CTE as queries/llmops._SQL_SHINGLES, kept local to this module
+_SQL_SHINGLES = """
+toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(w) >= 3 THEN concat_ws(' ', w[i], w[i+1], w[i+2])
+                ELSE array_to_string(w, ' ') END AS s
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    ) g
+)
+"""
 
 # ------------------------------------------------------- repetition metrics
 
@@ -227,8 +244,66 @@ FROM q
 """
 
 
+# ------------------------------------------------- Bloom decontamination
+
+_BLOOM_BITS = 1 << 15
+_BLOOM_K = 3
+
+
+def q_text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter twin of ``text_decontaminate``: the held-out set
+    (same deterministic doc_id % 97 benchmark stand-in) folds into a
+    constant 4 KiB filter and the corpus probes it as a pure narrow map —
+    no explode, no join shuffle on the corpus side (``operators/bloom.py``).
+
+    The oracle reproduces the exact filter semantics — including any
+    false positive — via the equivalent position-set formulation over the
+    same md5 hash family.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return B.bloom_decontaminate(
+        docs, "doc_id", "text", bench, n=3, n_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+
+
+_SQL_BLOOM_POS = (
+    "CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', s)), 1, 15)) "
+    f"AS BIGINT) % {_BLOOM_BITS}"
+)
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH {_SQL_SHINGLES.strip()},
+bench AS (
+    SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+),
+ks AS (
+    SELECT unnest(range(0, {_BLOOM_K})) AS i
+),
+posset AS (
+    SELECT DISTINCT {_SQL_BLOOM_POS} AS p FROM bench CROSS JOIN ks
+),
+probed AS (
+    SELECT sh.doc_id, sh.s,
+           bool_and({_SQL_BLOOM_POS} IN (SELECT p FROM posset)) AS inbloom
+    FROM sh CROSS JOIN ks
+    GROUP BY sh.doc_id, sh.s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE inbloom) AS BIGINT) AS n_hits_bloom,
+       (count(*) FILTER (WHERE inbloom)) > 0 AS flagged
+FROM probed
+GROUP BY doc_id
+"""
+
+
 CURATION_QUERIES = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII),
     "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),
+    "text_bloom_decontaminate": (
+        q_text_bloom_decontaminate,
+        SQL_BLOOM_DECONTAMINATE,
+    ),
 }

@@ -100,3 +100,35 @@ def test_quantize_compression_ratio(spark, sf_dir):
     dim = len(row["codes"])
     assert dim > 0  # int8 codes + one float64 scale vs float32*dim
     assert dim * 1 + 8 < dim * 4
+
+
+def test_bloom_no_false_negatives_and_exact_hash_family(spark):
+    """Every inserted value must probe true; probe results must equal an
+    independent Python simulation of the same md5 position family
+    (including false positives on a deliberately tiny filter)."""
+    import hashlib
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import bloom as B
+
+    n_bits, k = 256, 2  # tiny on purpose: false positives likely
+    held = [f"value-{i}" for i in range(40)]
+    probes = held + [f"other-{i}" for i in range(200)]
+    held_df = spark.createDataFrame([(v,) for v in held], ["v"])
+    probe_df = spark.createDataFrame([(v,) for v in probes], ["v"])
+
+    bf = F.broadcast(B.bloom_build(held_df, "v", n_bits, k))
+    got = {
+        r["v"]: r["hit"]
+        for r in probe_df.crossJoin(bf)
+        .select("v", B.bloom_might_contain(F.col("bloom"), F.col("v"), n_bits, k).alias("hit"))
+        .collect()
+    }
+
+    def pos(i, v):
+        return int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16) % n_bits
+
+    bits = {pos(i, v) for v in held for i in range(k)}
+    expect = {v: all(pos(i, v) in bits for i in range(k)) for v in probes}
+    assert all(got[v] for v in held)                      # no false negatives
+    assert got == expect                                  # bit-exact family
+    assert any(expect[v] for v in probes if v not in held)  # FP case exercised

@@ -197,3 +197,35 @@ def test_curation_queries_are_narrow_maps(spark, sf_dir):
     for name in ("text_repetition", "text_pii_redact", "emb_quantize_int8"):
         a = _plan(spark, sf_dir, name)
         assert a["num_exchanges"] == 0, f"{name} must not shuffle"
+
+
+def test_bloom_probe_corpus_never_shuffles(spark, sf_dir):
+    """The Bloom probe side must be a narrow map. Probing a materialized
+    filter row, the whole plan is scan → BroadcastNestedLoopJoin against
+    ONE broadcast row → project: exactly one (broadcast) exchange, no
+    shuffle, no sort-merge — the corpus never moves on content. The full
+    query adds only the tiny build side's exchanges."""
+    from pyspark.sql import functions as F
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import bloom as B
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_sh = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(B.shingles(F.col("text"), 3)).alias("_s"))
+        .distinct()
+    )
+    bf = spark.createDataFrame(B.bloom_build(bench_sh, "_s").collect())
+    probe = docs.crossJoin(F.broadcast(bf)).select(
+        "doc_id",
+        B.bloom_might_contain(F.col("bloom"), F.col("text")).alias("hit"),
+    )
+    a = audit_plan(probe)
+    # the only exchange is the broadcast: no shuffle partitioning anywhere
+    for marker in ("hashpartitioning", "rangepartitioning", "SinglePartition"):
+        assert marker not in a["plan"], marker
+    assert "BroadcastNestedLoopJoin" in a["plan"]
+    assert "SortMergeJoin" not in a["plan"]
+    # and the declared query (build inlined) still never sort-merges
+    full = _plan(spark, sf_dir, "text_bloom_decontaminate")
+    assert "SortMergeJoin" not in full["plan"]

@@ -257,3 +257,109 @@ def corpus_packed_sequences(ctx: ModelContext) -> DataFrame:
         "last_seq",
         "n_seqs",
     )
+
+
+@model(
+    "corpus_index_centroids",
+    unique_key=["cell"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["cell", "center"],
+)
+def corpus_index_centroids(ctx: ModelContext) -> DataFrame:
+    """Coarse quantizer for the embedding index — trained ONCE.
+
+    First run: deterministic k-means (seeded, NumPy — the same
+    ``_np_kmeans`` as IVF-PQ) over a bounded hash sample of the embedding
+    corpus. Every later run returns zero rows, so the MERGE leaves the
+    centroids untouched: an ANN index's cell definitions must stay stable
+    while vectors keep arriving, or every incremental batch would land in
+    different cells than the last (re-training is an explicit
+    --full-refresh, exactly like rebuilding an index).
+    """
+    import numpy as np
+
+    from ..operators.sampling import hash_uniform
+    from ..operators.similarity import _np_kmeans
+
+    schema = "cell int, center array<double>, n_train bigint"
+    if ctx.is_incremental():
+        return ctx.spark.createDataFrame([], schema)
+    emb = ctx.source("main", "embeddings")
+    n_lists, train_cap = 16, 100_000
+    total = emb.count()
+    frac = min(1.0, 1.25 * train_cap / max(total, 1))
+    sample = (
+        emb.select(
+            F.col("vec_id").alias("i"),
+            F.col("embedding").cast("array<double>").alias("v"),
+            hash_uniform("vec_id", "corpus-index-train").alias("u"),
+        )
+        .filter(F.col("u") < F.lit(frac))
+        .collect()
+    )
+    sample.sort(key=lambda r: r["i"])  # k-means init draws by row position
+    x = np.array([r["v"] for r in sample[:train_cap]], dtype=np.float64)
+    centers = _np_kmeans(x, n_lists)
+    rows = [
+        (int(c), [float(v) for v in centers[c]], int(len(x)))
+        for c in range(len(centers))
+    ]
+    return ctx.spark.createDataFrame(rows, schema)
+
+
+@model(
+    "corpus_embedding_index",
+    unique_key=["vec_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_index_centroids"],
+    tags=["corpus"],
+    not_null=["vec_id", "cell", "codes"],
+)
+def corpus_embedding_index(ctx: ModelContext) -> DataFrame:
+    """Incremental ANN index manifest: cell assignment + int8 codes.
+
+    New vectors (vec_id watermark) are assigned to their nearest stable
+    centroid and stored as the compressed (cell, scale, int8 codes) row —
+    the storage layout a 100 TB vector search reads (cell = the
+    partition/bucket key so probes prune at the scan; codes = 4× smaller
+    than float32). Assignment is a PURE NARROW MAP: the centroids are
+    bounded (n_lists rows), collected once, and inlined as literal arrays,
+    so each vector computes its argmin cell inside codegen — no join, no
+    shuffle, no per-batch re-clustering.
+    """
+    from ..operators.quantize import int8_quantize, int8_scale
+
+    emb = ctx.source("main", "embeddings")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("vec_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        emb = emb.filter(F.col("vec_id") > wm)
+    centers = sorted(
+        ctx.ref("corpus_index_centroids").collect(), key=lambda r: r["cell"]
+    )
+    v = F.col("embedding")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(c)) for c in r["center"]]),
+                    lambda x, c: (x.cast("double") - c) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            for r in centers
+        ]
+    )
+    scale = int8_scale(v)
+    return emb.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        scale.alias("scale"),
+        int8_quantize(v, scale).alias("codes"),
+        ctx.now().alias("updated_at"),
+    )

@@ -133,3 +133,34 @@ def test_packed_sequences_model(built):
         assert r["last_seq"] == (r["end_offset"] - 1) // 256
         pos = r["end_offset"]
     assert pos == train.agg(F.sum("chunk_n_tokens")).first()[0]
+
+
+def test_embedding_index_models(spark, sf_dir, tmp_path):
+    """Centroids train once and stay frozen; assignments merge in
+    incrementally: a second embedding batch indexes only its new vectors
+    against the SAME cells (full-refresh = rebuild the index)."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    src = tmp_path / "emb_src"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    emb.filter(F.col("vec_id") <= mid).write.parquet(str(src))
+    sources = dict(testdata_sources(sf_dir))
+    sources["main.embeddings"] = str(src)
+    runner = Runner(spark, store, sources)
+
+    runner.run("+corpus_embedding_index")
+    cent1 = {r["cell"]: r["center"] for r in store.read("corpus_index_centroids").collect()}
+    idx1 = {r["vec_id"]: (r["cell"], r["codes"]) for r in store.read("corpus_embedding_index").collect()}
+    assert len(cent1) == 16
+    assert len(idx1) == emb.filter(F.col("vec_id") <= mid).count()
+    assert all(0 <= c < 16 for c, _ in idx1.values())
+
+    # batch 2 arrives; centroids must NOT move, batch-1 rows must NOT change
+    emb.filter(F.col("vec_id") > mid).write.mode("append").parquet(str(src))
+    runner.run("+corpus_embedding_index")
+    cent2 = {r["cell"]: r["center"] for r in store.read("corpus_index_centroids").collect()}
+    assert cent2 == cent1
+    idx2 = {r["vec_id"]: (r["cell"], r["codes"]) for r in store.read("corpus_embedding_index").collect()}
+    assert len(idx2) == emb.count()
+    assert all(idx2[k] == v for k, v in idx1.items())
+    assert runner.test("+corpus_embedding_index") == {}

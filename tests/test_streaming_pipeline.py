@@ -319,3 +319,50 @@ def test_stream_dedup_against_materialized_corpus(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {10, 12}  # the re-crawled duplicate (11) never lands
+
+
+def test_streaming_scrub_then_chunk(spark, tmp_path):
+    """The full curation pass — repetition gate → PII redaction → chunking —
+    runs unchanged on a stream: every stage is a narrow map, so crawl
+    batches scrub and chunk exactly once with no stateful operator."""
+    import pandas as pd
+
+    from sample_deepbook_margin_dune_dbt_spark.functions import pii as P
+    from sample_deepbook_margin_dune_dbt_spark.functions import text as T
+    from sample_deepbook_margin_dune_dbt_spark.operators.chunking import chunk_documents
+
+    src = tmp_path / "scrub_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "scrubbed"), str(tmp_path / "sckpt")
+
+    def _run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        gated = stream.filter(T.top_bigram_frac(F.col("text")) <= 0.9)
+        scrubbed = gated.withColumn("text", P.pii_redact(F.col("text")))
+        q = (
+            chunk_documents(scrubbed, "doc_id", "text", chunk_tokens=4, overlap=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "write to user1@example.com with the report today",
+                "spam spam spam spam spam spam",  # top bigram = 1.0 → gated
+            ],
+        }
+    ).to_parquet(str(src / "b1.parquet"), index=False)
+    _run()
+    got = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(got, key=lambda r: r["chunk_index"])
+    )
+    assert "[EMAIL]" in joined and "@" not in joined

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "emb_quantize_int8",
     "text_bloom_decontaminate",
+    # composed curation rollup: fingerprints + PII + quality + repetition
+    # in one grouped pass (the LLM-ops "flagship #2")
+    "corpus_curation_report",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -298,6 +298,103 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------- composed curation rollup
+
+
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation rollup in ONE statement: per source, document
+    and unique-content counts, token mass, quality mean, PII hit volume
+    (over the planted-PII corpus), and the count of repetition-gate
+    failures — the composition a curation dashboard reads. One shuffle
+    (map-side partial agg on the low-cardinality source key); every input
+    column is a narrow-map expression from the curation operator set.
+    """
+    docs = _augment_pii(load(spark, sf_dir, "documents"))
+    counts = P.pii_counts(F.col("t2"))
+    per_doc = docs.select(
+        "source",
+        T.fingerprint64(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.floor(T.quality_score(F.col("text")) * 10000).cast("long").alias("q_e4"),
+        (counts["n_email"] + counts["n_ipv4"] + counts["n_phone"])
+        .cast("long")
+        .alias("pii_hits"),
+        (T.top_bigram_frac(F.col("text")) > 0.1).cast("int").alias("rep_fail"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.floor(F.avg("q_e4")).cast("long").alias("avg_quality_e4"),
+        F.sum("pii_hits").cast("long").alias("pii_hits"),
+        F.sum("rep_fail").cast("long").alias("n_repetition_flagged"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+
+_SQL_QUALITY_EXPR = """
+    0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 100000 THEN 1.0
+                 WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
+  + 0.25 * (CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END)
+  + 0.25 * (CASE WHEN len(list_filter(w, x -> x IN ({sw}))) > 0 THEN 1.0 ELSE 0.0 END)
+  + 0.25 * (1.0 - CASE WHEN len(w) > 0
+                       THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                       ELSE 0.0 END)
+"""
+
+SQL_CURATION_REPORT = f"""
+WITH aug AS (
+    SELECT doc_id, source, text,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 10.0.0.'
+                     || CAST(doc_id % 250 + 1 AS VARCHAR)
+                     || ' call +1-415-555-'
+                     || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                ELSE text END AS t2
+    FROM documents
+),
+t AS (
+    SELECT source, text, t2,
+           string_split(lower(trim(text)), ' ') AS w
+    FROM aug
+),
+b AS (
+    SELECT source, text, t2, w,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE CAST([] AS VARCHAR[]) END AS bg
+    FROM t
+),
+per_doc AS (
+    SELECT source,
+           {_SQL_FP64.format(x='text')} AS fp,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(floor(({_SQL_QUALITY_EXPR.format(sw=_SW)}) * 10000) AS BIGINT) AS q_e4,
+           CAST(len(regexp_extract_all(t2, '{P.EMAIL_RE}'))
+              + len(regexp_extract_all(t2, '{P.IPV4_RE}'))
+              + len(regexp_extract_all(t2, '{P.PHONE_RE}')) AS BIGINT) AS pii_hits,
+           CASE WHEN len(w) >= 2
+                 AND list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x)))) / (len(w) - 1) > 0.1
+                THEN 1 ELSE 0 END AS rep_fail
+    FROM b
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(floor(avg(q_e4)) AS BIGINT) AS avg_quality_e4,
+       CAST(sum(pii_hits) AS BIGINT) AS pii_hits,
+       CAST(sum(rep_fail) AS BIGINT) AS n_repetition_flagged
+FROM per_doc
+GROUP BY source
+"""
+
+
 CURATION_QUERIES = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII),
@@ -306,4 +403,5 @@ CURATION_QUERIES = {
         q_text_bloom_decontaminate,
         SQL_BLOOM_DECONTAMINATE,
     ),
+    "corpus_curation_report": (q_corpus_curation_report, SQL_CURATION_REPORT),
 }

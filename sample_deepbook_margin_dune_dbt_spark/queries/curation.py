@@ -298,6 +298,44 @@ GROUP BY doc_id
 """
 
 
+# ----------------------------------------------------------- heavy hitters
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the 20 highest-document-frequency 3-gram
+    shingles (deterministic tiebreak: df desc, shingle asc).
+
+    The boilerplate-discovery pass of corpus curation (find template
+    strings worth stripping). Scale shape: per-doc shingles are already
+    distinct arrays, the explode feeds a two-level (map-side-combined)
+    count, and the top-20 is a TakeOrdered — no global sort materializes.
+    A sketch tier (count-min / SpaceSaving) would bound memory further,
+    but Spark exposes no SQL-side CMS probe, and the exact two-level agg
+    already scales: the reduce side carries one row per DISTINCT shingle,
+    not per occurrence.
+    """
+    from ..operators.dedup import _spread, shingles
+
+    docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select(F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH {_SQL_SHINGLES.strip()}
+SELECT s AS shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh
+GROUP BY s
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------- composed curation rollup
 
 
@@ -404,4 +442,5 @@ CURATION_QUERIES = {
         SQL_BLOOM_DECONTAMINATE,
     ),
     "corpus_curation_report": (q_corpus_curation_report, SQL_CURATION_REPORT),
+    "text_heavy_hitters": (q_text_heavy_hitters, SQL_HEAVY_HITTERS),
 }

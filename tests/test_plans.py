@@ -229,3 +229,11 @@ def test_bloom_probe_corpus_never_shuffles(spark, sf_dir):
     # and the declared query (build inlined) still never sort-merges
     full = _plan(spark, sf_dir, "text_bloom_decontaminate")
     assert "SortMergeJoin" not in full["plan"]
+
+
+def test_heavy_hitters_take_ordered(spark, sf_dir):
+    """Top-20 heavy hitters must plan a TakeOrdered (bounded per-partition
+    heaps), never a global sort of the distinct-shingle counts."""
+    a = _plan(spark, sf_dir, "text_heavy_hitters")
+    assert "TakeOrderedAndProject" in a["plan"]
+    assert "partial_count" in a["plan"], "count must map-side combine"

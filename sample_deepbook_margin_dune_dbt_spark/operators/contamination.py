@@ -40,9 +40,11 @@ def ngram_overlap(
     """Per-document overlap with the benchmark's n-gram shingle set.
 
     Output: (id, n_shingles, n_hits, overlap, contaminated) — overlap is
-    the fraction of the document's DISTINCT shingles found in the
-    benchmark set (rounded to 6 for cross-engine determinism), and
-    ``contaminated`` applies ``threshold``.
+    the raw fraction of the document's DISTINCT shingles found in the
+    benchmark set, and ``contaminated`` applies ``threshold`` to the raw
+    value. (Query layers needing cross-engine-stable output emit
+    ``floor(overlap * 10^k)`` — see ``queries/curation.py`` on why
+    ``round`` diverges between Spark and DuckDB.)
     """
     bench_col = bench_text_col or text_col
     # repartition before the CPU-heavy shingle explode: small corpora
@@ -64,7 +66,7 @@ def ngram_overlap(
         F.count(F.lit(1)).alias("n_shingles"),
         F.count("_hit").alias("n_hits"),
     )
-    overlap = F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+    overlap = F.col("n_hits") / F.col("n_shingles")
     return (
         agg.withColumn("overlap", overlap)
         .withColumn("contaminated", F.col("overlap") >= threshold)

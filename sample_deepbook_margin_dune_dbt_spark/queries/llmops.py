@@ -84,7 +84,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition), rounded to 4 decimals on both engines."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+        "doc_id", F.floor(T.quality_score(F.col("text")) * 10000).cast("long").alias("quality_e4")
     )
 
 
@@ -97,7 +97,7 @@ WITH t AS (
     FROM documents
 )
 SELECT doc_id,
-       round(
+       CAST(floor((
            0.25 * (CASE WHEN n >= 50 AND n <= 100000 THEN 1.0
                         WHEN n > 0 THEN 0.5 ELSE 0.0 END)
          + 0.25 * (CASE WHEN n > 0
@@ -107,7 +107,7 @@ SELECT doc_id,
          + 0.25 * (1.0 - CASE WHEN len(w) > 0
                               THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
                               ELSE 0.0 END)
-       , 4) AS quality
+       ) * 10000) AS BIGINT) AS quality_e4
 FROM t
 """
 
@@ -196,7 +196,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
     )
 
 
@@ -211,7 +211,7 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       CAST(floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1000000) AS BIGINT) AS jaccard_e6
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -267,7 +267,14 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles on content."""
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return C.ngram_overlap(docs, "doc_id", "text", bench, n=3, threshold=0.5)
+    out = C.ngram_overlap(docs, "doc_id", "text", bench, n=3, threshold=0.5)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.floor(F.col("overlap") * 1e6).cast("long").alias("overlap_e6"),
+        "contaminated",
+    )
 
 
 SQL_DECONTAMINATE = f"""
@@ -284,8 +291,8 @@ hit AS (
 SELECT tot.doc_id,
        CAST(n_shingles AS BIGINT) AS n_shingles,
        CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-       round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles, 6) AS overlap,
-       (round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles, 6) >= 0.5) AS contaminated
+       CAST(floor(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles * 1000000) AS BIGINT) AS overlap_e6,
+       (CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles >= 0.5) AS contaminated
 FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
 """
 
@@ -342,7 +349,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("cosine", 6).alias("cosine"),
+        F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -361,7 +368,7 @@ ranked AS (
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+SELECT query_id, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cosine_e6, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -415,7 +422,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     be re-run whenever testdata or sf changes (per ADVICE r2)."""
     emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
     pairs = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64)
-    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6")
+    )
 
 
 SQL_EMB_DEDUP = """
@@ -428,7 +437,7 @@ aug AS (
     SELECT vec_id + 2000000, list_transform(v, x -> x + 0.05) FROM base WHERE vec_id < 25
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS cosine_e6
 FROM aug a, aug b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.v, b.v) >= 0.9
@@ -490,7 +499,8 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", dim=64, k=5, planes=6, probes=2
     )
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        "query_id", "neighbor_id",
+        F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -544,7 +554,8 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, n_probes=6, refine_factor=6,
     )
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        "query_id", "neighbor_id",
+        F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -557,7 +568,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     out = S.ivf_ann_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        "query_id", "neighbor_id",
+        F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
         F.col("rank").cast("long").alias("rank"),
     )
 

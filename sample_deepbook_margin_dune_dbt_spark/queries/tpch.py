@@ -43,11 +43,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
             F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
             F.sum(_charge()).cast("double").alias("sum_charge"),
-            F.round(F.sum(dec2(F.col("l_quantity"))).cast("double") / n, 6).alias("avg_qty"),
-            F.round(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / n, 6).alias(
-                "avg_price"
-            ),
-            F.round(F.sum(dec2(F.col("l_discount"))).cast("double") / n, 6).alias("avg_disc"),
+            F.floor(F.sum(dec2(F.col("l_quantity"))).cast("double") / n * 1e6)
+            .cast("long")
+            .alias("avg_qty_e6"),
+            F.floor(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / n * 1e6)
+            .cast("long")
+            .alias("avg_price_e6"),
+            F.floor(F.sum(dec2(F.col("l_discount"))).cast("double") / n * 1e6)
+            .cast("long")
+            .alias("avg_disc_e6"),
             n.alias("count_order"),
         )
     )
@@ -59,9 +63,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_qty_e6,
+       CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_price_e6,
+       CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_disc_e6,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -243,16 +247,18 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0).cast("decimal(12,2)"))
     ).cast("double")
     total = F.sum(_disc_price()).cast("double")
-    return j.agg(F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"))
+    return j.agg(
+        F.floor(100.0 * promo / total * 1e6).cast("long").alias("promo_revenue_pct_e6")
+    )
 
 
 SQL_Q14 = """
-SELECT round(
+SELECT CAST(floor(
          100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))
                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
        / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-       , 6) AS promo_revenue_pct
+       * 1000000) AS BIGINT) AS promo_revenue_pct_e6
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
@@ -371,14 +377,14 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("c_rkey") == region["r_regionkey"])
         .join(F.broadcast(n2), supp["s_nationkey"] == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(nat_vol / F.sum(vol).cast("double"), 6).alias("mkt_share"))
+        .agg(F.floor(nat_vol / F.sum(vol).cast("double") * 1e6).cast("long").alias("mkt_share_e6"))
     )
 
 
 SQL_Q8 = """
-SELECT o_year, round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+SELECT o_year, CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
                                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-                   / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+                   / CAST(sum(volume) AS DOUBLE) * 1000000) AS BIGINT) AS mkt_share_e6
 FROM (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
@@ -476,14 +482,15 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
               li["l_partkey"] == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / 7.0, 6)
-            .alias("avg_yearly")
+            F.floor(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / 7.0 * 1e6)
+            .cast("long")
+            .alias("avg_yearly_e6")
         )
     )
 
 
 SQL_Q17 = """
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+SELECT CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 * 1000000) AS BIGINT) AS avg_yearly_e6
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#11'

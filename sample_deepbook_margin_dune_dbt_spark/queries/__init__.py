@@ -53,6 +53,12 @@ driver query moved to ``EXTRA_QUERIES``:
   ``text_bloom_decontaminate`` (constant-size Bloom membership probe,
   the narrow-map scale tier of the decontamination family).
 
+- r3 data-mixing family: ``tpch_q5`` (single-row multi-join drill; the
+  shape is held by ``tpch_q3``/``q8``/``q10``/``q21``) — swapped for
+  ``corpus_mixture_select`` (token-budget mixture planning + exact
+  greedy selection, the new data-mixing family; the plan and Bernoulli
+  tiers stay oracle-verified in EXTRA_QUERIES).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -64,6 +70,7 @@ from .approx import APPROX_QUERIES
 from .chunkingq import CHUNKING_QUERIES
 from .curation import CURATION_QUERIES
 from .llmops import LLMOPS_QUERIES
+from .mixtureq import MIXTURE_QUERIES
 from .parity import PARITY_QUERIES
 from .samplingq import SAMPLING_QUERIES
 from .sigbench import SIGBENCH_QUERIES
@@ -80,6 +87,7 @@ _MERGED = {
     **SIGBENCH_QUERIES,
     **CHUNKING_QUERIES,
     **CURATION_QUERIES,
+    **MIXTURE_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline
@@ -127,11 +135,12 @@ DRIVER_QUERY_ORDER = [
     "p10_case_trycast",
     "p11_case_join_key",
     "a5_rollup",
+    # data-mixing family (r3): plan + exact greedy tier in one query
+    "corpus_mixture_select",
     # TPC-H
     "tpch_q1",
     "tpch_q3",
     "tpch_q4",
-    "tpch_q5",
     "tpch_q6",
     "tpch_q8",
     "tpch_q10",

@@ -237,3 +237,31 @@ def test_heavy_hitters_take_ordered(spark, sf_dir):
     a = _plan(spark, sf_dir, "text_heavy_hitters")
     assert "TakeOrderedAndProject" in a["plan"]
     assert "partial_count" in a["plan"], "count must map-side combine"
+
+
+def test_mixture_sample_broadcasts_plan(spark, sf_dir):
+    """The corpus side of the Bernoulli mixture tier must broadcast the
+    tiny per-domain plan (never shuffle the corpus on the domain key)
+    and keep the variate filter an equi-join-free narrow map."""
+    fn, _ = ALL_QUERIES["corpus_mixture_sample"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert a["num_broadcasts"] >= 1, "per-domain plan must broadcast"
+    assert "CartesianProduct" not in a["plan"]
+    assert "SortMergeJoin" not in a["plan"], (
+        "corpus must not shuffle to meet the 5-row plan"
+    )
+
+
+def test_mixture_select_single_domain_shuffle(spark, sf_dir):
+    """The greedy tier's only corpus shuffle is the per-domain window
+    partitioning; the plan joins stay broadcast."""
+    fn, _ = ALL_QUERIES["corpus_mixture_select"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert a["num_broadcasts"] >= 1
+    assert "SortMergeJoin" not in a["plan"]
+    # corpus-side hash partitioning only on the window's domain key
+    corpus_parts = [
+        l for l in a["plan"].splitlines()
+        if "hashpartitioning(lang" in l or "hashpartitioning(domain" in l
+    ]
+    assert corpus_parts, "window must partition by the domain key"

@@ -1,0 +1,103 @@
+"""Deterministic global ordering: epoch shuffle for training-data runs.
+
+Trainers consume the corpus in a different-but-reproducible order every
+epoch. ``ORDER BY md5(epoch || key)`` gives exactly that order, but a
+naive global ``row_number()`` window collapses to a single partition —
+the canonical Spark scale-killer. :func:`global_hash_rank` computes the
+same rank distributed:
+
+1. hash every key to a 60-bit integer ``h`` (the repo's md5-prefix idiom,
+   bit-reproducible in DuckDB);
+2. assign an ORDER-PRESERVING bucket ``h div ceil(16^15 / n_buckets)`` —
+   a pure expression, independent of partitioning;
+3. one tiny aggregation counts rows per bucket (≤ ``n_buckets`` rows,
+   collected to the driver — the bounded parameterize-the-scan pattern);
+4. cumulative bucket offsets broadcast back; rank = offset +
+   ``row_number()`` windowed PER BUCKET (parallel, ~N/n_buckets rows
+   per window task).
+
+Cost: two passes over the input (count + rank) and one hash-partition
+shuffle on the bucket; no stage ever sees more than one bucket's rows.
+At 100 TB raise ``n_buckets`` so N/n_buckets rows fit an executor
+(md5 is uniform, so buckets are balanced within sampling error).
+
+Ties: distinct keys collide on ``h`` with probability ~2^-60; order
+falls back to the key itself, so the rank is total and deterministic
+even then.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^15: the md5-prefix hash space (60 bits), shared with operators.sampling
+_HASH_SPACE = 16**15
+
+
+def _hash60(col: F.Column | str, salt: str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(salt), c.cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str, salt: str) -> str:
+    """DuckDB twin of the 60-bit hash (same value, same order)."""
+    keyed = f"concat('{salt}', CAST({expr} AS VARCHAR))"
+    return f"CAST(concat('0x', substr(md5({keyed}), 1, 15)) AS BIGINT)"
+
+
+def global_hash_rank(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    n_buckets: int = 1024,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Add a 1-based global rank equal to ``row_number() OVER (ORDER BY
+    md5(salt||key), key)`` — computed without a single-partition window.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    width = -(-_HASH_SPACE // n_buckets)  # ceil: buckets are order-preserving
+    h = _hash60(key_col, salt)
+    hashed = df.withColumn("_h60", h).withColumn(
+        "_bkt", (F.col("_h60") / F.lit(width)).cast("long")
+    )
+    counts = sorted(
+        (r["_bkt"], r["n"])
+        for r in hashed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for bkt, n in counts:
+        offsets.append((bkt, running))
+        running += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_bkt long, _off long")
+    w = Window.partitionBy("_bkt").orderBy(F.col("_h60").asc(), F.col(key_col).asc())
+    return (
+        hashed.join(F.broadcast(off_df), "_bkt")
+        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_h60", "_bkt", "_off")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_buckets: int = 1024,
+    rank_col: str = "epoch_rank",
+) -> DataFrame:
+    """Reproducible per-epoch training order: a different deterministic
+    permutation of the corpus for every epoch number.
+
+    The rank is a pure function of (key, epoch): stable across runs,
+    engines, and repartitioning; decorrelated across epochs (the epoch
+    salts the hash). Writing out ``ORDER BY epoch_rank`` shards (e.g.
+    ``repartitionByRange(rank)`` + sortWithinPartitions) gives the
+    trainer sequential reads in shuffle order.
+    """
+    return global_hash_rank(
+        df, key_col, salt=f"epoch{epoch}:", n_buckets=n_buckets, rank_col=rank_col
+    )

@@ -57,7 +57,11 @@ driver query moved to ``EXTRA_QUERIES``:
   shape is held by ``tpch_q3``/``q8``/``q10``/``q21``) — swapped for
   ``corpus_mixture_select`` (token-budget mixture planning + exact
   greedy selection, the new data-mixing family; the plan and Bernoulli
-  tiers stay oracle-verified in EXTRA_QUERIES).
+  tiers stay oracle-verified in EXTRA_QUERIES),
+- r3 training-order family: ``tpch_q4`` (EXISTS semi-join; the
+  semi/anti shape is held by ``tpch_q21``, which plans both) — swapped
+  for ``corpus_epoch_shuffle`` (distributed global rank by epoch-salted
+  hash — the deterministic training-order permutation).
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
@@ -71,6 +75,7 @@ from .chunkingq import CHUNKING_QUERIES
 from .curation import CURATION_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .mixtureq import MIXTURE_QUERIES
+from .orderingq import ORDERING_QUERIES
 from .parity import PARITY_QUERIES
 from .samplingq import SAMPLING_QUERIES
 from .sigbench import SIGBENCH_QUERIES
@@ -88,6 +93,7 @@ _MERGED = {
     **CHUNKING_QUERIES,
     **CURATION_QUERIES,
     **MIXTURE_QUERIES,
+    **ORDERING_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline
@@ -137,10 +143,11 @@ DRIVER_QUERY_ORDER = [
     "a5_rollup",
     # data-mixing family (r3): plan + exact greedy tier in one query
     "corpus_mixture_select",
+    # training-order family (r3): distributed epoch shuffle
+    "corpus_epoch_shuffle",
     # TPC-H
     "tpch_q1",
     "tpch_q3",
-    "tpch_q4",
     "tpch_q6",
     "tpch_q8",
     "tpch_q10",

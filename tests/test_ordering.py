@@ -1,0 +1,68 @@
+"""Distributed epoch-shuffle contracts (``operators/ordering.py``).
+
+Oracle parity for ``corpus_epoch_shuffle`` runs in
+``test_oracle_parity.py``; these pin what parity can't see: equivalence
+with the naive single-partition window, epoch decorrelation, rank
+totality, and stability under repartitioning/bucket count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.operators import ordering as O
+from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def _ranks(df, rank_col="rank"):
+    return {r["doc_id"]: r[rank_col] for r in df.select("doc_id", rank_col).collect()}
+
+
+def test_matches_global_window(docs):
+    """Bucketed rank ≡ the naive row_number over a global ORDER BY."""
+    got = _ranks(O.global_hash_rank(docs, "doc_id", salt="s:", n_buckets=32))
+    naive = docs.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(O._hash60("doc_id", "s:").asc(), F.col("doc_id").asc())
+        ),
+    )
+    assert got == _ranks(naive)
+
+
+def test_rank_is_total_and_stable(docs):
+    n = docs.count()
+    a = O.global_hash_rank(docs, "doc_id", n_buckets=16)
+    ranks = sorted(_ranks(a).values())
+    assert ranks == list(range(1, n + 1)), "rank must be a 1..N permutation"
+    # invariant to physical layout and bucket count
+    b = O.global_hash_rank(docs.repartition(17), "doc_id", n_buckets=7)
+    assert _ranks(a) == _ranks(b)
+
+
+def test_epochs_decorrelated(docs):
+    e1 = _ranks(O.epoch_shuffle(docs, "doc_id", epoch=1), "epoch_rank")
+    e2 = _ranks(O.epoch_shuffle(docs, "doc_id", epoch=2), "epoch_rank")
+    assert set(e1) == set(e2)
+    moved = sum(1 for k in e1 if e1[k] != e2[k])
+    assert moved > 0.9 * len(e1), "epoch salt must permute nearly every rank"
+
+
+def test_no_single_partition_stage(spark, docs):
+    """The scale contract: no SinglePartition exchange anywhere in the
+    plan (the naive global window's signature)."""
+    df = O.epoch_shuffle(docs, "doc_id", epoch=3, n_buckets=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_validates_buckets(docs):
+    with pytest.raises(ValueError):
+        O.global_hash_rank(docs, "doc_id", n_buckets=0)

@@ -1,3 +1,18 @@
 from .catalog import SourceCatalog, testdata_sources
+from .files import (
+    quarantine,
+    read_csv,
+    read_jsonl,
+    write_jsonl,
+    write_training_shards,
+)
 
-__all__ = ["SourceCatalog", "testdata_sources"]
+__all__ = [
+    "SourceCatalog",
+    "testdata_sources",
+    "quarantine",
+    "read_csv",
+    "read_jsonl",
+    "write_jsonl",
+    "write_training_shards",
+]

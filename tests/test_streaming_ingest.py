@@ -1,0 +1,91 @@
+"""Streaming JSONL file-drop ingestion (``streaming/ingest.py``):
+quarantine split, MERGE upserts across drops, and batch≡stream parity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+from sample_deepbook_margin_dune_dbt_spark.sources import files as FS
+from sample_deepbook_margin_dune_dbt_spark.streaming import stream_jsonl_ingest
+
+SCHEMA = "doc_id BIGINT, text STRING, lang STRING"
+
+
+def _drop(landing: str, name: str, lines: list[str]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _doc(i: int, text: str) -> str:
+    return json.dumps({"doc_id": i, "text": text, "lang": "en"})
+
+
+def test_ingest_quarantines_and_upserts_across_drops(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    _drop(landing, "a.jsonl", [_doc(1, "one"), _doc(2, "two"), "NOT JSON"])
+    q = stream_jsonl_ingest(
+        spark, landing, SCHEMA, store, "corpus", ["doc_id"], ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["text"] for r in store.read("corpus").collect()}
+    assert got == {1: "one", 2: "two"}
+    bad = store.read("corpus_quarantine").collect()
+    assert [r["raw_line"] for r in bad] == ["NOT JSON"]
+
+    # second drop: new doc + re-drop of doc 2 (revised) → upsert, not dup
+    _drop(landing, "b.jsonl", [_doc(2, "two-v2"), _doc(3, "three")])
+    q2 = stream_jsonl_ingest(
+        spark, landing, SCHEMA, store, "corpus", ["doc_id"], ckpt
+    )
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"]: r["text"] for r in store.read("corpus").collect()}
+    assert got == {1: "one", 2: "two-v2", 3: "three"}
+    # quarantine unchanged: file a was NOT reprocessed (checkpoint tracking)
+    assert store.read("corpus_quarantine").count() == 1
+
+
+def test_ingest_dedups_within_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    _drop(landing, "a.jsonl", [_doc(7, "first"), _doc(7, "dup-of-7")])
+    q = stream_jsonl_ingest(
+        spark, landing, SCHEMA, store, "corpus", ["doc_id"], str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    rows = store.read("corpus").collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 7
+
+
+def test_stream_matches_batch_build(spark, tmp_path):
+    """The stream-built corpus ≡ a batch quarantine+merge over the same drops."""
+    landing = str(tmp_path / "landing")
+    lines = [_doc(i, f"t{i}") for i in range(20)] + ["BAD1", "{broken"]
+    _drop(landing, "a.jsonl", lines[:10])
+    _drop(landing, "b.jsonl", lines[10:])
+
+    s_store = TableStore(spark, str(tmp_path / "wh_s"))
+    q = stream_jsonl_ingest(
+        spark, landing, SCHEMA, s_store, "corpus", ["doc_id"], str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    clean, bad = FS.quarantine(FS.read_jsonl(spark, landing, SCHEMA))
+    s_rows = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in s_store.read("corpus").collect()
+    )
+    b_rows = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in clean.select("doc_id", "text", "lang").collect()
+    )
+    assert s_rows == b_rows
+    assert s_store.read("corpus_quarantine").count() == bad.count() == 2

@@ -56,9 +56,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # driver testdata parquet carries TIMESTAMP(NANOS); Spark 4 reads
-        # them only as long (ns since epoch) under this conf — query code
-        # converts with `timestamp_micros(col div 1000)`
+        # tolerate TIMESTAMP(NANOS) parquet (surfaces as long ns); harmless
+        # no-op on µs data — queries normalize either encoding via
+        # queries.common.normalize_event_ts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -3,37 +3,79 @@
 The driver hands us an arbitrary SparkSession, so every query defensively
 pins the runtime confs its correctness depends on (all runtime-settable):
 
-- ``nanosAsLong`` — the testdata's ``events.ts`` is TIMESTAMP(NANOS), which
-  Spark 4 otherwise refuses to read; under this conf it surfaces as a long
-  (ns since epoch) and ``EVENT_TS`` converts it.
+- ``nanosAsLong`` — lets Spark 4 read TIMESTAMP(NANOS) parquet (as a long of
+  ns since epoch) instead of refusing; harmless no-op on µs data.
 - UTC session timezone — date bucketing must agree with the DuckDB oracle.
 - ANSI off — parity with Trino-style ``try_cast``/lenient arithmetic
   (Spark 4 defaults ANSI on).
+
+The physical encoding of ``events.ts`` has drifted across driver testdata
+generations (TIMESTAMP(NANOS) in rounds 1-2, physical ``timestamp[us]``
+since round 3), so ``load()`` normalizes it to one canonical form —
+µs-precision ``TimestampType`` — and every downstream query goes through
+``event_ts()``/``event_ts_us()`` instead of raw ``ts`` arithmetic. The
+DuckDB oracle side reads the same parquet natively as TIMESTAMP and needs
+no branching.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and "ts" in df.columns:
+        df = normalize_event_ts(df)
+    return df
 
 
-# events.ts (long ns under nanosAsLong) → µs-precision timestamp, matching
-# DuckDB's TIMESTAMP truncation of the same parquet column.
-# Functions (not module constants): F.expr needs an active session.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``ts`` to µs-precision ``TimestampType`` whatever the
+    physical parquet encoding:
+
+    - long (TIMESTAMP(NANOS) surfaced via ``nanosAsLong``) → ``div 1000``
+      then ``timestamp_micros`` (truncation matches DuckDB's read of the
+      same column);
+    - TIMESTAMP_NTZ (physical ``timestamp[us]``, no UTC flag) → cast to
+      TIMESTAMP — value-preserving because the session timezone is pinned
+      UTC;
+    - TIMESTAMP → already canonical.
+
+    Scale note: the cast is a narrow projection, but a predicate on the
+    normalized column no longer reaches parquet row-group stats. On a
+    production lake with a consistent physical type, drop this shim and
+    filter the raw column; here, engine portability across the drifting
+    testdata wins.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(dt, TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts has unsupported dtype {dt}; expected long ns, "
+        "timestamp_ntz, or timestamp"
+    )
+
+
+# Canonical accessors over the normalized column. Functions (not module
+# constants): Column construction wants an active session.
 def event_ts() -> F.Column:
-    return F.expr("timestamp_micros(ts div 1000)")
+    """µs-precision timestamp (the normalized ``ts`` itself)."""
+    return F.col("ts")
 
 
 def event_ts_us() -> F.Column:
     """µs since epoch as long."""
-    return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts"))
 
 
 # ---------------------------------------------------------------------------

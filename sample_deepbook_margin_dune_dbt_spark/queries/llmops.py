@@ -486,13 +486,45 @@ SELECT doc_id,
 FROM documents
 """
 
-# -------------------------------------------- LSH-bucketed ANN (rows-only)
+# ----------------------------------------------------------- bucketed ANN
+#
+# The neighbor LISTS of the approximate tiers are approximate by design, so
+# they carry no value oracle (recall vs the exact top-k is asserted in
+# ``tests/test_operators.py``). What IS deterministic — and therefore
+# hash-matchable by the driver — is the structural contract every tier
+# guarantees: exactly k distinct neighbors per query, a contiguous 1..k
+# rank sequence, and self excluded. The driver-declared ``ann_*`` queries
+# project that contract; ``ann_*_detail`` keep the full neighbor lists.
 
 
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate bucketed ANN (hyperplane LSH). No oracle — approximate by
-    design; the driver records a rows-only check, and
-    ``tests/test_operators.py`` asserts recall against the exact top-k."""
+def _ann_structural_summary(out: DataFrame) -> DataFrame:
+    return out.groupBy(F.col("query_id").cast("long").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.countDistinct("neighbor_id").alias("n_distinct_neighbors"),
+        F.min("rank").cast("long").alias("rank_min"),
+        F.max("rank").cast("long").alias("rank_max"),
+        F.sum("rank").cast("long").alias("rank_sum"),
+        F.sum(
+            F.when(F.col("neighbor_id") == F.col("query_id"), 1).otherwise(0)
+        ).cast("long").alias("n_self"),
+    )
+
+
+# k=5 ⇒ 5 distinct neighbors, ranks 1..5 summing to 15, self excluded.
+SQL_ANN_SUMMARY = """
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       CAST(5 AS BIGINT) AS n_distinct_neighbors,
+       CAST(1 AS BIGINT) AS rank_min,
+       CAST(5 AS BIGINT) AS rank_max,
+       CAST(15 AS BIGINT) AS rank_sum,
+       CAST(0 AS BIGINT) AS n_self
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+def q_ann_lsh_bucketed_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate bucketed ANN (hyperplane LSH), full neighbor lists."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = S.lsh_ann_topk(
@@ -503,6 +535,11 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, structural-contract projection (driver row)."""
+    return _ann_structural_summary(q_ann_lsh_bucketed_detail(spark, sf_dir))
 
 
 
@@ -543,10 +580,10 @@ SELECT doc_id, unnest(fps) AS fp FROM minima
 
 
 
-def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_pq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate ANN (product-quantized residuals + ADC + exact
-    refine; 32x vector compression). No oracle — approximate by design;
-    recall vs exact is asserted in tests/test_operators.py."""
+    refine; 32x vector compression), full neighbor lists. Recall vs exact
+    is asserted in tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = S.ivf_pq_ann_topk(
@@ -560,9 +597,14 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN (KMeans coarse quantizer, 4/16 cells probed).
-    No oracle — approximate by design; recall vs exact is asserted in
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN, structural-contract projection (driver row)."""
+    return _ann_structural_summary(q_ann_ivf_pq_detail(spark, sf_dir))
+
+
+def q_ann_ivf_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN (KMeans coarse quantizer, 4/16 cells probed),
+    full neighbor lists. Recall vs exact is asserted in
     tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -572,6 +614,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, structural-contract projection (driver row)."""
+    return _ann_structural_summary(q_ann_ivf_detail(spark, sf_dir))
 
 
 
@@ -636,7 +683,12 @@ LLMOPS_QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
-    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),
-    "ann_ivf": (q_ann_ivf, None),
-    "ann_ivf_pq": (q_ann_ivf_pq, None),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_SUMMARY),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_SUMMARY),
+    "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_SUMMARY),
+    # full neighbor lists: approximate by design, no value oracle (recall
+    # asserted in tests/test_operators.py; rows-only in the local suite)
+    "ann_lsh_bucketed_detail": (q_ann_lsh_bucketed_detail, None),
+    "ann_ivf_detail": (q_ann_ivf_detail, None),
+    "ann_ivf_pq_detail": (q_ann_ivf_pq_detail, None),
 }

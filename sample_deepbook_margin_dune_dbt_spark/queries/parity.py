@@ -468,8 +468,8 @@ def q_a2_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.expr("timestamp_micros(min(ts div 1000))").alias("first_ts"),
-        F.expr("timestamp_micros(max(ts div 1000))").alias("last_ts"),
+        F.min(event_ts()).alias("first_ts"),
+        F.max(event_ts()).alias("last_ts"),
         F.round(dsum2(F.col("value")), 2).alias("total_value"),
     )
 
@@ -516,7 +516,7 @@ def q_f_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.to_date(event_ts()).alias("event_date"),
-        F.expr("ts div 1000000").alias("epoch_ms"),
+        F.unix_millis(event_ts()).alias("epoch_ms"),
         F.date_sub(F.to_date(event_ts()), 7).alias("week_before"),
         F.hour(event_ts()).cast("long").alias("event_hour"),
     )
@@ -954,7 +954,7 @@ def q_a5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "events").createOrReplaceTempView("_ev_gs")
     return spark.sql(
         """
-        SELECT event_type, CAST(ts DIV 86400000000000 AS BIGINT) AS day_num,
+        SELECT event_type, CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS day_num,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM _ev_gs

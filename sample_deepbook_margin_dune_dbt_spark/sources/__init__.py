@@ -1,6 +1,7 @@
 from .catalog import SourceCatalog, testdata_sources
 from .files import (
     quarantine,
+    quarantine_scope,
     read_csv,
     read_jsonl,
     write_jsonl,
@@ -11,6 +12,7 @@ __all__ = [
     "SourceCatalog",
     "testdata_sources",
     "quarantine",
+    "quarantine_scope",
     "read_csv",
     "read_jsonl",
     "write_jsonl",

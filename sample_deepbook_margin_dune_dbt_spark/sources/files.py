@@ -8,7 +8,9 @@ models consume ordered, size-bounded shards. These close that loop:
   column by default, so dirty lines are *data*, quarantinable with one
   filter — never a job failure on line 3 billion). Schema inference is
   refused: it's an extra full pass and nondeterministic on dirty data.
-- :func:`quarantine` — split a permissive read into (clean, bad) once.
+- :func:`quarantine` / :func:`quarantine_scope` — split a permissive
+  read into (clean, bad) once; the scope form releases the shared parse
+  cache on exit.
 - :func:`write_jsonl` — line-delimited JSON export (one object per line,
   the interchange format every tokenizer pipeline accepts).
 - :func:`write_training_shards` — rank-range sharding: range-partition
@@ -28,6 +30,8 @@ are the ad-hoc ingestion/export surfaces around it.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,14 +97,32 @@ def quarantine(
     Spark refuses plans over raw JSON/CSV scans that reference ONLY the
     corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
     input is cached here — the parse runs once and both halves read the
-    materialized result. At warehouse scale, prefer writing the
-    permissive read to a staging table and splitting from there; the
-    semantics are identical.
+    materialized result. The cache lives until the caller releases it:
+    use :func:`quarantine_scope` (preferred — releases on exit) or call
+    ``.unpersist()`` on the parent of either returned frame. At
+    warehouse scale, prefer writing the permissive read to a staging
+    table and splitting from there; the semantics are identical.
     """
     df = df.cache()
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, bad
+
+
+@contextmanager
+def quarantine_scope(
+    df: DataFrame, corrupt_col: str = CORRUPT_COL
+) -> Iterator[tuple[DataFrame, DataFrame]]:
+    """:func:`quarantine` with a bounded cache lifetime: yields
+    ``(clean, bad)`` and unpersists the shared parse cache on exit, so
+    executor storage memory is handed back the moment the split is
+    consumed (mirrors ``streaming/ingest.py``'s per-batch cache→unpersist
+    discipline)."""
+    cached = df.cache()
+    try:
+        yield quarantine(cached, corrupt_col)
+    finally:
+        cached.unpersist()
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:

@@ -545,7 +545,7 @@ def test_native_session_window_matches_window_algebra(spark, sf_dir):
     gap_s = 600
     ev = load(spark, sf_dir, "events").select(
         "user_id",
-        F.expr("ts div 1000000000").alias("ts_s"),  # ns → whole epoch seconds
+        F.unix_seconds(F.col("ts")).alias("ts_s"),  # → whole epoch seconds
         "value",
     )
     custom = session_stats(ev, "user_id", "ts_s", gap=gap_s, value_col="value")

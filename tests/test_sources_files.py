@@ -38,6 +38,15 @@ def test_jsonl_permissive_quarantine(spark, jsonl_path):
     assert len(bad_lines) == 2 and "not json at all" in bad_lines
 
 
+def test_quarantine_scope_releases_cache(spark, jsonl_path):
+    df = FS.read_jsonl(spark, jsonl_path, SCHEMA)
+    with FS.quarantine_scope(df) as (clean, bad):
+        assert {r["doc_id"] for r in clean.collect()} == {1, 2, 4}
+        assert bad.count() == 2
+        assert df.storageLevel.useMemory  # parse cache live inside the scope
+    assert not df.storageLevel.useMemory  # handed back on exit
+
+
 def test_jsonl_dropmalformed_and_failfast(spark, jsonl_path):
     dropped = FS.read_jsonl(spark, jsonl_path, SCHEMA, mode="DROPMALFORMED")
     assert dropped.count() == 3 and FS.CORRUPT_COL not in dropped.columns

@@ -30,6 +30,7 @@ from ..engine.materialize import TableStore
 from ..sources.files import CORRUPT_COL
 
 QUARANTINE_SCHEMA_SUFFIX = "_quarantine"
+LATE_SCHEMA_SUFFIX = "_late"
 
 
 def stream_jsonl_ingest(
@@ -43,6 +44,8 @@ def stream_jsonl_ingest(
     quarantine_table: str | None = None,
     reader_options: dict[str, str] | None = None,
     trigger_once: bool = True,
+    event_time_col: str | None = None,
+    max_lateness: str | None = None,
 ):
     """Start the landing-dir → corpus ingestion stream.
 
@@ -50,8 +53,23 @@ def stream_jsonl_ingest(
     internally). Returns the StreamingQuery; with ``trigger_once`` the
     stream drains available files and stops (the scheduled-batch
     pattern), otherwise it runs continuously.
+
+    ``event_time_col`` + ``max_lateness`` (an INTERVAL literal body,
+    e.g. ``"7 days"``) enable the reference's late-data contract
+    (``fct_deepbook_margin_pool_daily.sql:34``'s 7-day lookback) on the
+    streaming path: rows whose event time falls at or before
+    ``max(event time already ingested) - max_lateness`` are diverted to
+    the ``<corpus>_late`` audit table instead of merging — too-late data
+    is auditable, never a silent state rewrite. The floor probe is the
+    same bounded scalar-MAX watermark the batch engine runs per
+    incremental build (``engine/model.py``), here once per micro-batch;
+    at scale, range-clustering the corpus on the event-time column keeps
+    it a metadata-cheap scan (see ``engine/materialize.py`` optimize).
     """
     q_table = quarantine_table or corpus_table + QUARANTINE_SCHEMA_SUFFIX
+    late_table = corpus_table + LATE_SCHEMA_SUFFIX
+    if max_lateness is not None and event_time_col is None:
+        raise ValueError("max_lateness requires event_time_col")
     reader = (
         spark.readStream.schema(f"{schema}, {CORRUPT_COL} STRING")
         .option("mode", "PERMISSIVE")
@@ -64,6 +82,23 @@ def stream_jsonl_ingest(
         batch_df = batch_df.cache()
         try:
             clean = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            if event_time_col and max_lateness and store.exists(corpus_table):
+                wm = (
+                    store.read(corpus_table)
+                    .agg(F.max(event_time_col))
+                    .first()[0]
+                )
+                if wm is not None:
+                    floor = F.lit(wm) - F.expr(f"INTERVAL {max_lateness}")
+                    late = clean.filter(F.col(event_time_col) <= floor)
+                    if late.limit(1).count() > 0:
+                        store.append(
+                            late.withColumn(
+                                "batch_id", F.lit(batch_id).cast("long")
+                            ),
+                            late_table,
+                        )
+                    clean = clean.filter(F.col(event_time_col) > floor)
             # a file may re-deliver the same document id: last write wins
             # inside the batch, then MERGE upserts against the corpus
             deduped = clean.dropDuplicates(unique_key)

@@ -66,6 +66,54 @@ def test_ingest_dedups_within_batch(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["doc_id"] == 7
 
 
+def _tdoc(i: int, text: str, ts: str) -> str:
+    return json.dumps(
+        {"doc_id": i, "text": text, "lang": "en", "updated_at": ts}
+    )
+
+
+def test_out_of_order_late_drop_is_audited_not_merged(spark, tmp_path):
+    """Mirror of the reference's 7-day late-data contract on the streaming
+    path: a re-drop older than max(ingested event time) - 7 days lands in
+    the ``_late`` audit table and does NOT rewrite corpus state; late data
+    inside the window still upserts."""
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    tschema = SCHEMA + ", updated_at TIMESTAMP"
+
+    def run():
+        q = stream_jsonl_ingest(
+            spark, landing, tschema, store, "corpus", ["doc_id"], ckpt,
+            event_time_col="updated_at", max_lateness="7 days",
+        )
+        q.awaitTermination(120)
+
+    _drop(landing, "a.jsonl", [
+        _tdoc(1, "one", "2026-01-01T00:00:00"),
+        _tdoc(2, "two", "2026-01-10T00:00:00"),
+    ])
+    run()
+    got = {r["doc_id"]: r["text"] for r in store.read("corpus").collect()}
+    assert got == {1: "one", 2: "two"}  # first batch: no floor yet
+
+    # out-of-order second drop: doc 3 is 1 day late (inside the window),
+    # doc 4 and a doc-1 revision predate the floor (2026-01-03) → audited
+    _drop(landing, "b.jsonl", [
+        _tdoc(3, "three", "2026-01-09T00:00:00"),
+        _tdoc(4, "four", "2026-01-02T00:00:00"),
+        _tdoc(1, "one-rewritten", "2026-01-02T12:00:00"),
+    ])
+    run()
+
+    got = {r["doc_id"]: r["text"] for r in store.read("corpus").collect()}
+    assert got == {1: "one", 2: "two", 3: "three"}  # doc 1 NOT rewritten
+    late = {(r["doc_id"], r["text"]) for r in store.read("corpus_late").collect()}
+    assert late == {(4, "four"), (1, "one-rewritten")}
+    # batch numbering continues across restarts of the same checkpoint
+    assert {r["batch_id"] for r in store.read("corpus_late").collect()} == {1}
+
+
 def test_stream_matches_batch_build(spark, tmp_path):
     """The stream-built corpus ≡ a batch quarantine+merge over the same drops."""
     landing = str(tmp_path / "landing")

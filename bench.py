@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "w1_rownum_dedup",
     "flagship_daily_user_fact",
     "dedup_exact",
+    "dedup_boilerplate_segments",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "sessionize",

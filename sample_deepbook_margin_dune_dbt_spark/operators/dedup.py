@@ -465,6 +465,75 @@ def duplicate_clusters(
     return labels
 
 
+def segment_boilerplate_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level exact segment dedup: remove fixed-width word segments
+    that recur across ``min_df`` or more documents, preserving the order of
+    what remains.
+
+    The scalable approximation of suffix-array ExactSubstr dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better")
+    and the batch analog of C4/RefinedWeb line-level boilerplate removal:
+    cross-document repeated spans (templates, nav chrome, license
+    headers, duplicated passages) are exactly the text a trained model
+    memorizes first. Documents are cut into non-overlapping ``seg_words``
+    windows; a segment's document frequency is counted corpus-wide; any
+    segment hitting ``min_df`` distinct documents is dropped from every
+    document; survivors reassemble in original order.
+
+    Returns ``(id_col, text_clean, n_segments, n_removed)`` — one row per
+    input document (fully-boilerplate documents come back with empty
+    ``text_clean``; pair with doc-level dedup upstream so exact duplicates
+    don't erase each other).
+
+    Scale shape: segmentation is a codegen ``transform``/``posexplode``
+    narrow map; the only shuffles are the segment-df groupBy (map-side
+    combined) and the per-document reassembly groupBy; the boilerplate
+    segment set joins as a broadcast-able LEFT ANTI probe (it is bounded
+    by repeated content, not corpus size). No driver-side collection.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, F.lit(seg_words)), " "
+        ),
+    )
+    seg_rows = df.select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
+    boiler = (
+        seg_rows.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("seg")
+    )
+    kept = seg_rows.join(boiler, "seg", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(F.col(id_col), nseg.cast("long").alias("n_segments"))
+    return base.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_segments",
+        (F.col("n_segments") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 def dedup_by_clusters(
     df: DataFrame, id_col: str, clusters: DataFrame
 ) -> DataFrame:

@@ -76,6 +76,13 @@ driver query moved to ``EXTRA_QUERIES``:
   ``no_oracle`` errs; the approximate neighbor lists live on as
   ``ann_*_detail`` in EXTRA_QUERIES under pytest recall gates.
 
+- r4 new family: ``dedup_ngram_jaccard`` (pair-verification shape held
+  by ``dedup_clusters``, whose oracle recomputes the jaccard pair graph
+  inside its recursive CTE) — swapped for ``dedup_boilerplate_segments``
+  (corpus-level exact segment dedup, the coarse ExactSubstr /
+  C4-line-dedup pass: segment df count → anti-join → ordered
+  reassembly).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -119,7 +126,7 @@ DRIVER_QUERY_ORDER = [
     "dedup_simhash",
     "text_heavy_hitters",
     "embedding_centroids",
-    "dedup_ngram_jaccard",
+    "dedup_boilerplate_segments",
     "dedup_clusters",
     "text_decontaminate",
     "dedup_minhash_lsh",

@@ -56,6 +56,50 @@ FROM documents
 GROUP BY 1
 """
 
+# ------------------------------------------- segment boilerplate dedup
+
+
+def q_dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact segment dedup (coarse ExactSubstr / C4 line-dedup
+    analog): drop 10-word windows recurring in ≥2 documents, reassemble."""
+    return D.segment_boilerplate_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", seg_words=10, min_df=2
+    )
+
+
+SQL_BOILERPLATE_SEGMENTS = """
+WITH words AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+base AS (
+    SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS BIGINT) AS nseg FROM words
+),
+segs AS (
+    SELECT doc_id,
+           unnest(generate_series(0, nseg - 1)) AS seg_idx,
+           unnest(list_transform(
+               generate_series(0, nseg - 1),
+               i -> array_to_string(w[(i*10+1):(i*10+10)], ' ')
+           )) AS seg
+    FROM base
+),
+boiler AS (
+    SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT doc_id, seg_idx, seg FROM segs ANTI JOIN boiler USING (seg)),
+clean AS (
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(c.text_clean, '') AS text_clean,
+       b.nseg AS n_segments,
+       b.nseg - coalesce(c.n_kept, 0) AS n_removed
+FROM base b LEFT JOIN clean c USING (doc_id)
+"""
+
 # -------------------------------------------------------------- token count
 
 
@@ -670,6 +714,10 @@ GROUP BY 1, 2
 
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_boilerplate_segments": (
+        q_dedup_boilerplate_segments,
+        SQL_BOILERPLATE_SEGMENTS,
+    ),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_langid": (q_text_langid, _langid_sql()),

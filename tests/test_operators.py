@@ -429,6 +429,40 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert survivors == [1, 3, 20]
 
 
+def test_segment_boilerplate_dedup_planted(spark):
+    """A 10-word span planted in 3 documents must vanish from all of
+    them; unique text survives verbatim with order preserved; a fully
+    boilerplate document returns empty; accounting (n_segments,
+    n_removed) must balance."""
+    boiler = "click here to accept cookies and continue to the site"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, boiler + " one two three four five six seven eight nine ten"),
+            (3, boiler),  # nothing but the planted span
+            (4, "entirely original words that no other document shares at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.segment_boilerplate_dedup(
+            docs, "doc_id", "text", seg_words=10, min_df=2
+        ).collect()
+    }
+    assert got[1]["text_clean"] == "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert got[2]["text_clean"] == "one two three four five six seven eight nine ten"
+    assert got[3]["text_clean"] == "" and got[3]["n_removed"] == 1
+    assert got[4]["text_clean"] == docs.collect()[3]["text"]
+    for r in got.values():
+        assert 0 <= r["n_removed"] <= r["n_segments"]
+    # raising min_df above the plant count disables removal everywhere
+    untouched = D.segment_boilerplate_dedup(
+        docs, "doc_id", "text", seg_words=10, min_df=4
+    )
+    assert untouched.filter(F.col("n_removed") > 0).count() == 0
+
+
 def test_stdlib_image_decode_real_headers(spark):
     """The stdlib decoder must read TRUE dims from genuine format headers
     (PNG round-trip through the synthesizer, hand-built GIF and JPEG

@@ -265,3 +265,18 @@ def test_mixture_select_single_domain_shuffle(spark, sf_dir):
         if "hashpartitioning(lang" in l or "hashpartitioning(domain" in l
     ]
     assert corpus_parts, "window must partition by the domain key"
+
+
+def test_boilerplate_dedup_broadcast_anti_join(spark, sf_dir):
+    """The boilerplate segment set (bounded by repeated content, not
+    corpus size) must probe as a broadcast LEFT ANTI join — never a
+    shuffled join of the full exploded segment relation — and the
+    segment-df aggregation must partial-aggregate map-side."""
+    fn, _ = ALL_QUERIES["dedup_boilerplate_segments"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoop" not in a["plan"]
+    assert a["num_broadcasts"] >= 1, "boilerplate set must broadcast"
+    assert "BroadcastHashJoin LeftAnti" in a["plan"]
+    assert "SortMergeJoin LeftAnti" not in a["plan"]
+    assert "ShuffledHashJoin LeftAnti" not in a["plan"]

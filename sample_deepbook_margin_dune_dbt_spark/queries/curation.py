@@ -433,7 +433,52 @@ GROUP BY source
 """
 
 
+# ------------------------------------------------------ snapshot diffing
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic corpus snapshots derived from ``documents``:
+    docs with ``doc_id % 13 == 0`` exist only in the new snapshot
+    (added), ``% 10 == 0`` only in the old (removed), ``% 7 == 0`` have
+    uppercased text in the old (changed); the rest are unchanged."""
+    from ..operators.snapshot import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text", "lang")
+    return snapshot_diff(old, new, "doc_id", ["text", "lang"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+    SELECT doc_id,
+           md5(concat_ws(chr(31),
+               CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END,
+               lang)) AS old_fp
+    FROM documents WHERE doc_id % 13 <> 0
+),
+new AS (
+    SELECT doc_id, md5(concat_ws(chr(31), text, lang)) AS new_fp
+    FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp <> n.new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_fp, n.new_fp
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+"""
+
+
 CURATION_QUERIES = {
+    "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII),
     "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),

@@ -418,6 +418,16 @@ def duplicate_clusters(
     same DataFrame shape, more rounds of the same two shuffles).
     Each round materializes via ``localCheckpoint`` so lineage doesn't
     grow with iterations; convergence is an exact changed-label count.
+
+    The iteration's shuffles are sized to the MEASURED graph, not the
+    session default: the edge count is known once the edge list
+    materializes (a scalar the driver already pays for), and a near-dup
+    graph is orders of magnitude smaller than its corpus — per-round
+    exchanges at ``spark.sql.shuffle.partitions`` (tuned for corpus-scale
+    scans) would spend more on empty-partition overhead than on work.
+    ~500k edges per partition; a 100 TB corpus' multi-billion-edge graph
+    still gets thousands of partitions. The conf is scoped to the loop
+    and restored.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # materialize the edge list ONCE: every round joins against it, and
@@ -429,39 +439,50 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("id").alias("b"), F.col("cluster_id").alias("_nl")), "b"
-            )
-            .groupBy("a")
-            .agg(F.min("_nl").alias("_min_nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_min_nbr", "cluster_id")
-                ).alias("cluster_id"),
-            )
+    n_edges = sym.count()
+    spark = sym.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), (n_edges + 499_999) // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = (
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        for _ in range(max_iters):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("cluster_id").alias("_nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("_nl").alias("_min_nbr"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("_min_nbr", "cluster_id")
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
 
 

@@ -82,6 +82,54 @@ def global_hash_rank(
     )
 
 
+def global_value_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    n_partitions: int = 256,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Add a 1-based global rank equal to ``row_number() OVER (ORDER BY
+    order_cols)`` — computed without a single-partition window.
+
+    The value-ordered twin of :func:`global_hash_rank` (leaderboards,
+    quantile/curriculum assignment, ordered export): range-repartition on
+    the order columns (order-preserving ACROSS partitions, equal keys
+    co-located), materialize the partition id as data, count rows per
+    partition (≤ ``n_partitions`` rows to the driver — the bounded
+    parameterize-the-scan pattern), broadcast cumulative offsets back,
+    and rank per partition in parallel windows.
+
+    ``order_cols`` must include a unique tiebreaker (e.g. the id column)
+    for the rank to be total and deterministic. The one materialization
+    (``localCheckpoint``) pins the sampled range bounds so the id column,
+    counts, and window all see the same partitioning.
+    """
+    if n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for pid, n in counts:
+        offsets.append((pid, running))
+        running += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*[c.asc() for c in cols])
+    return (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     key_col: str,

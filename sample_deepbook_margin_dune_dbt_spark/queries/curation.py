@@ -433,6 +433,49 @@ GROUP BY source
 """
 
 
+# -------------------------------------------------- curriculum buckets
+
+
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered curriculum assignment: exact global rank by
+    (quality score, doc_id) via the distributed range-rank operator (no
+    SinglePartition window), then 10 even buckets by integer arithmetic —
+    the quality-tiered ordering curriculum-learning schedules consume."""
+    from ..operators.ordering import global_value_rank
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.floor(T.quality_score(F.col("text")) * 10000).cast("long").alias("quality_e4"),
+    )
+    total = scored.count()  # one bounded scalar job; SQL twin: scalar subquery
+    ranked = global_value_rank(
+        scored, ["quality_e4", "doc_id"], n_partitions=64, rank_col="rank"
+    )
+    return ranked.select(
+        "doc_id",
+        "quality_e4",
+        "rank",
+        (((F.col("rank") - 1) * 10) / F.lit(total)).cast("long").alias("bucket"),
+    )
+
+
+def _curriculum_sql() -> str:
+    from .llmops import SQL_QUALITY
+
+    return f"""
+WITH q AS ({SQL_QUALITY}),
+r AS (
+    SELECT doc_id, quality_e4,
+           CAST(row_number() OVER (ORDER BY quality_e4, doc_id) AS BIGINT) AS rank
+    FROM q
+)
+SELECT doc_id, quality_e4, rank,
+       CAST(((rank - 1) * 10) // (SELECT count(*) FROM q) AS BIGINT) AS bucket
+FROM r
+"""
+
+
 # ------------------------------------------------------ snapshot diffing
 
 
@@ -478,6 +521,7 @@ FROM old o FULL OUTER JOIN new n USING (doc_id)
 
 
 CURATION_QUERIES = {
+    "corpus_curriculum": (q_corpus_curriculum, _curriculum_sql()),
     "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII),

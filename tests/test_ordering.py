@@ -66,3 +66,41 @@ def test_no_single_partition_stage(spark, docs):
 def test_validates_buckets(docs):
     with pytest.raises(ValueError):
         O.global_hash_rank(docs, "doc_id", n_buckets=0)
+
+
+def test_value_rank_matches_global_window(docs):
+    """Range-bucketed value rank ≡ naive row_number over a global ORDER BY
+    on (value, id), including tie groups (lang has ~4 distinct values)."""
+    scored = docs.select("doc_id", "lang")
+    got = _ranks(
+        O.global_value_rank(scored, ["lang", "doc_id"], n_partitions=16)
+    )
+    w = Window.orderBy(F.col("lang").asc(), F.col("doc_id").asc())
+    want = _ranks(scored.withColumn("rank", F.row_number().over(w)))
+    assert got == want
+
+
+def test_value_rank_is_permutation_and_param_stable(docs):
+    n = docs.count()
+    for parts in (1, 7, 64):
+        r = O.global_value_rank(docs, ["doc_id"], n_partitions=parts)
+        ranks = sorted(_ranks(r).values())
+        assert ranks == list(range(1, n + 1)), f"n_partitions={parts}"
+    # doc_id order ⇒ rank follows doc_id order exactly
+    by_id = _ranks(O.global_value_rank(docs, ["doc_id"], n_partitions=8))
+    ids = sorted(by_id)
+    assert [by_id[i] for i in ids] == list(range(1, n + 1))
+
+
+def test_value_rank_no_single_partition_stage(spark, docs):
+    """The scale contract: range partitioning, never SinglePartition."""
+    plan = (
+        O.global_value_rank(docs, ["doc_id"], n_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_value_rank_validates_partitions(docs):
+    with pytest.raises(ValueError):
+        O.global_value_rank(docs, ["doc_id"], n_partitions=0)

@@ -19,5 +19,12 @@ ALL_MODELS = [
     "stg_document_features",
     "corpus_dedup_groups",
     "corpus_stats_by_lang",
+    "corpus_scrubbed_documents",
+    "corpus_training_chunks",
     "corpus_neardup_candidates",
+    "corpus_neardup_clusters",
+    "corpus_packed_sequences",
+    "corpus_index_centroids",
+    "corpus_embedding_index",
+    "corpus_refresh_audit",
 ]

@@ -363,3 +363,40 @@ def corpus_embedding_index(ctx: ModelContext) -> DataFrame:
         int8_quantize(v, scale).alias("codes"),
         ctx.now().alias("updated_at"),
     )
+
+
+@model(
+    "corpus_refresh_audit",
+    unique_key=["status"],
+    materialized="table",
+    deps=["stg_document_features"],
+    tags=["corpus"],
+    not_null=["status", "n"],
+)
+def corpus_refresh_audit(ctx: ModelContext) -> DataFrame:
+    """Source-vs-features drift audit: per-status counts of what the
+    doc_id-watermark strategy CANNOT capture.
+
+    ``stg_document_features`` merges only ``doc_id > max(doc_id)``, so a
+    rewritten text under an existing id ('changed') or a source deletion
+    ('removed') never reaches the feature table — the classic incremental
+    -model caveat (the reference carries the same exposure: its MERGE
+    reprocesses only a 7-day lookback,
+    ``models/deepbook_margin/daily/fct_deepbook_margin_pool_daily.sql:34``).
+    This model makes the drift observable: nonzero 'changed'/'removed'
+    says a --full-refresh is due. Both sides reduce to (id, fingerprint)
+    before the diff, so document payloads never shuffle.
+    """
+    from ..functions.text import fingerprint64
+    from ..operators.snapshot import (
+        snapshot_diff_fingerprints,
+        snapshot_diff_summary,
+    )
+
+    src = ctx.source("main", "documents").select(
+        "doc_id", fingerprint64(F.col("text")).cast("string").alias("new_fp")
+    )
+    feats = ctx.ref("stg_document_features").select(
+        "doc_id", F.col("fingerprint").cast("string").alias("old_fp")
+    )
+    return snapshot_diff_summary(snapshot_diff_fingerprints(feats, src, "doc_id"))

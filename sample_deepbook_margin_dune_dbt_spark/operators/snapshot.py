@@ -42,9 +42,21 @@ def snapshot_diff(
     presence, changed by content fingerprint inequality.
     """
     fp = content_fingerprint(*content_cols)
-    o = old.select(F.col(id_col), fp.alias("old_fp"))
-    n = new.select(F.col(id_col), fp.alias("new_fp"))
-    joined = o.join(n, id_col, "full_outer")
+    return snapshot_diff_fingerprints(
+        old.select(F.col(id_col), fp.alias("old_fp")),
+        new.select(F.col(id_col), fp.alias("new_fp")),
+        id_col,
+    )
+
+
+def snapshot_diff_fingerprints(
+    old: DataFrame, new: DataFrame, id_col: str
+) -> DataFrame:
+    """:func:`snapshot_diff` over PRE-computed fingerprints: ``old`` must
+    carry ``(id_col, old_fp)`` and ``new`` ``(id_col, new_fp)``. Use when
+    a feature table already stores content fingerprints (any hash works —
+    both sides just have to use the same one)."""
+    joined = old.join(new, id_col, "full_outer")
     return joined.select(
         id_col,
         F.when(F.col("old_fp").isNull(), F.lit("added"))

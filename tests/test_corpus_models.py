@@ -164,3 +164,42 @@ def test_embedding_index_models(spark, sf_dir, tmp_path):
     assert len(idx2) == emb.count()
     assert all(idx2[k] == v for k, v in idx1.items())
     assert runner.test("+corpus_embedding_index") == {}
+
+
+def test_refresh_audit_detects_watermark_blindspots(spark, sf_dir, tmp_path):
+    """corpus_refresh_audit must surface exactly the drift the doc_id
+    watermark cannot ingest: rewritten text under existing ids ('changed')
+    and source deletions ('removed')."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner.run("+corpus_refresh_audit")
+    clean = {r["status"]: r["n"] for r in store.read("corpus_refresh_audit").collect()}
+    assert set(clean) == {"unchanged"}
+
+    # drift the source: rewrite text for doc_id % 7 == 0, delete % 10 == 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drifted = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" REV2")))
+            .otherwise(F.col("text")),
+        )
+    )
+    src_dir = str(tmp_path / "drifted")
+    drifted.write.parquet(src_dir + "/documents.parquet")
+    sources = dict(testdata_sources(sf_dir))
+    sources["main.documents"] = src_dir + "/documents.parquet"
+
+    runner2 = Runner(spark, store, sources)
+    runner2.run("+corpus_refresh_audit")
+    # watermark ingested nothing: no new doc_ids exist
+    n_docs = docs.count()
+    assert store.read("stg_document_features").count() == n_docs
+    audit = {r["status"]: r["n"] for r in store.read("corpus_refresh_audit").collect()}
+    n_removed = docs.filter(F.col("doc_id") % 10 == 0).count()
+    n_changed = drifted.filter(F.col("doc_id") % 7 == 0).count()
+    assert audit.get("removed", 0) == n_removed
+    assert audit.get("changed", 0) == n_changed
+    assert audit.get("added", 0) == 0
+    assert audit["unchanged"] == n_docs - n_removed - n_changed

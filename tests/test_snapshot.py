@@ -60,6 +60,27 @@ def test_snapshot_diff_lang_only_change_detected(spark):
     assert got == {1: "changed", 2: "changed"}
 
 
+def test_snapshot_diff_swap_symmetry(spark, sf_dir):
+    """diff(old, new) and diff(new, old) must mirror: added ↔ removed,
+    changed/unchanged fixed points — the involution any diff must satisfy."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    fwd = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, "doc_id", ["text"]).collect()
+    }
+    rev = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(new, old, "doc_id", ["text"]).collect()
+    }
+    flip = {"added": "removed", "removed": "added",
+            "changed": "changed", "unchanged": "unchanged"}
+    assert rev == {k: flip[v] for k, v in fwd.items()}
+
+
 def test_snapshot_diff_self_is_all_unchanged(spark, sf_dir):
     from sample_deepbook_margin_dune_dbt_spark.queries.common import load
 

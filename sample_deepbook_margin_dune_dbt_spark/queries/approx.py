@@ -67,6 +67,57 @@ GROUP BY 1
 """
 
 
+def q_a_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct: per-day Apache DataSketches HLL sketches
+    (``hll_sketch_agg``) unioned into a total-reach estimate
+    (``hll_union_agg``), gated against the exact total.
+
+    THIS is the scalable incremental-distinct pattern: per-partition/
+    per-batch sketches are small, mergeable, and re-aggregatable at any
+    grain — an incremental model can MERGE daily sketch rows and answer
+    "distinct users ever" without re-scanning history (exact distinct
+    cannot compose that way: summing daily exacts overcounts returnees,
+    which ``sum_daily_exact > total_exact`` in this query's own output
+    demonstrates). Same tolerance-boolean oracle contract as
+    :func:`q_a_approx_tier`.
+    """
+    from .common import event_ts
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(event_ts()).alias("d")).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("_sk"),
+        F.count_distinct("user_id").cast("long").alias("_n_day"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk")))
+        .cast("long")
+        .alias("_est_total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_n_day").cast("long").alias("sum_daily_exact"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("total_exact"))
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "total_exact",
+        "sum_daily_exact",
+        (
+            F.abs(F.col("_est_total") - F.col("total_exact"))
+            <= 0.05 * F.col("total_exact")
+        ).alias("sketch_union_ok"),
+    )
+
+
+SQL_SKETCH_UNION = """
+SELECT (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS total_exact,
+       (SELECT CAST(sum(n) AS BIGINT)
+        FROM (SELECT count(DISTINCT user_id) AS n FROM events GROUP BY CAST(ts AS DATE))) AS sum_daily_exact,
+       TRUE AS sketch_union_ok
+FROM events
+"""
+
+
 APPROX_QUERIES = {
     "a_approx_tier": (q_a_approx_tier, SQL_APPROX_TIER),
+    "a_sketch_union": (q_a_sketch_union, SQL_SKETCH_UNION),
 }

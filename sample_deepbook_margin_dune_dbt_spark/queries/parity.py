@@ -805,6 +805,37 @@ FROM sess
 GROUP BY user_id, session_id
 """
 
+# ------------------------------------------ tumbling event-time windows
+
+
+def q_w_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time window aggregation via the built-in
+    ``F.window`` — the batch form of the streaming windowed-agg operator
+    (same grouping expression both modes). Oracle: DuckDB ``time_bucket``."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(event_ts(), "6 hours").start.alias("bucket_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(dsum2(F.col("value")), 2).alias("volume"),
+        )
+    )
+
+
+SQL_W_TUMBLING = """
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
 # ------------------------------------------------------------- A5: cube
 
 
@@ -1101,6 +1132,7 @@ PARITY_QUERIES = {
     "a5_cube": (q_a5_cube, SQL_A5_CUBE),
     "a5_grouping_sets": (q_a5_grouping_sets, SQL_GROUPING_SETS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "w_tumbling_agg": (q_w_tumbling_agg, SQL_W_TUMBLING),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE),
     "a_percentiles": (q_a_percentiles, SQL_PERCENTILES),

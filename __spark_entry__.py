@@ -4,8 +4,9 @@
   volume chain + latest-state dedup + lag deltas) on sf0.001.
 - ``queries()`` — one entry per implemented operator from SURVEY §2 plus
   the LLM-data-pipeline extensions (dedup / similarity / text / multimodal).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for every query except the
-  approximate-by-design ones (rows-only check).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
+  (50/50 since r4: approximate ANN tiers project their deterministic
+  structural contract; tolerance-boolean contract for sketch ops).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

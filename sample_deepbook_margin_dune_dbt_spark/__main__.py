@@ -23,6 +23,7 @@ import sys
 from .engine import Runner, TableStore, all_models, get_spark
 from . import models_deepbook  # noqa: F401  (registers the 7 reference models)
 from . import models_corpus  # noqa: F401  (registers the corpus-curation DAG)
+from . import models_events  # noqa: F401  (registers the event-analytics DAG)
 
 
 def _parse_sources(pairs: list[str]) -> dict[str, str]:

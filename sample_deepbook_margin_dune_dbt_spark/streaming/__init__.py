@@ -1,4 +1,5 @@
 from .incremental import merge_stream
 from .ingest import stream_jsonl_ingest
+from .windows import stream_tumbling_agg
 
-__all__ = ["merge_stream", "stream_jsonl_ingest"]
+__all__ = ["merge_stream", "stream_jsonl_ingest", "stream_tumbling_agg"]

@@ -836,6 +836,41 @@ FROM events
 GROUP BY 1, 2
 """
 
+
+def q_w_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 6-hour windows every 3 hours: each event counts
+    in width/hop = 2 overlapping windows — the overlap-smoothing form of
+    the windowed agg. Oracle: enumerate each row's 2 containing windows
+    from its 3-hour bucket and unnest."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(event_ts(), "6 hours", "3 hours").start.alias("bucket_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum2(F.col("value")), 2).alias("volume"),
+        )
+    )
+
+
+SQL_W_HOPPING = """
+WITH ev AS (
+    SELECT time_bucket(INTERVAL 3 HOUR, ts) AS hop, event_type, value FROM events
+),
+expanded AS (
+    SELECT unnest([hop, hop - INTERVAL 3 HOUR]) AS bucket_start,
+           event_type, value
+    FROM ev
+)
+SELECT bucket_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS volume
+FROM expanded
+GROUP BY 1, 2
+"""
+
 # ------------------------------------------------------------- A5: cube
 
 
@@ -1133,6 +1168,7 @@ PARITY_QUERIES = {
     "a5_grouping_sets": (q_a5_grouping_sets, SQL_GROUPING_SETS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "w_tumbling_agg": (q_w_tumbling_agg, SQL_W_TUMBLING),
+    "w_hopping_agg": (q_w_hopping_agg, SQL_W_HOPPING),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE),
     "a_percentiles": (q_a_percentiles, SQL_PERCENTILES),

@@ -108,3 +108,40 @@ def test_training_shards_validates(spark, sf_dir, tmp_path):
     docs = load(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         FS.write_training_shards(docs, str(tmp_path / "x"), "doc_id", 0)
+
+
+def test_training_shards_compose_with_curriculum_rank(spark, sf_dir, tmp_path):
+    """Curriculum-ordered export: value-ranked docs (quality asc) shard
+    into disjoint ordered spans — low-quality warmup shards first, the
+    curriculum-learning read order, via the same sink as epoch shuffle."""
+    from sample_deepbook_margin_dune_dbt_spark.functions.text import quality_score
+    from sample_deepbook_margin_dune_dbt_spark.operators.ordering import (
+        global_value_rank,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.floor(quality_score(F.col("text")) * 10000)).alias("q")
+    )
+    ranked = global_value_rank(docs, ["q", "doc_id"], n_partitions=8)
+    out = str(tmp_path / "curr_shards")
+    manifest = FS.write_training_shards(
+        ranked, out, "rank", records_per_shard=100
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == docs.count()
+    spans = [(r["min_rank"], r["max_rank"]) for r in manifest]
+    for (lo, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert lo <= hi < lo2
+    # the first shard holds the lowest-quality tail of the corpus
+    back = spark.read.parquet(out)
+    first_file = manifest[0]["shard_file"]
+    qmax_first = (
+        back.withColumn("_f", F.input_file_name())
+        .filter(F.col("_f") == first_file)
+        .agg(F.max("q")).first()[0]
+    )
+    qmin_last = (
+        back.withColumn("_f", F.input_file_name())
+        .filter(F.col("_f") == manifest[-1]["shard_file"])
+        .agg(F.min("q")).first()[0]
+    )
+    assert qmax_first <= qmin_last

@@ -79,3 +79,42 @@ def salted_join_left(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return big_s.join(small_s, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def hotness_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostics: the measurement step before choosing
+    a join/aggregation strategy (plain vs AQE skew-join vs salting).
+
+    One row per top-``top_k`` hottest key with its count, exact
+    parts-per-million share (integer arithmetic — cross-engine exact),
+    and the corpus totals. Read it as: a key with share_ppm ≈ 500000
+    funnels half the table through one reduce task — salt it with
+    ~``share × parallelism`` salts, or confirm AQE's skew split engages.
+
+    Two-level shape: the per-key count partial-aggregates map-side; the
+    top-k is a bounded ORDER BY + LIMIT (TakeOrdered — no global sort);
+    the rank window runs over ≤ top_k rows (the bounded-window pattern).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            key_col,
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") * 1_000_000 / F.col("total_rows"))
+            .cast("long")
+            .alias("share_ppm"),
+            "total_rows",
+            "n_keys",
+        )
+    )

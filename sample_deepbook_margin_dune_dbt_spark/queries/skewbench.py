@@ -106,3 +106,28 @@ SKEW_QUERIES = {
     "skew_salted_agg": (q_salted_agg, _AGG_ORACLE),
     "skew_salted_join": (q_salted_join, _JOIN_ORACLE),
 }
+
+
+def q_hotness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotness diagnostics over the manufactured-skew key: the hot key
+    surfaces at rank 1 with ~500000 ppm share (half the table)."""
+    return skew.hotness_report(skewed_events(spark, sf_dir), "skew_key", top_k=5)
+
+
+_HOTNESS_ORACLE = f"""
+WITH k AS (SELECT {_SKEW_KEY_SQL} AS skew_key FROM events),
+c AS (SELECT skew_key, count(*) AS n FROM k GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+r AS (
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, skew_key) AS BIGINT) AS rank,
+           skew_key, CAST(n AS BIGINT) AS n
+    FROM c
+)
+SELECT rank, skew_key, n,
+       CAST(n * 1000000 // total_rows AS BIGINT) AS share_ppm,
+       total_rows, n_keys
+FROM r, t WHERE rank <= 5
+"""
+
+SKEW_QUERIES["skew_hotness_report"] = (q_hotness_report, _HOTNESS_ORACLE)

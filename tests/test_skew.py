@@ -76,3 +76,15 @@ def test_salted_join_matches_plain_on_skewed_data(spark, sf_dir):
         for r in q_salted_join(spark, sf_dir).collect()
     }
     assert plain == salted and len(plain) >= 3
+
+
+def test_hotness_report_flags_hot_key(spark, sf_dir):
+    from sample_deepbook_margin_dune_dbt_spark.operators.skew import hotness_report
+    from sample_deepbook_margin_dune_dbt_spark.queries.skewbench import skewed_events
+
+    rows = hotness_report(skewed_events(spark, sf_dir), "skew_key", top_k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    top = rows[0]
+    assert top["skew_key"] == 1  # the manufactured hot key
+    assert 400_000 <= top["share_ppm"] <= 700_000  # the one hot key holds ~half+ of rows
+    assert top["n_keys"] >= 3 and top["total_rows"] > top["n"]

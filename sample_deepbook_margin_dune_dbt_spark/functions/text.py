@@ -202,3 +202,37 @@ def fingerprint64(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC composition via an Arrow-batched pandas UDF.
+
+    The one text op Catalyst has no expression for: canonical composition
+    (e + U+0301 → é) so byte-identical content dedups/fingerprints
+    identically whatever the producer emitted. Python's ``unicodedata``
+    (stdlib, no install) matches DuckDB's ``nfc_normalize`` — the oracle
+    seam — and the UDF is the vectorized kind, not row-at-a-time.
+    """
+    import pandas as pd  # noqa: F401  (signature typing)
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def clean_text(col: Column | str) -> Column:
+    """Pre-tokenization cleanup: NFC compose, strip C0/DEL control
+    characters, collapse runs of ASCII whitespace to one space, trim.
+    Everything after the NFC hop is a Catalyst regexp chain (the regex
+    classes are explicit, dialect-portable Java∩RE2∩DuckDB subsets).
+    """
+    c = nfc_normalize(col)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t\\n\\r]+", " ")
+    return F.trim(c)

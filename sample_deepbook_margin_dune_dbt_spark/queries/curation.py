@@ -433,6 +433,48 @@ GROUP BY source
 """
 
 
+# ------------------------------------------------- unicode normalization
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization cleanup over planted-dirty text: decomposed
+    Unicode (e + combining acute), tab/space runs, and a control byte are
+    appended deterministically (same non-vacuity pattern as the PII
+    query), then ``clean_text`` must NFC-compose, strip, and collapse —
+    checked bit-for-bit against DuckDB's ``nfc_normalize``."""
+    docs = load(spark, sf_dir, "documents")
+    # planted decomposed on purpose (e + U+0301 - matches the oracle's
+    # chr(769)) so raw lengths agree and NFC has real work to do
+    dirty = F.concat(
+        F.col("text"), F.lit("  café\t"), F.lit(chr(1)), F.lit("zz")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("long").alias("n_chars_raw"),
+        T.clean_text(dirty).alias("text_clean"),
+    ).withColumn("n_chars_clean", F.length("text_clean").cast("long"))
+
+
+SQL_TEXT_NORMALIZE = """
+WITH dirty AS (
+    SELECT doc_id,
+           text || '  cafe' || chr(769) || chr(9) || chr(1) || 'zz' AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_raw,
+       trim(regexp_replace(
+           regexp_replace(nfc_normalize(t),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '[ \\t\\n\\r]+', ' ', 'g')) AS text_clean,
+       CAST(length(trim(regexp_replace(
+           regexp_replace(nfc_normalize(t),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '[ \\t\\n\\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+FROM dirty
+"""
+
+
 # -------------------------------------------------- curriculum buckets
 
 
@@ -521,6 +563,7 @@ FROM old o FULL OUTER JOIN new n USING (doc_id)
 
 
 CURATION_QUERIES = {
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "corpus_curriculum": (q_corpus_curriculum, _curriculum_sql()),
     "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

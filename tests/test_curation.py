@@ -132,3 +132,14 @@ def test_bloom_no_false_negatives_and_exact_hash_family(spark):
     assert all(got[v] for v in held)                      # no false negatives
     assert got == expect                                  # bit-exact family
     assert any(expect[v] for v in probes if v not in held)  # FP case exercised
+
+
+def test_clean_text_composes_strips_collapses(spark):
+    from sample_deepbook_margin_dune_dbt_spark.functions.text import clean_text
+
+    decomposed = "cafe\u0301"  # e + combining acute
+    df = spark.createDataFrame(
+        [(1, f"  a\t\tb \n {decomposed} \x01\x07ok  ")], "id long, t string"
+    )
+    got = df.select(clean_text("t").alias("c")).first()["c"]
+    assert got == "a b caf\u00e9 ok"  # NFC-composed é, controls gone, ws collapsed

@@ -125,6 +125,7 @@ class TableStore:
         name: str,
         unique_key: list[str],
         partition_by: list[str] | None = None,
+        on_schema_change: str = "ignore",
     ) -> None:
         """Upsert ``updates`` into table ``name`` on ``unique_key`` (S6).
 
@@ -133,18 +134,44 @@ class TableStore:
         outside the incoming key set are untouched. If ``updates`` contains
         several rows for one key, all are kept (same as the reference, whose
         MERGE sources are already key-unique by construction).
+
+        ``on_schema_change`` mirrors dbt's contract for NEW source columns:
+        ``'ignore'`` (default, the reference's effective setting) drops
+        them; ``'append_new_columns'`` widens the target, NULL-backfilling
+        existing rows; ``'fail'`` raises. A widening merge always takes the
+        full-rewrite path, even on partitioned tables — rewriting only the
+        touched partitions would leave the directory with mixed file
+        schemas, and a plain parquet read samples one footer (silently
+        dropping the new column for readers without ``mergeSchema``). A
+        lake format with real schema metadata (the Delta seam) widens
+        without the rewrite. A column MISSING from ``updates`` errors in
+        every mode, as in dbt.
         """
         if not self.exists(name):
             self.write_full(updates, name, partition_by)
             return
 
-        if partition_by and self._has_partition_dirs(name):
+        old0 = self.read(name)
+        new_fields = [
+            f for f in updates.schema.fields if f.name not in set(old0.columns)
+        ]
+        if new_fields and on_schema_change == "fail":
+            raise ValueError(
+                f"schema change on {name}: new column(s) "
+                f"{[f.name for f in new_fields]} with on_schema_change='fail'"
+            )
+        widen = bool(new_fields) and on_schema_change == "append_new_columns"
+
+        if partition_by and self._has_partition_dirs(name) and not widen:
             self._merge_partitioned(updates, name, unique_key, partition_by)
         else:
             # unpartitioned layout (incl. a table created empty that now
-            # receives its first real rows): full rewrite, upgrading to the
-            # partitioned layout when one is declared
-            old = self.read(name)
+            # receives its first real rows) or a widening merge: full
+            # rewrite, upgrading to the partitioned layout when declared
+            old = old0
+            if widen:
+                for f in new_fields:
+                    old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
             kept = old.join(updates.select(*unique_key).distinct(), on=unique_key, how="left_anti")
             result = kept.unionByName(updates.select(*old.columns))
             # full rewrite via staging swap; can't stream onto the dir being read,

@@ -319,3 +319,58 @@ def test_optimize_cluster_by_enables_file_skipping(spark, tmp_path):
         .filter((F.col("k") >= 1000) & (F.col("k") < 3000))
     )
     assert hit.count() == 2000
+
+
+def test_merge_on_schema_change_modes(spark, tmp_path):
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.merge(base, "t", ["id"])
+
+    # default 'ignore': a new source column is dropped, merge still lands
+    up = spark.createDataFrame([(2, "b2", 9.5), (3, "c", 1.0)],
+                               "id long, v string, score double")
+    store.merge(up, "t", ["id"])
+    got = store.read("t")
+    assert "score" not in got.columns
+    assert {r["id"]: r["v"] for r in got.collect()} == {1: "a", 2: "b2", 3: "c"}
+
+    # 'fail': raises before touching the table
+    with pytest.raises(ValueError, match="score"):
+        store.merge(up, "t", ["id"], on_schema_change="fail")
+
+    # 'append_new_columns': widens, NULL-backfills old rows, upsert applies
+    store.merge(up, "t", ["id"], on_schema_change="append_new_columns")
+    rows = {r["id"]: r for r in store.read("t").collect()}
+    assert rows[1]["score"] is None and rows[1]["v"] == "a"
+    assert rows[2]["score"] == 9.5 and rows[3]["score"] == 1.0
+    # subsequent plain merges see the widened schema
+    store.merge(
+        spark.createDataFrame([(4, "d", 2.0)], "id long, v string, score double"),
+        "t", ["id"],
+    )
+    assert store.read("t").count() == 4
+
+
+def test_merge_append_new_columns_partitioned_rewrites_uniformly(spark, tmp_path):
+    """A widening merge on a partitioned table must leave EVERY file with
+    the widened schema (full rewrite) — no mixed-footer directories."""
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p2", "b")], "id long, part string, v string"
+    )
+    store.merge(base, "t", ["id"], partition_by=["part"])
+    up = spark.createDataFrame(
+        [(3, "p1", "c", 7.0)], "id long, part string, v string, score double"
+    )
+    store.merge(up, "t", ["id"], partition_by=["part"],
+                on_schema_change="append_new_columns")
+    got = store.read("t")
+    assert "score" in got.columns
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[2]["score"] is None and rows[3]["score"] == 7.0
+    # untouched-partition rows ALSO read back with the new column present
+    assert set(rows) == {1, 2, 3}

@@ -33,13 +33,14 @@ US_VALUES = [
 
 
 def _write(sf_dir: str, arr: pa.Array) -> str:
+    n = len(arr)
     table = pa.table(
         {
-            "event_id": pa.array(range(len(US_VALUES)), pa.int64()),
+            "event_id": pa.array(range(n), pa.int64()),
             "ts": arr,
-            "user_id": pa.array([1] * len(US_VALUES), pa.int64()),
-            "event_type": pa.array(["view"] * len(US_VALUES)),
-            "value": pa.array([1.5] * len(US_VALUES)),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.5] * n),
         }
     )
     pq.write_table(table, f"{sf_dir}/events.parquet")
@@ -102,3 +103,35 @@ def test_driver_testdata_encoding_is_supported(spark, sf_dir):
     df = load(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert df.select(event_ts_us()).first()[0] is not None
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    us=st.lists(
+        # full µs range DuckDB/Spark timestamps share (years 1 to 9999
+        # would overflow ns int64; stay in the ns-representable window
+        # since the ns encoding must round-trip too)
+        st.integers(min_value=0, max_value=4_102_444_800_000_000),  # ≤ year 2100
+        min_size=1, max_size=6, unique=True,
+    )
+)
+def test_property_encodings_agree_on_random_instants(spark, tmp_path_factory, us):
+    """For ANY µs instants, the ns-long and timestamp[us] encodings must
+    normalize to identical (timestamp, µs, date, hour) tuples."""
+    vals = sorted(us)
+    dirs = {
+        "ns": _write(
+            str(tmp_path_factory.mktemp("p_ns")),
+            pa.array([v * 1000 for v in vals], pa.timestamp("ns")),
+        ),
+        "us": _write(
+            str(tmp_path_factory.mktemp("p_us")),
+            pa.array(vals, pa.timestamp("us")),
+        ),
+    }
+    got = {k: _collect(spark, d) for k, d in dirs.items()}
+    assert got["ns"] == got["us"]
+    assert [r[2] for r in got["us"]] == vals

@@ -147,6 +147,13 @@ class TableStore:
         without the rewrite. A column MISSING from ``updates`` errors in
         every mode, as in dbt.
         """
+        if on_schema_change not in ("ignore", "append_new_columns", "fail"):
+            # an unknown mode (dbt's unsupported 'sync_all_columns', or a
+            # typo) must not silently behave as 'ignore' and drop columns
+            raise ValueError(
+                f"unsupported on_schema_change={on_schema_change!r}; "
+                "expected 'ignore', 'append_new_columns', or 'fail'"
+            )
         if not self.exists(name):
             self.write_full(updates, name, partition_by)
             return

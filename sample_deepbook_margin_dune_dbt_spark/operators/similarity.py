@@ -212,6 +212,50 @@ def cosine_topk(
     return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def ensure_k_neighbors(
+    out: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Guarantee exactly ``k`` neighbors per query (probe escalation).
+
+    LSH/IVF probing does not algorithmically guarantee ≥ k candidates in
+    the probed buckets — it holds empirically for a given dataset and
+    parameterization, and a regenerated or rescaled corpus can break it
+    (ADVICE r4). Production ANN services escalate on a miss; here the
+    escalation is the exact scan: queries whose approximate result has
+    fewer than ``k`` rows are re-answered by ``cosine_topk`` (brute
+    force), the rest keep their approximate lists untouched.
+
+    The deficit probe is one bounded aggregate over the output (≤
+    |queries|·k rows) and a driver-side collect of at most |queries| ids
+    — the parameterize-the-scan pattern, never a corpus-side collect.
+    The exact fallback scans the corpus only when a deficit exists, and
+    only for the deficient queries (broadcast on the query side).
+    """
+    counts = (
+        queries.select(F.col(query_id_col).alias("query_id"))
+        .join(
+            out.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n")),
+            "query_id",
+            "left",
+        )
+        .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
+        .select("query_id")
+    )
+    deficit = [r[0] for r in counts.collect()]  # bounded by |queries|
+    if not deficit:
+        return out
+    dq = queries.filter(F.col(query_id_col).isin(deficit))
+    exact = cosine_topk(vectors, dq, id_col, vec_col, query_id_col, k=k)
+    kept = out.filter(~F.col("query_id").isin(deficit))
+    return kept.unionByName(exact)
+
+
 def hyperplane_signature(
     vec_col: F.Column, dim: int, planes: int = 8, plane_offset: int = 0
 ) -> F.Column:

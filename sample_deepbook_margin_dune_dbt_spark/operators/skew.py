@@ -111,9 +111,7 @@ def hotness_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             "rank",
             key_col,
             F.col("n").cast("long").alias("n"),
-            (F.col("n") * 1_000_000 / F.col("total_rows"))
-            .cast("long")
-            .alias("share_ppm"),
+            F.expr("n * 1000000L div total_rows").alias("share_ppm"),
             "total_rows",
             "n_keys",
         )

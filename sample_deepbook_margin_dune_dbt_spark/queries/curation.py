@@ -498,7 +498,9 @@ def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "quality_e4",
         "rank",
-        (((F.col("rank") - 1) * 10) / F.lit(total)).cast("long").alias("bucket"),
+        # integer `div`, matching the oracle's `//` — a truncated double
+        # quotient can differ from the exact integer result at scale
+        F.expr(f"(rank - 1) * 10 div {int(total)}L").alias("bucket"),
     )
 
 

@@ -89,6 +89,11 @@ def stream_jsonl_ingest(
                     .first()[0]
                 )
                 if wm is not None:
+                    # NULL event times must stay on the merge path: a
+                    # permissive parse of a record missing the timestamp
+                    # field yields a clean row with NULL ts, and a bare
+                    # `col > floor` would silently drop it (NULL fails
+                    # both the late and the keep predicate).
                     floor = F.lit(wm) - F.expr(f"INTERVAL {max_lateness}")
                     late = clean.filter(F.col(event_time_col) <= floor)
                     if late.limit(1).count() > 0:
@@ -98,7 +103,10 @@ def stream_jsonl_ingest(
                             ),
                             late_table,
                         )
-                    clean = clean.filter(F.col(event_time_col) > floor)
+                    clean = clean.filter(
+                        F.col(event_time_col).isNull()
+                        | (F.col(event_time_col) > floor)
+                    )
             # a file may re-deliver the same document id: last write wins
             # inside the batch, then MERGE upserts against the corpus
             deduped = clean.dropDuplicates(unique_key)

@@ -340,6 +340,12 @@ def test_merge_on_schema_change_modes(spark, tmp_path):
     with pytest.raises(ValueError, match="score"):
         store.merge(up, "t", ["id"], on_schema_change="fail")
 
+    # unknown modes must raise, not silently behave as 'ignore'
+    with pytest.raises(ValueError, match="on_schema_change"):
+        store.merge(up, "t", ["id"], on_schema_change="sync_all_columns")
+    with pytest.raises(ValueError, match="on_schema_change"):
+        store.merge(up, "t", ["id"], on_schema_change="append-new-columns")
+
     # 'append_new_columns': widens, NULL-backfills old rows, upsert applies
     store.merge(up, "t", ["id"], on_schema_change="append_new_columns")
     rows = {r["id"]: r for r in store.read("t").collect()}

@@ -429,6 +429,82 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert survivors == [1, 3, 20]
 
 
+def test_duplicate_clusters_star_chain_graph(spark):
+    """Large-star/small-star CC must converge on a 1000-node path graph
+    within 20 rounds (O(log n)); min-label propagation would need
+    diameter ≈ 999 rounds, exceeding max_iters. The whole path is one
+    component labeled by the min id."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    got = D.duplicate_clusters(pairs, algorithm="star", max_iters=20)
+    dist = got.groupBy("cluster_id").count().collect()
+    assert len(dist) == 1
+    assert dist[0]["cluster_id"] == 0 and dist[0]["count"] == 1000
+
+
+def test_duplicate_clusters_star_matches_label_prop(spark):
+    """Both CC algorithms must produce identical labelings on a mixed
+    random graph (several components, cliques and chains)."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # three deliberate components: a clique, a chain, a star
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    edges += [(i, i + 1) for i in range(200, 215)]
+    edges += [(300, t) for t in range(301, 310)]
+    # plus random noise edges inside a disjoint id range
+    edges += [
+        (rng.randrange(400, 450), rng.randrange(400, 450)) for _ in range(60)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    lp = {r["id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()}
+    st = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs, algorithm="star").collect()
+    }
+    assert lp == st
+
+
+def test_ensure_k_neighbors_escalates_deficits(spark):
+    """A query whose approximate result has fewer than k rows must be
+    re-answered by the exact scan; full queries keep their lists."""
+    import math
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [math.cos(i / 7.0), math.sin(i / 7.0), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.filter(F.col("vec_id") < 2)
+    exact = S.cosine_topk(vecs, queries, "vec_id", "embedding", "vec_id", k=5)
+    # fabricate a deficient approximate answer: query 0 got only 2 rows
+    out = exact.filter((F.col("query_id") != 0) | (F.col("rank") <= 2))
+    fixed = S.ensure_k_neighbors(
+        out, vecs, queries, "vec_id", "embedding", "vec_id", k=5
+    )
+    by_q = {
+        q: sorted((r["rank"], r["neighbor_id"]) for r in rows)
+        for q, rows in [
+            (q, [r for r in fixed.collect() if r["query_id"] == q]) for q in (0, 1)
+        ]
+    }
+    want = {
+        q: sorted((r["rank"], r["neighbor_id"]) for r in exact.collect() if r["query_id"] == q)
+        for q in (0, 1)
+    }
+    assert by_q == want
+    # no deficit → output returned untouched (same rows)
+    same = S.ensure_k_neighbors(
+        exact, vecs, queries, "vec_id", "embedding", "vec_id", k=5
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_segment_boilerplate_dedup_planted(spark):
     """A 10-word span planted in 3 documents must vanish from all of
     them; unique text survives verbatim with order preserved; a fully

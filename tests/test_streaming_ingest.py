@@ -114,6 +114,37 @@ def test_out_of_order_late_drop_is_audited_not_merged(spark, tmp_path):
     assert {r["batch_id"] for r in store.read("corpus_late").collect()} == {1}
 
 
+def test_null_event_time_row_merges_not_dropped(spark, tmp_path):
+    """A clean row whose event-time field is missing (permissive parse →
+    NULL ts) must stay on the merge path once the late-data floor is
+    active — NULL fails both `<= floor` and `> floor`, so a naive filter
+    pair silently drops it (ADVICE r4)."""
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    tschema = SCHEMA + ", updated_at TIMESTAMP"
+
+    def run():
+        q = stream_jsonl_ingest(
+            spark, landing, tschema, store, "corpus", ["doc_id"], ckpt,
+            event_time_col="updated_at", max_lateness="7 days",
+        )
+        q.awaitTermination(120)
+
+    _drop(landing, "a.jsonl", [_tdoc(1, "one", "2026-01-10T00:00:00")])
+    run()
+    # second drop: floor is now active (2026-01-03); doc 2 has no
+    # updated_at field at all → NULL event time
+    _drop(landing, "b.jsonl", [
+        json.dumps({"doc_id": 2, "text": "no-ts", "lang": "en"}),
+        _tdoc(3, "in-window", "2026-01-09T00:00:00"),
+    ])
+    run()
+    got = {r["doc_id"]: r["text"] for r in store.read("corpus").collect()}
+    assert got == {1: "one", 2: "no-ts", 3: "in-window"}
+    assert not store.exists("corpus_late")
+
+
 def test_stream_matches_batch_build(spark, tmp_path):
     """The stream-built corpus ≡ a batch quarantine+merge over the same drops."""
     landing = str(tmp_path / "landing")

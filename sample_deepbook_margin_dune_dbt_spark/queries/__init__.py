@@ -83,6 +83,22 @@ driver query moved to ``EXTRA_QUERIES``:
   C4-line-dedup pass: segment df count → anti-join → ordered
   reassembly).
 
+- round 5 (per VERDICT r4 item 1): rotate driver evidence onto the r4
+  families that were pytest-only. Out (family stays represented):
+  ``range_join`` (temporal family held by ``asof_join`` + the window
+  rows), ``tpch_q10`` (join-agg shape held by ``q3``/``q13``),
+  ``p11_case_join_key`` (CASE-normalized key held by ``j4_seed_ci_join``),
+  ``tpch_q12`` (pushdown + IN-list held by ``q6``/``q13``),
+  ``dedup_simhash`` (fingerprint family held by ``dedup_minhash_lsh``/
+  ``dedup_clusters``), ``sample_train_val_test`` (sampling family keeps
+  ``sample_hash_bernoulli``/``sample_stratified_quota``). In:
+  ``w_tumbling_agg`` (batch event-time windowing; the hopping twin stays
+  in EXTRA), ``skew_hotness_report`` (key-hotness diagnostics),
+  ``corpus_snapshot_diff`` (per-id added/removed/changed audit),
+  ``text_normalize`` (NFC + control strip + ws collapse),
+  ``corpus_curriculum`` (value-ordered global rank → buckets), and
+  ``a_sketch_union`` (mergeable DataSketches HLL union).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -123,7 +139,7 @@ DRIVER_QUERY_ORDER = [
     # LLM-data-pipeline block
     "dedup_exact",
     "text_token_count",
-    "dedup_simhash",
+    "text_normalize",
     "text_heavy_hitters",
     "embedding_centroids",
     "dedup_boilerplate_segments",
@@ -137,8 +153,8 @@ DRIVER_QUERY_ORDER = [
     "ann_ivf",
     "ann_ivf_pq",
     "a_approx_tier",
+    "a_sketch_union",
     "sample_hash_bernoulli",
-    "sample_train_val_test",
     "sample_stratified_quota",
     "chunk_token_windows",
     "text_repetition",
@@ -149,19 +165,21 @@ DRIVER_QUERY_ORDER = [
     # held in EXTRA; the mitigated paths keep driver rows)
     "skew_salted_agg",
     "skew_salted_join",
-    # composed curation rollup
+    "skew_hotness_report",
+    # composed curation rollup + snapshot audit + curriculum ordering
     "corpus_curation_report",
+    "corpus_snapshot_diff",
+    "corpus_curriculum",
     # custom operators / window & join shapes
     "sessionize",
     "asof_join",
-    "range_join",
+    "w_tumbling_agg",
     "w1_rownum_dedup",
     "w3_lag_delta",
     "j1_foj_volume_chain",
     "j4_seed_ci_join",
     "p4_watermark",
     "p10_case_trycast",
-    "p11_case_join_key",
     "a5_rollup",
     # data-mixing family (r3): plan + exact greedy tier in one query
     "corpus_mixture_select",
@@ -172,8 +190,6 @@ DRIVER_QUERY_ORDER = [
     "tpch_q3",
     "tpch_q6",
     "tpch_q8",
-    "tpch_q10",
-    "tpch_q12",
     "tpch_q13",
     "tpch_q18",
     "tpch_q21",

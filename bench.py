@@ -65,6 +65,21 @@ BENCH_QUERIES = [
     # composed curation rollup: fingerprints + PII + quality + repetition
     # in one grouped pass (the LLM-ops "flagship #2")
     "corpus_curation_report",
+    # r5 additions (VERDICT r4 item 6): the driver families that had
+    # correctness rows but no bench entry — plan regressions in these
+    # become visible round-over-round
+    "corpus_mixture_select",
+    "corpus_epoch_shuffle",
+    "multimodal_meta",
+    "ann_ivf_pq",
+    "w3_lag_delta",
+    # r5 driver-rotation families (each now holds a CORRECTNESS row)
+    "w_tumbling_agg",
+    "skew_hotness_report",
+    "corpus_snapshot_diff",
+    "text_normalize",
+    "corpus_curriculum",
+    "a_sketch_union",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

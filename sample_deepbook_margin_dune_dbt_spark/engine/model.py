@@ -36,6 +36,9 @@ class ModelConfig:
     unique_key: list[str] = field(default_factory=list)
     materialized: str = "incremental"  # 'incremental' | 'table'
     incremental_strategy: str = "merge"  # 'merge' | 'append'
+    # dbt's new-source-column contract for incremental MERGE models:
+    # 'ignore' (reference default) | 'append_new_columns' | 'fail'
+    on_schema_change: str = "ignore"
     partition_by: list[str] | None = None
     deps: list[str] = field(default_factory=list)
     tags: list[str] = field(default_factory=list)
@@ -70,6 +73,7 @@ def model(
     unique_key: list[str] | None = None,
     materialized: str = "incremental",
     incremental_strategy: str = "merge",
+    on_schema_change: str = "ignore",
     partition_by: list[str] | None = None,
     deps: list[str] | None = None,
     tags: list[str] | None = None,
@@ -89,6 +93,7 @@ def model(
             unique_key=unique_key or [],
             materialized=materialized,
             incremental_strategy=incremental_strategy,
+            on_schema_change=on_schema_change,
             partition_by=partition_by,
             deps=deps or [],
             tags=tags or [],

@@ -135,7 +135,13 @@ class Runner:
             if cfg.incremental_strategy == "append":
                 self.store.append(df, cfg.name, cfg.partition_by)
             else:
-                self.store.merge(df, cfg.name, cfg.unique_key, cfg.partition_by)
+                self.store.merge(
+                    df,
+                    cfg.name,
+                    cfg.unique_key,
+                    cfg.partition_by,
+                    on_schema_change=cfg.on_schema_change,
+                )
         else:
             self.store.write_full(df, cfg.name, cfg.partition_by)
         self._post_hooks(cfg)

@@ -36,8 +36,17 @@ def stream_tumbling_agg(
     window_duration: str = "6 hours",
     watermark_delay: str = "1 hour",
     trigger_once: bool = True,
+    slide_duration: str | None = None,
 ):
-    """Start a file-drop stream aggregating events into tumbling windows.
+    """Start a file-drop stream aggregating events into event-time windows.
+
+    Tumbling by default; passing ``slide_duration`` < ``window_duration``
+    makes the windows hopping (each event lands in width/slide
+    overlapping windows — the streaming twin of
+    ``queries/parity.py::q_w_hopping_agg``). State grows by the same
+    width/slide factor: each open (window, key) group is a state row, so
+    a 6h/3h hop doubles rows versus tumbling — still bounded by the
+    watermark horizon, never by history.
 
     Returns the StreamingQuery. The target table keys on
     ``(bucket_start, key_col)`` and carries ``n_events`` and ``volume`` —
@@ -49,12 +58,14 @@ def stream_tumbling_agg(
     # the event-time metadata the watermark needs — projecting .start in
     # the grouping key silently disables late-row dropping AND state
     # eviction (unbounded state store)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
     agg = (
         stream.withWatermark(ts_col, watermark_delay)
-        .groupBy(
-            F.window(F.col(ts_col), window_duration).alias("_w"),
-            F.col(key_col),
-        )
+        .groupBy(win.alias("_w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col(value_col).cast("decimal(12,2)"))

@@ -170,3 +170,56 @@ def test_fct_lag_matches_beyond_boundary(runs):
                 assert fv == iv, (k, c, fv, iv)
             else:
                 assert abs(fv - iv) < 1e-9, (k, c, fv, iv)
+
+
+# ---------------------------------------------------------------------------
+# on_schema_change through a real model (VERDICT r4 item 7): the source
+# gains a column mid-stream; each mode's contract is asserted on the
+# FINAL TABLE, not just the TableStore primitive.
+
+
+def _schema_change_run(spark, tmp_path, mode):
+    import pandas as pd
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    src = str(tmp_path / f"src_{mode}.parquet")
+    name = f"sc_model_{mode}"
+    pd.DataFrame({"id": [1, 2], "v": ["a", "b"]}).to_parquet(src, index=False)
+
+    @model(name, unique_key=["id"], on_schema_change=mode)
+    def _m(ctx):
+        return ctx.source("ext", "t")
+
+    try:
+        store = TableStore(spark, str(tmp_path / f"wh_{mode}"))
+        runner = Runner(spark, store, {"ext.t": src})
+        runner.run(name)
+        # source gains a column mid-stream
+        pd.DataFrame(
+            {"id": [2, 3], "v": ["b2", "c"], "score": [9.5, 1.0]}
+        ).to_parquet(src, index=False)
+        runner.run(name)
+        return store.read(name)
+    finally:
+        _REGISTRY.pop(name, None)
+
+
+def test_model_on_schema_change_ignore(spark, tmp_path):
+    got = _schema_change_run(spark, tmp_path, "ignore")
+    assert "score" not in got.columns
+    assert {r["id"]: r["v"] for r in got.collect()} == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_model_on_schema_change_append_new_columns(spark, tmp_path):
+    got = _schema_change_run(spark, tmp_path, "append_new_columns")
+    rows = {r["id"]: r for r in got.collect()}
+    assert set(got.columns) == {"id", "v", "score"}
+    assert rows[1]["score"] is None and rows[1]["v"] == "a"
+    assert rows[2]["score"] == 9.5 and rows[2]["v"] == "b2"
+    assert rows[3]["score"] == 1.0
+
+
+def test_model_on_schema_change_fail(spark, tmp_path):
+    with pytest.raises(ValueError, match="score"):
+        _schema_change_run(spark, tmp_path, "fail")

@@ -71,6 +71,44 @@ def test_stream_matches_batch_windows(spark, harness):
     assert _table(store) == batch
 
 
+def test_stream_matches_batch_hopping_windows(spark, tmp_path):
+    """Hopping twin (6h windows every 3h): the stream-built table must
+    equal the batch F.window(..., slide) aggregation over the same rows —
+    each event lands in two overlapping windows."""
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rows = _rows((0, "view", 1.5), (2, "view", 2.0), (4, "click", 3.25),
+                 (7, "view", 1.0), (10, "click", 4.0))
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+    q = stream_tumbling_agg(
+        spark, landing, SCHEMA, store, "hopping", str(tmp_path / "ckpt"),
+        window_duration="6 hours", watermark_delay="1 hour",
+        slide_duration="3 hours",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["volume"])
+        for r in store.read("hopping").collect()
+    }
+    batch = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["volume"])
+        for r in spark.createDataFrame(rows, SCHEMA)
+        .groupBy(
+            F.window("ts", "6 hours", "3 hours").start.alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("volume"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # overlap factor sanity: an hour-2 view sits in both the 00:00 and
+    # the 21:00(-3h) windows → more (window,key) rows than tumbling would give
+    assert len({b for b, _ in got}) >= 4
+
+
 def test_cross_batch_window_update_and_late_drop(spark, harness):
     """A second drop inside the watermark updates its window (MERGE
     upsert); an event older than max_event_time - delay is dropped by the

@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "text_normalize",
     "corpus_curriculum",
     "a_sketch_union",
+    # r5 new families: event-sequence analytics, lake-ops profiling,
+    # linear quality-classifier scoring
+    "events_funnel",
+    "events_retention",
+    "corpus_profile",
+    "text_quality_model",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

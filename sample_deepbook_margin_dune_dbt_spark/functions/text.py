@@ -101,6 +101,54 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def digit_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are decimal digits."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+# fasttext-style linear quality weights: (bias, len_norm, alpha_ratio,
+# stopword_ratio, repetition_ratio, digit_ratio). Illustrative constants in
+# the spirit of the RefinedWeb/DCLM learned quality filters — the OPERATOR
+# is the deliverable (a linear scorer over cheap Catalyst features; swap in
+# trained weights without touching the plan).
+QUALITY_WEIGHTS = (-1.25, 1.0, 2.0, 1.5, -2.5, -1.5)
+
+
+def quality_logit(
+    col: Column | str, weights: tuple[float, ...] = QUALITY_WEIGHTS
+) -> Column:
+    """Linear quality-classifier logit over five document features.
+
+    The production shape of a learned quality filter (fasttext/logistic
+    over cheap features): a pure Catalyst dot product — narrow map, whole
+    -stage codegen, zero shuffle — so scoring 100 TB costs one scan.
+    Deliberately avoids transcendentals (no exp/log: IEEE does not
+    require them correctly rounded, so engines may differ in the last
+    ulp); +,*,/ on identical doubles are exact, making
+    ``floor(logit·1e6)`` bit-stable cross-engine when the expression
+    order matches the oracle's. Features:
+
+    - ``len_norm``: ``least(length, 10000)/10000``
+    - ``alpha_ratio``, ``stopword_ratio``, ``repetition_ratio``,
+      ``digit_ratio`` (see the individual functions)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    b, w_len, w_alpha, w_stop, w_rep, w_digit = weights
+    len_norm = F.least(F.length(c), F.lit(10000)) / F.lit(10000.0)
+    # fixed left-to-right association — mirrored exactly in the SQL twin
+    return (
+        F.lit(b)
+        + F.lit(w_len) * len_norm
+        + F.lit(w_alpha) * alpha_ratio(c)
+        + F.lit(w_stop) * stopword_ratio(c)
+        + F.lit(w_rep) * repetition_ratio(c)
+        + F.lit(w_digit) * digit_ratio(c)
+    )
+
+
 def langid_scores(col: Column | str) -> Column:
     """Map of language → stopword-hit score."""
     c = F.col(col) if isinstance(col, str) else col

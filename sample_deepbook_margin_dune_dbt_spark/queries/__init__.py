@@ -99,6 +99,15 @@ driver query moved to ``EXTRA_QUERIES``:
   ``corpus_curriculum`` (value-ordered global rank → buckets), and
   ``a_sketch_union`` (mergeable DataSketches HLL union).
 
+- r5 new families (built this round, oracle-verified at sf0.01 before
+  declaring): ``events_funnel`` (strict-order sequential-min funnel —
+  the event-sequence analytics family's first driver row; its retention
+  twin stays in EXTRA) replaces ``w3_lag_delta`` (lag family hash-checked
+  inside the flagship oracle's day-over-day delta columns), and
+  ``corpus_profile`` (one-EXPAND-pass ANALYZE-style column profiling —
+  the lake-ops family) replaces ``text_token_count`` (narrow-map text
+  family keeps normalize/repetition/pii/heavy-hitters rows).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -109,10 +118,12 @@ from __future__ import annotations
 from .approx import APPROX_QUERIES
 from .chunkingq import CHUNKING_QUERIES
 from .curation import CURATION_QUERIES
+from .eventseq import EVENTSEQ_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .mixtureq import MIXTURE_QUERIES
 from .orderingq import ORDERING_QUERIES
 from .parity import PARITY_QUERIES
+from .profileq import PROFILE_QUERIES
 from .samplingq import SAMPLING_QUERIES
 from .sigbench import SIGBENCH_QUERIES
 from .skewbench import SKEW_QUERIES
@@ -130,6 +141,8 @@ _MERGED = {
     **CURATION_QUERIES,
     **MIXTURE_QUERIES,
     **ORDERING_QUERIES,
+    **EVENTSEQ_QUERIES,
+    **PROFILE_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline
@@ -138,7 +151,7 @@ DRIVER_QUERY_ORDER = [
     "flagship_daily_user_fact",
     # LLM-data-pipeline block
     "dedup_exact",
-    "text_token_count",
+    "corpus_profile",
     "text_normalize",
     "text_heavy_hitters",
     "embedding_centroids",
@@ -175,7 +188,7 @@ DRIVER_QUERY_ORDER = [
     "asof_join",
     "w_tumbling_agg",
     "w1_rownum_dedup",
-    "w3_lag_delta",
+    "events_funnel",
     "j1_foj_volume_chain",
     "j4_seed_ci_join",
     "p4_watermark",

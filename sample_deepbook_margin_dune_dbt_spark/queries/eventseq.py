@@ -1,0 +1,159 @@
+"""Event-sequence analytics: funnel conversion and cohort retention.
+
+The two canonical product-analytics rollups over an event log — both
+expressed so every join and aggregate shuffles on ONE key (``user_id``
+for the funnel's sequential-min chain, then tiny rollups), which is what
+keeps them a single co-partitioned pipeline at 100 TB: Catalyst reuses
+the user_id exchange across the chained steps instead of re-shuffling
+per stage.
+
+Funnel semantics (strict ordering): a user converts step k only with an
+event of step-k type STRICTLY AFTER their step-(k-1) conversion time —
+the sequential-min chain (min view ts → min later click ts → min later
+purchase ts), not mere presence of all three types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import event_ts, load
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel: users reaching each step + conversion
+    ppm (integer arithmetic — cross-engine exact). Single row."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", event_ts().alias("t"), "event_type"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_step1"),
+            F.count("t2").cast("long").alias("n_step2"),
+            F.count("t3").cast("long").alias("n_step3"),
+        )
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.expr("n_step2 * 1000000L div n_step1").alias("conv_step2_ppm"),
+            F.expr("n_step3 * 1000000L div n_step1").alias("conv_step3_ppm"),
+        )
+    )
+
+
+SQL_FUNNEL = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+    GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_step1,
+       CAST(count(t2) AS BIGINT) AS n_step2,
+       CAST(count(t3) AS BIGINT) AS n_step3,
+       CAST(count(t2) * 1000000 // count(*) AS BIGINT) AS conv_step2_ppm,
+       CAST(count(t3) * 1000000 // count(*) AS BIGINT) AS conv_step3_ppm
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active date, one
+    row per (cohort_date, day_offset) with distinct actives and the
+    retention share in ppm of the cohort size.
+
+    Two aggregates on user_id + one broadcast of the per-cohort sizes
+    (≤ distinct-days rows). The (user, day) dedup bounds the heavy input
+    at actives×days before any join.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date(event_ts()).alias("d"))
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_date", F.datediff("d", "cohort_date").cast("long").alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date",
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            F.expr("n_users * 1000000L div cohort_size").alias("retention_ppm"),
+        )
+    )
+
+
+SQL_RETENTION = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+    SELECT user_id, min(d) AS cohort_date FROM ud GROUP BY 1
+),
+sizes AS (
+    SELECT cohort_date, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY 1
+),
+ret AS (
+    SELECT f.cohort_date,
+           CAST(ud.d - f.cohort_date AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+    FROM ud JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT r.cohort_date, r.day_offset, r.n_users, s.cohort_size,
+       CAST(r.n_users * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+FROM ret r JOIN sizes s USING (cohort_date)
+"""
+
+
+EVENTSEQ_QUERIES = {
+    "events_funnel": (q_events_funnel, SQL_FUNNEL),
+    "events_retention": (q_events_retention, SQL_RETENTION),
+}

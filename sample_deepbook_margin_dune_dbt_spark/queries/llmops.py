@@ -155,6 +155,54 @@ SELECT doc_id,
 FROM t
 """
 
+def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (fasttext-style learned-filter
+    shape): a Catalyst dot product over five cheap features — narrow map,
+    zero shuffle. ``keep`` is the filter decision at logit > 0."""
+    docs = load(spark, sf_dir, "documents")
+    logit_e6 = F.floor(T.quality_logit(F.col("text")) * 1000000.0).cast("long")
+    return docs.select(
+        "doc_id",
+        logit_e6.alias("logit_e6"),
+        (logit_e6 > 0).alias("keep"),
+    )
+
+
+# the SQL mirrors quality_logit's fixed left-to-right association exactly:
+# +,*,/ on identical doubles are correctly rounded, so same order ⇒ same
+# bits ⇒ floor(x·1e6) hash-matches (no transcendentals in the features)
+_W = T.QUALITY_WEIGHTS
+SQL_QUALITY_MODEL = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(lower(trim(text)), ' ') AS w,
+           length(text) AS n
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(floor((
+               {_W[0]}
+             + {_W[1]} * (least(n, 10000) / 10000.0)
+             + {_W[2]} * (CASE WHEN n > 0
+                          THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n
+                          ELSE 0.0 END)
+             + {_W[3]} * (CASE WHEN len(w) > 0
+                          THEN CAST(len(list_filter(w, x -> x IN ({_EN_SW}))) AS DOUBLE) / len(w)
+                          ELSE 0.0 END)
+             + {_W[4]} * (CASE WHEN len(w) > 0
+                          THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                          ELSE 0.0 END)
+             + {_W[5]} * (CASE WHEN n > 0
+                          THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n
+                          ELSE 0.0 END)
+           ) * 1000000.0) AS BIGINT) AS logit_e6
+    FROM t
+)
+SELECT doc_id, logit_e6, logit_e6 > 0 AS keep FROM s
+"""
+
+
 # ----------------------------------------------------------------- langid
 
 
@@ -727,6 +775,7 @@ LLMOPS_QUERIES = {
     ),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
+    "text_quality_model": (q_text_quality_model, SQL_QUALITY_MODEL),
     "text_langid": (q_text_langid, _langid_sql()),
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "text_winnow": (q_text_winnow, SQL_WINNOW),

@@ -680,3 +680,68 @@ def test_native_session_window_matches_window_algebra(spark, sf_dir):
     }
     assert len(c) > 100
     assert c == n
+
+
+def test_profile_table_stats_and_type_guard(spark):
+    from sample_deepbook_margin_dune_dbt_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bbbb", "x"), (2, None, "y")],
+        "id long, s string, t string",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"]["n_rows"] == 3 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 2
+    assert (got["id"]["min_repr"], got["id"]["max_repr"]) == ("1", "2")
+    assert got["id"]["avg_len_e6"] is None  # non-string column
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["avg_len_e6"] == 3_000_000  # (2+4)/2 chars
+    assert got["t"]["n_nulls"] == 1
+    # unsupported dtype is rejected (cross-engine min/max rendering)
+    bad = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(TypeError, match="cast to bigint/string"):
+        profile_table(bad)
+
+
+def test_funnel_requires_strict_ordering(spark, tmp_path):
+    """A user with click BEFORE their first view must not count as step 2
+    — sequence matters, not type presence."""
+    import datetime as dt
+
+    from sample_deepbook_margin_dune_dbt_spark.queries.eventseq import q_events_funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # u1: view -> click -> purchase (full conversion)
+        (1, t0, "view"), (1, t0 + dt.timedelta(hours=1), "click"),
+        (1, t0 + dt.timedelta(hours=2), "purchase"),
+        # u2: click before view -> stops at step 1
+        (2, t0, "click"), (2, t0 + dt.timedelta(hours=1), "view"),
+        # u3: view then purchase without click -> stops at step 1
+        (3, t0, "view"), (3, t0 + dt.timedelta(hours=1), "purchase"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, u, t, et, 1.0, "{}") for i, (u, t, et) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    r = q_events_funnel(spark, sf).first()
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (3, 1, 1)
+    assert r["conv_step2_ppm"] == 333_333
+
+
+def test_quality_logit_orders_planted_docs(spark):
+    """Clean prose must outscore digit-soup and repeated-token docs."""
+    from sample_deepbook_margin_dune_dbt_spark.functions.text import quality_logit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is a fine day in the park"),
+            (2, "4561 2345 9921 0034 5561 8120 4455 1023 9182 3345"),
+            (3, "spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["logit"] for r in docs.select("doc_id", quality_logit(F.col("text")).alias("logit")).collect()}
+    assert got[1] > got[2] and got[1] > got[3]

@@ -280,3 +280,44 @@ def test_boilerplate_dedup_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in a["plan"]
     assert "SortMergeJoin LeftAnti" not in a["plan"]
     assert "ShuffledHashJoin LeftAnti" not in a["plan"]
+
+
+def test_corpus_profile_single_scan_expand(spark, sf_dir):
+    """The profiler must read the corpus ONCE: the multi-distinct
+    aggregate plans one Expand pass over one scan — never one scan per
+    profiled column — and partial-aggregates map-side."""
+    fn, _ = ALL_QUERIES["corpus_profile"]
+    a = audit_plan(fn(spark, sf_dir))
+    # formatted mode prints each scan node twice (tree + detail); the
+    # detail block's Location line appears once per physical scan
+    assert a["plan"].count("Location: InMemoryFileIndex") == 1, "one scan for all columns"
+    assert "Expand" in a["plan"]
+
+
+def test_quality_model_is_narrow_map(spark, sf_dir):
+    """The linear quality scorer is a pure projection: zero exchanges."""
+    fn, _ = ALL_QUERIES["text_quality_model"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert a["num_exchanges"] == 0
+
+
+def test_funnel_single_join_key(spark, sf_dir):
+    """Every funnel exchange hashes on user_id — the chained
+    sequential-min joins and rollup reuse one co-partitioning; no
+    cartesian or nested-loop anywhere."""
+    fn, _ = ALL_QUERIES["events_funnel"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoop" not in a["plan"]
+    for l in a["plan"].splitlines():
+        if "hashpartitioning" in l:
+            assert "user_id" in l, l
+
+
+def test_retention_broadcasts_cohort_sizes(spark, sf_dir):
+    """Cohort sizes (≤ distinct-days rows) broadcast; the actives input
+    shuffles on its aggregation keys only."""
+    fn, _ = ALL_QUERIES["events_retention"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert a["num_broadcasts"] >= 1
+    assert "CartesianProduct" not in a["plan"]

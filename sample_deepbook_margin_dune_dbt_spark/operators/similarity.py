@@ -236,7 +236,14 @@ def ensure_k_neighbors(
     — the parameterize-the-scan pattern, never a corpus-side collect.
     The exact fallback scans the corpus only when a deficit exists, and
     only for the deficient queries (broadcast on the query side).
+
+    The approximate result materializes ONCE via ``localCheckpoint``
+    (it is ≤ |queries|·k rows — trivially bounded): without it, the
+    probe executes the whole upstream ANN pipeline and the caller's
+    action executes it again (measured 2×: 0.78 s of a 2.2 s IVF-PQ
+    query was this double execution).
     """
+    out = out.localCheckpoint()
     counts = (
         queries.select(F.col(query_id_col).alias("query_id"))
         .join(

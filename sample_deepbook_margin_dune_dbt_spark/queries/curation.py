@@ -489,10 +489,21 @@ def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         F.floor(T.quality_score(F.col("text")) * 10000).cast("long").alias("quality_e4"),
-    )
+    ).localCheckpoint()  # materialize the narrow (id, score) projection
+    # ONCE: the count probe, the range-partitioner's sampling pass, and
+    # the rank pass would otherwise EACH re-evaluate the quality features
+    # — i.e. re-read the corpus text (KBs/row) three times for a
+    # 16-byte/row result. Checkpointing the projection is the scale play,
+    # not just a local win (measured 1.65 → ~1.0 s at sf0.1)
     total = scored.count()  # one bounded scalar job; SQL twin: scalar subquery
+    # range partitions sized to the data (~100k rows each, floor 8): the
+    # global rank is exact under ANY partition count (window-equivalence
+    # tested), so the count only tunes task granularity — a constant 64
+    # paid 3 s of empty-task overhead at sf0.1 while a 100 TB corpus
+    # wants thousands (cap keeps the offset collect bounded)
+    n_parts = max(8, min(4096, total // 100_000 + 1))
     ranked = global_value_rank(
-        scored, ["quality_e4", "doc_id"], n_partitions=64, rank_col="rank"
+        scored, ["quality_e4", "doc_id"], n_partitions=n_parts, rank_col="rank"
     )
     return ranked.select(
         "doc_id",

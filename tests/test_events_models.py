@@ -76,3 +76,97 @@ def test_range_filtered_reach(built):
     got = total_reach(half).first()
     assert 0 < got["n_days"] < len(days)
     assert got["est_total_users"] > 0
+
+
+# ------------------------------------------------- retention model pair
+
+
+@pytest.fixture(scope="module")
+def retention_runs(spark, sf_dir, tmp_path_factory):
+    """Full refresh vs three time-split incremental runs over the same
+    events (run boundaries on event date), for the first-seen dim and
+    the retention fact."""
+    import pandas as pd
+
+    root = tmp_path_factory.mktemp("ret")
+    full = pd.read_parquet(f"{sf_dir}/events.parquet")
+    days = sorted(full["ts"].dt.date.unique())
+    cut1, cut2 = days[len(days) // 3], days[2 * len(days) // 3]
+
+    def write(sub, name):
+        p = str(root / f"{name}.parquet")
+        sub.to_parquet(p, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        return {"main.events": p}
+
+    store_full = TableStore(spark, str(root / "wh_full"))
+    Runner(spark, store_full, write(full, "full")).run("+events_retention_daily")
+
+    store_inc = TableStore(spark, str(root / "wh_inc"))
+    final_runner = None
+    for i, hi in enumerate([cut1, cut2, None]):
+        sub = full if hi is None else full[full["ts"].dt.date <= hi]
+        final_runner = Runner(spark, store_inc, write(sub, f"s{i}"))
+        final_runner.run("+events_retention_daily")
+    return store_full, store_inc, final_runner
+
+
+def _rows(store, table, key_cols):
+    return {
+        tuple(r[c] for c in key_cols): tuple(
+            v for c, v in r.asDict().items()
+            if c not in key_cols and c != "updated_at"
+        )
+        for r in store.read(table).collect()
+    }
+
+
+def test_first_seen_incremental_equals_full(retention_runs):
+    full, inc, _ = retention_runs
+    assert _rows(full, "events_user_first_seen", ["user_id"]) == _rows(
+        inc, "events_user_first_seen", ["user_id"]
+    )
+
+
+def test_retention_incremental_equals_full(retention_runs):
+    full, inc, _ = retention_runs
+    assert _rows(full, "events_retention_daily", ["cohort_date", "day_offset"]) == _rows(
+        inc, "events_retention_daily", ["cohort_date", "day_offset"]
+    )
+
+
+def test_retention_matches_batch_query(retention_runs, spark, sf_dir):
+    """The incremental fact must equal the one-shot events_retention
+    query over the same events (modulo the activity_date audit col)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.eventseq import (
+        q_events_retention,
+    )
+
+    _, inc, _ = retention_runs
+    want = {
+        (r["cohort_date"], r["day_offset"]): (
+            r["n_users"], r["cohort_size"], r["retention_ppm"]
+        )
+        for r in q_events_retention(spark, sf_dir).collect()
+    }
+    got = {
+        (r["cohort_date"], r["day_offset"]): (
+            r["n_users"], r["cohort_size"], r["retention_ppm"]
+        )
+        for r in inc.read("events_retention_daily").collect()
+    }
+    assert got == want
+
+
+def test_retention_rerun_idempotent(retention_runs):
+    """Re-running against the already-complete source must change
+    nothing (boundary-day reprocess + MERGE), and the generic tests
+    must pass on both tables."""
+    _, inc, runner = retention_runs
+    before_dim = _rows(inc, "events_user_first_seen", ["user_id"])
+    before = _rows(inc, "events_retention_daily", ["cohort_date", "day_offset"])
+    assert before
+    runner.run("+events_retention_daily")
+    assert _rows(inc, "events_user_first_seen", ["user_id"]) == before_dim
+    assert _rows(inc, "events_retention_daily", ["cohort_date", "day_offset"]) == before
+    assert runner.test("+events_retention_daily") == {}

@@ -1,3 +1,4 @@
+from .funnel import streaming_funnel
 from .incremental import merge_stream
 from .ingest import stream_jsonl_ingest
 from .windows import stream_tumbling_agg

@@ -114,3 +114,85 @@ def test_event_time_timeout_evicts_idle_sessions(spark, tmp_path):
         1 * sec, 2 * sec, 2, 3.0,
     )
     assert 2 not in got  # user 2 still active (keeps extending its session)
+
+
+# ------------------------------------------------------ streaming funnel
+
+
+def _run_funnel(spark, src_dir, ckpt_dir, store, table):
+    from sample_deepbook_margin_dune_dbt_spark.streaming import streaming_funnel
+
+    stream = spark.readStream.schema(
+        "user_id long, ts_us long, event_type string"
+    ).parquet(src_dir)
+
+    def _sink(batch_df, batch_id):
+        store.merge(batch_df, table, ["user_id"])
+
+    q = (
+        streaming_funnel(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_funnel_matches_batch_semantics(spark, tmp_path):
+    """One drop with in-batch disorder: per-user stages in the MERGEd
+    live table must equal the batch funnel's strict-ordering
+    memberships."""
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        # u1 full conversion (delivered shuffled within the batch)
+        (1, 300, "purchase"), (1, 100, "view"), (1, 200, "click"),
+        # u2 click before first view -> stage 1 only
+        (2, 100, "click"), (2, 200, "view"),
+        # u3 view then purchase, no click -> stage 1
+        (3, 100, "view"), (3, 200, "purchase"),
+        # u4 never views -> no state, no row
+        (4, 100, "click"),
+    ]
+    pd.DataFrame(rows, columns=["user_id", "ts_us", "event_type"]).to_parquet(
+        str(src / "b1.parquet"), index=False
+    )
+    _run_funnel(spark, str(src), ckpt, store, "funnel")
+    got = {r["user_id"]: r for r in store.read("funnel").collect()}
+    assert {u: r["stage"] for u, r in got.items()} == {1: 3, 2: 1, 3: 1}
+    assert (got[1]["t1"], got[1]["t2"], got[1]["t3"]) == (100, 200, 300)
+
+
+def test_streaming_funnel_progresses_across_batches(spark, tmp_path):
+    """State carries between micro-batches: a user at stage 1 advances to
+    3 when later batches deliver the remaining steps; unchanged users
+    keep their merged row."""
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame(
+        [(1, 100, "view"), (2, 100, "view")],
+        columns=["user_id", "ts_us", "event_type"],
+    ).to_parquet(str(src / "b1.parquet"), index=False)
+    _run_funnel(spark, str(src), ckpt, store, "funnel")
+    got = {r["user_id"]: r["stage"] for r in store.read("funnel").collect()}
+    assert got == {1: 1, 2: 1}
+
+    pd.DataFrame(
+        [(1, 200, "click"), (1, 300, "purchase")],
+        columns=["user_id", "ts_us", "event_type"],
+    ).to_parquet(str(src / "b2.parquet"), index=False)
+    _run_funnel(spark, str(src), ckpt, store, "funnel")
+    got = {r["user_id"]: r for r in store.read("funnel").collect()}
+    assert got[1]["stage"] == 3 and (got[1]["t2"], got[1]["t3"]) == (200, 300)
+    assert got[2]["stage"] == 1  # untouched by the second batch's MERGE
+    assert store.read("funnel").count() == 2

@@ -51,17 +51,47 @@ class Runner:
         """Resolve dbt-style selector(s) to an execution-ordered model list.
 
         ``None`` → all models; ``'+name'`` → name plus upstream closure;
-        ``'name'`` → just that model; a list unions each selector's set.
+        ``'name+'`` → name plus downstream closure (everything that
+        depends on it — the rebuild-after-a-fix selector); ``'tag:x'`` →
+        models carrying the tag; ``'name'`` → just that model; a list
+        unions each selector's set.
         """
         registry = all_models()
         if select is None:
             wanted = set(registry)
         else:
+            children: dict[str, list[str]] = {m: [] for m in registry}
+            for m, cfg in registry.items():
+                for d in cfg.deps:
+                    if d in children:
+                        children[d].append(m)
             selectors = [select] if isinstance(select, str) else list(select)
             wanted = set()
             for sel in selectors:
-                if sel.startswith("+"):
+                if sel.startswith("tag:"):
+                    tagged = {m for m, c in registry.items() if sel[4:] in c.tags}
+                    if not tagged:
+                        raise KeyError(f"no models carry {sel!r}")
+                    wanted |= tagged
+                elif sel.startswith("+"):
                     stack = [sel[1:]]
+                    while stack:
+                        m = stack.pop()
+                        if m in wanted:
+                            continue
+                        wanted.add(m)
+                        stack.extend(registry[m].deps)
+                elif sel.endswith("+"):
+                    stack = [sel[:-1]]
+                    seen: set[str] = set()
+                    while stack:
+                        m = stack.pop()
+                        if m in seen:
+                            continue
+                        seen.add(m)
+                        stack.extend(children[m])
+                    # downstream models still need their upstreams built
+                    stack = list(seen)
                     while stack:
                         m = stack.pop()
                         if m in wanted:

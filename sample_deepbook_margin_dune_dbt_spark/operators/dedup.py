@@ -421,7 +421,10 @@ def duplicate_clusters(
     ``max_iters`` still converge — same output contract, property-tested
     on a 1000-node path in ``tests/test_operators.py``. Default stays
     min-label propagation: on real near-dup graphs (tiny diameter) it
-    does strictly less work per round.
+    does strictly less work per round. ``algorithm='auto'`` runs
+    label-prop and, ONLY if it hits ``max_iters`` unconverged (a
+    pathological high-diameter graph), falls back to the star variant —
+    the self-healing production setting.
     Each round materializes via ``localCheckpoint`` so lineage doesn't
     grow with iterations; convergence is an exact changed-label count,
     computed as an indicator aggregate over the SAME checkpointed
@@ -475,21 +478,35 @@ def duplicate_clusters(
     try:
         if algorithm == "star":
             labels = _cc_alternating_star(sym, max_iters)
+        elif algorithm == "auto":
+            labels = _cc_label_prop(sym, max_iters)
+            if labels is None:
+                labels = _cc_alternating_star(sym, max_iters)
         else:
             labels = _cc_label_prop(sym, max_iters)
+            if labels is None:
+                raise RuntimeError(
+                    f"duplicate_clusters: label propagation did not converge "
+                    f"in {max_iters} rounds (graph diameter exceeds max_iters); "
+                    "use algorithm='star' or 'auto'"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
 
 
-def _cc_label_prop(sym: DataFrame, max_iters: int) -> DataFrame:
-    """Min-label propagation rounds over a symmetric edge list."""
+def _cc_label_prop(sym: DataFrame, max_iters: int) -> DataFrame | None:
+    """Min-label propagation rounds over a symmetric edge list.
+
+    Returns ``None`` if ``max_iters`` rounds pass without reaching the
+    fixpoint (unconverged labels would silently under-merge clusters)."""
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iters):
         nbr_min = (
             sym.join(
@@ -519,7 +536,7 @@ def _cc_label_prop(sym: DataFrame, max_iters: int) -> DataFrame:
         labels = new_labels.drop("_prev")
         if changed == 0:
             break
-    return labels
+    return labels if changed == 0 else None
 
 
 def _cc_alternating_star(sym: DataFrame, max_iters: int) -> DataFrame:

@@ -319,7 +319,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
-    return D.duplicate_clusters(pairs)
+    # 'auto': label-prop (cheapest on near-clique dedup graphs), with the
+    # O(log n) star fallback if a pathological chain-shaped graph ever
+    # exceeds the round budget — correct output on ANY input
+    return D.duplicate_clusters(pairs, algorithm="auto")
 
 
 SQL_DEDUP_CLUSTERS = f"""

@@ -380,3 +380,46 @@ def test_merge_append_new_columns_partitioned_rewrites_uniformly(spark, tmp_path
     assert rows[2]["score"] is None and rows[3]["score"] == 7.0
     # untouched-partition rows ALSO read back with the new column present
     assert set(rows) == {1, 2, 3}
+
+
+def test_downstream_and_tag_selectors(spark, tmp_path):
+    """'name+' selects the model plus everything depending on it (with
+    the upstreams those descendants need); 'tag:x' selects by tag."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    names = ["sel_a", "sel_b", "sel_c", "sel_d"]
+
+    @model("sel_a", materialized="table", tags=["seltest"])
+    def sel_a(ctx):
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    @model("sel_b", materialized="table", deps=["sel_a"], tags=["seltest"])
+    def sel_b(ctx):
+        return ctx.ref("sel_a")
+
+    @model("sel_c", materialized="table", deps=["sel_b"])
+    def sel_c(ctx):
+        return ctx.ref("sel_b")
+
+    @model("sel_d", materialized="table")
+    def sel_d(ctx):
+        return ctx.spark.createDataFrame([(9,)], "id long")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        assert runner._closure("sel_b+") == ["sel_a", "sel_b", "sel_c"]
+        assert set(runner._closure("tag:seltest")) == {"sel_a", "sel_b"}
+        assert runner._closure(["sel_d", "+sel_b"]) in (
+            ["sel_a", "sel_b", "sel_d"], ["sel_a", "sel_d", "sel_b"],
+            ["sel_d", "sel_a", "sel_b"],
+        )
+        with pytest.raises(KeyError, match="no models carry"):
+            runner._closure("tag:nope")
+        # e2e: downstream selector builds the chain
+        order = runner.run("sel_b+")
+        assert order == ["sel_a", "sel_b", "sel_c"]
+        assert store.exists("sel_c")
+    finally:
+        for n in names:
+            _REGISTRY.pop(n, None)

@@ -745,3 +745,17 @@ def test_quality_logit_orders_planted_docs(spark):
     )
     got = {r["doc_id"]: r["logit"] for r in docs.select("doc_id", quality_logit(F.col("text")).alias("logit")).collect()}
     assert got[1] > got[2] and got[1] > got[3]
+
+
+def test_duplicate_clusters_auto_falls_back_on_chains(spark):
+    """'auto' must self-heal on a high-diameter graph (label-prop hits the
+    round budget → star fallback), while the default raises loudly
+    instead of silently under-merging."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    got = D.duplicate_clusters(pairs, algorithm="auto", max_iters=10)
+    dist = got.groupBy("cluster_id").count().collect()
+    assert len(dist) == 1 and dist[0]["count"] == 121
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iters=10)

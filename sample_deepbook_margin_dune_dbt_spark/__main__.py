@@ -43,7 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     def add_common(p):
         p.add_argument("--warehouse", required=True, help="table store root directory")
         p.add_argument("--source", action="append", default=[], help="db.table=path (repeatable)")
-        p.add_argument("--select", default=None, help="model or +model (upstream closure)")
+        p.add_argument(
+            "--select",
+            default=None,
+            help="model, +model (upstream closure), model+ (downstream), or tag:x",
+        )
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)

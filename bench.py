@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # linear quality-classifier scoring
     "events_funnel",
     "events_retention",
+    "events_cohort_value",
     "corpus_profile",
     "text_quality_model",
 ]

@@ -153,7 +153,70 @@ FROM ret r JOIN sizes s USING (cohort_date)
 """
 
 
+def q_events_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort cumulative value (LTV curve): per (cohort_date, day_offset)
+    daily value plus the running total over the cohort's life — the
+    explicit-frame window family (``rowsBetween``), beyond lag/row_number.
+
+    Decimal-exact end to end: the per-day sums AND the running total
+    accumulate as DECIMAL and only the final projection casts to double,
+    so the cross-engine hash cannot drift on summation order.
+    """
+    from pyspark.sql import Window
+
+    from .common import dec2
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date(event_ts()).alias("d"), "value"
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    per = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(F.sum(dec2(F.col("value"))).alias("_dv"))
+    )
+    w = (
+        Window.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_date",
+        "day_offset",
+        F.round(F.col("_dv").cast("double"), 2).alias("day_value"),
+        F.round(F.sum("_dv").over(w).cast("double"), 2).alias("cum_value"),
+    )
+
+
+SQL_COHORT_VALUE = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+),
+first AS (
+    SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY 1
+),
+per AS (
+    SELECT f.cohort_date,
+           CAST(ev.d - f.cohort_date AS BIGINT) AS day_offset,
+           sum(CAST(ev.value AS DECIMAL(12,2))) AS dv
+    FROM ev JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT cohort_date, day_offset,
+       round(CAST(dv AS DOUBLE), 2) AS day_value,
+       round(CAST(sum(dv) OVER (
+           PARTITION BY cohort_date ORDER BY day_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS cum_value
+FROM per
+"""
+
+
 EVENTSEQ_QUERIES = {
     "events_funnel": (q_events_funnel, SQL_FUNNEL),
     "events_retention": (q_events_retention, SQL_RETENTION),
+    "events_cohort_value": (q_events_cohort_value, SQL_COHORT_VALUE),
 }

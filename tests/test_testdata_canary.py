@@ -75,3 +75,21 @@ def test_all_scale_factors_share_the_events_encoding(spark):
                 load(spark, d, "events").schema["ts"].dataType
             ).__name__
     assert len(set(kinds.values())) == 1, f"mixed events.ts encodings: {kinds}"
+
+
+def test_funnel_step_types_present(spark, sf_dir):
+    """events_funnel's oracle integer-divides by the step-1 user count; a
+    regenerated events table missing the funnel step types would error
+    opaquely at the driver — fail here with a readable message instead."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.eventseq import FUNNEL_STEPS
+
+    ev = load(spark, sf_dir, "events")
+    present = {
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    }
+    missing = set(FUNNEL_STEPS) - present
+    assert not missing, (
+        f"events.event_type lost funnel steps {sorted(missing)} — update "
+        "FUNNEL_STEPS in queries/eventseq.py to match the new testdata"
+    )

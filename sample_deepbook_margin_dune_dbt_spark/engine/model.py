@@ -85,6 +85,22 @@ def model(
     cluster_by: list[str] | None = None,
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
+    if materialized not in ("incremental", "table"):
+        raise ValueError(
+            f"model {name!r}: materialized={materialized!r}; expected "
+            "'incremental' or 'table'"
+        )
+    if incremental_strategy not in ("merge", "append"):
+        # an unknown strategy must not silently materialize as merge
+        raise ValueError(
+            f"model {name!r}: incremental_strategy={incremental_strategy!r}; "
+            "expected 'merge' or 'append'"
+        )
+    if on_schema_change not in ("ignore", "append_new_columns", "fail"):
+        raise ValueError(
+            f"model {name!r}: on_schema_change={on_schema_change!r}; expected "
+            "'ignore', 'append_new_columns', or 'fail'"
+        )
 
     def deco(fn: Callable[["ModelContext"], DataFrame]):
         _REGISTRY[name] = ModelConfig(

@@ -423,3 +423,17 @@ def test_downstream_and_tag_selectors(spark, tmp_path):
     finally:
         for n in names:
             _REGISTRY.pop(n, None)
+
+
+def test_model_registration_validates_config():
+    """Unknown materialization/strategy/schema-change values raise at
+    registration, not silently fall back (same defect class as the r4
+    on_schema_change finding)."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import model
+
+    with pytest.raises(ValueError, match="materialized"):
+        model("bad1", materialized="view")(lambda ctx: None)
+    with pytest.raises(ValueError, match="incremental_strategy"):
+        model("bad2", incremental_strategy="insert_overwrite")(lambda ctx: None)
+    with pytest.raises(ValueError, match="on_schema_change"):
+        model("bad3", on_schema_change="sync_all_columns")(lambda ctx: None)

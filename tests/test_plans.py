@@ -321,3 +321,32 @@ def test_retention_broadcasts_cohort_sizes(spark, sf_dir):
     a = audit_plan(fn(spark, sf_dir))
     assert a["num_broadcasts"] >= 1
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_tumbling_agg_partial_aggregates(spark, sf_dir):
+    """The windowed agg must map-side combine below its one exchange."""
+    fn, _ = ALL_QUERIES["w_tumbling_agg"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "partial" in plan and "Exchange" in plan
+    assert plan.index("partial") > plan.index("Exchange"), (
+        "partial agg must sit below (after in text) the exchange"
+    )
+
+
+def test_snapshot_diff_no_cartesian(spark, sf_dir):
+    """The snapshot FULL OUTER joins two narrow (id, fp) projections —
+    equi-join only, and column pruning must reach both scans."""
+    fn, _ = ALL_QUERIES["corpus_snapshot_diff"]
+    a = audit_plan(fn(spark, sf_dir))
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoop" not in a["plan"]
+    assert "FullOuter" in a["plan"].replace(" ", "")
+
+
+def test_sketch_union_is_two_level_aggregate(spark, sf_dir):
+    """Per-day sketch agg partial-aggregates; the union step consumes
+    ≤ n_days sketch rows (no second corpus scan beyond the exact twin)."""
+    fn, _ = ALL_QUERIES["a_sketch_union"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+    assert "CartesianProduct" not in plan  # the scalar gate is broadcast

@@ -2,8 +2,10 @@ from .session import get_spark
 from .model import model, ModelConfig, ModelContext, get_model, all_models, clear_registry
 from .materialize import TableStore
 from .runner import Runner
+from .snapshots import snapshot_scd2
 
 __all__ = [
+    "snapshot_scd2",
     "get_spark",
     "model",
     "ModelConfig",

@@ -35,7 +35,7 @@ class ModelConfig:
     builder: Callable[["ModelContext"], DataFrame]
     unique_key: list[str] = field(default_factory=list)
     materialized: str = "incremental"  # 'incremental' | 'table'
-    incremental_strategy: str = "merge"  # 'merge' | 'append'
+    incremental_strategy: str = "merge"  # 'merge' | 'append' | 'insert_overwrite'
     # dbt's new-source-column contract for incremental MERGE models:
     # 'ignore' (reference default) | 'append_new_columns' | 'fail'
     on_schema_change: str = "ignore"
@@ -90,11 +90,16 @@ def model(
             f"model {name!r}: materialized={materialized!r}; expected "
             "'incremental' or 'table'"
         )
-    if incremental_strategy not in ("merge", "append"):
+    if incremental_strategy not in ("merge", "append", "insert_overwrite"):
         # an unknown strategy must not silently materialize as merge
         raise ValueError(
             f"model {name!r}: incremental_strategy={incremental_strategy!r}; "
-            "expected 'merge' or 'append'"
+            "expected 'merge', 'append', or 'insert_overwrite'"
+        )
+    if incremental_strategy == "insert_overwrite" and not partition_by:
+        raise ValueError(
+            f"model {name!r}: insert_overwrite replaces whole partitions — "
+            "partition_by is required"
         )
     if on_schema_change not in ("ignore", "append_new_columns", "fail"):
         raise ValueError(

@@ -44,6 +44,8 @@ class Runner:
         self.profile = profile
         self.vacuum_retain_hours = vacuum_retain_hours
         self.lag_widen_days = lag_widen_days
+        #: per-model outcomes of the most recent run() (see _run_one)
+        self.last_run_results: list[dict] = []
 
     # ------------------------------------------------------------- selection
 
@@ -119,10 +121,23 @@ class Runner:
         """
         order = self._closure(select)
         registry = all_models()
-        if threads <= 1:
-            for name in order:
-                self._run_one(registry[name], full_refresh)
-            return order
+        self.last_run_results = []  # reset per invocation
+        try:
+            if threads <= 1:
+                for name in order:
+                    self._run_one(registry[name], full_refresh)
+                return order
+            return self._run_threaded(order, registry, full_refresh, threads)
+        finally:
+            self._write_run_results(full_refresh)
+
+    def _run_threaded(
+        self,
+        order: list[str],
+        registry: dict[str, ModelConfig],
+        full_refresh: bool,
+        threads: int,
+    ) -> list[str]:
 
         import concurrent.futures as cf
         from graphlib import TopologicalSorter
@@ -147,6 +162,59 @@ class Runner:
         return built
 
     def _run_one(self, cfg: ModelConfig, full_refresh: bool) -> None:
+        """Build one model, recording a run-results row (dbt's
+        run_results.json analog) whatever the outcome."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            self._build_one(cfg, full_refresh)
+        except Exception as e:  # record, then surface
+            self.last_run_results.append(
+                {
+                    "model": cfg.name,
+                    "status": "error",
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                    "execution_time_s": round(_time.perf_counter() - t0, 3),
+                    "strategy": cfg.incremental_strategy,
+                    "materialized": cfg.materialized,
+                }
+            )
+            raise
+        self.last_run_results.append(
+            {
+                "model": cfg.name,
+                "status": "success",
+                "execution_time_s": round(_time.perf_counter() - t0, 3),
+                "strategy": cfg.incremental_strategy,
+                "materialized": cfg.materialized,
+            }
+        )
+
+    def _write_run_results(self, full_refresh: bool) -> None:
+        """Persist the invocation's per-model results next to the tables
+        (``<warehouse>/_artifacts/run_results.json``) — the artifact CI
+        and orchestration read instead of scraping logs. Driver-side
+        metadata only: bytes written are O(models), never data-scale."""
+        import json
+        import os
+        import time as _time
+
+        art_dir = self.store.path("_artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        payload = {
+            "generated_at_unix": round(_time.time(), 3),
+            "profile": self.profile,
+            "full_refresh": full_refresh,
+            "elapsed_s": round(
+                sum(r["execution_time_s"] for r in self.last_run_results), 3
+            ),
+            "results": self.last_run_results,
+        }
+        with open(os.path.join(art_dir, "run_results.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+
+    def _build_one(self, cfg: ModelConfig, full_refresh: bool) -> None:
         ctx = ModelContext(
             self.spark,
             self.store,
@@ -164,6 +232,8 @@ class Runner:
         if cfg.materialized == "incremental" and ctx.store.exists(cfg.name) and not full_refresh:
             if cfg.incremental_strategy == "append":
                 self.store.append(df, cfg.name, cfg.partition_by)
+            elif cfg.incremental_strategy == "insert_overwrite":
+                self.store.insert_overwrite(df, cfg.name, cfg.partition_by)
             else:
                 self.store.merge(
                     df,

@@ -437,3 +437,101 @@ def test_model_registration_validates_config():
         model("bad2", incremental_strategy="insert_overwrite")(lambda ctx: None)
     with pytest.raises(ValueError, match="on_schema_change"):
         model("bad3", on_schema_change="sync_all_columns")(lambda ctx: None)
+
+
+def test_insert_overwrite_replaces_touched_partitions(spark, tmp_path):
+    """The third incremental strategy: partitions present in the updates
+    are replaced WHOLESALE (no key matching), untouched partitions keep
+    their files byte-for-byte."""
+    import datetime as dtm
+
+    store = TableStore(spark, str(tmp_path))
+    d1, d2 = dtm.date(2026, 1, 1), dtm.date(2026, 1, 2)
+    base = spark.createDataFrame(
+        [(1, d1, 10.0), (2, d1, 20.0), (3, d2, 30.0)],
+        "id long, day date, v double",
+    )
+    store.insert_overwrite(base, "t", ["day"])  # first run = create
+    p2 = os.path.join(store.path("t"), "day=2026-01-02")
+    mtime_before = max(os.path.getmtime(os.path.join(p2, f)) for f in os.listdir(p2))
+
+    # rewrite day 1 with DIFFERENT keys: id 2 must vanish (wholesale
+    # replacement — the semantic difference from MERGE)
+    store.insert_overwrite(
+        spark.createDataFrame([(9, d1, 99.0)], "id long, day date, v double"),
+        "t",
+        ["day"],
+    )
+    rows = {(r["id"], r["day"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {(9, d1): 99.0, (3, d2): 30.0}
+    mtime_after = max(os.path.getmtime(os.path.join(p2, f)) for f in os.listdir(p2))
+    assert mtime_after == mtime_before, "untouched partition must not rewrite"
+
+    with pytest.raises(ValueError, match="partition_by"):
+        store.insert_overwrite(base, "t", [])
+
+
+def test_insert_overwrite_model_end_to_end(spark, tmp_path):
+    """A model declared insert_overwrite rebuilds only the partitions its
+    incremental slice produces."""
+    import datetime as dtm
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    src = {"rows": [(1, dtm.date(2026, 1, 1), 1.0), (2, dtm.date(2026, 1, 2), 2.0)]}
+
+    @model("io_model", incremental_strategy="insert_overwrite", partition_by=["day"])
+    def io_model(ctx):
+        return ctx.spark.createDataFrame(src["rows"], "id long, day date, v double")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        runner.run("io_model")
+        # second run emits only day 2 with new content -> day 1 untouched,
+        # day 2 replaced (id 2 gone, id 5 present)
+        src["rows"] = [(5, dtm.date(2026, 1, 2), 9.0)]
+        runner.run("io_model")
+        rows = {(r["id"], r["day"]): r["v"] for r in store.read("io_model").collect()}
+        assert rows == {(1, dtm.date(2026, 1, 1)): 1.0, (5, dtm.date(2026, 1, 2)): 9.0}
+    finally:
+        _REGISTRY.pop("io_model", None)
+
+    with pytest.raises(ValueError, match="partition_by is required"):
+        model("io_bad", incremental_strategy="insert_overwrite")(lambda ctx: None)
+
+
+def test_run_results_artifact(spark, tmp_path):
+    """Every run() writes <warehouse>/_artifacts/run_results.json with
+    per-model status/duration; failures are recorded then re-raised."""
+    import json
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    @model("rr_ok", materialized="table")
+    def rr_ok(ctx):
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    @model("rr_boom", materialized="table")
+    def rr_boom(ctx):
+        raise RuntimeError("kaput")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        runner.run("rr_ok")
+        art = json.load(open(store.path("_artifacts") + "/run_results.json"))
+        assert art["results"][0]["model"] == "rr_ok"
+        assert art["results"][0]["status"] == "success"
+        assert art["results"][0]["execution_time_s"] >= 0
+        assert art["full_refresh"] is False
+
+        with pytest.raises(RuntimeError, match="kaput"):
+            runner.run(["rr_ok", "rr_boom"])
+        art = json.load(open(store.path("_artifacts") + "/run_results.json"))
+        by_model = {r["model"]: r for r in art["results"]}
+        assert by_model["rr_boom"]["status"] == "error"
+        assert "kaput" in by_model["rr_boom"]["error"]
+    finally:
+        _REGISTRY.pop("rr_ok", None)
+        _REGISTRY.pop("rr_boom", None)

@@ -135,24 +135,28 @@ class TableStore:
         several rows for one key, all are kept (same as the reference, whose
         MERGE sources are already key-unique by construction).
 
-        ``on_schema_change`` mirrors dbt's contract for NEW source columns:
+        ``on_schema_change`` mirrors dbt's contract for schema drift:
         ``'ignore'`` (default, the reference's effective setting) drops
-        them; ``'append_new_columns'`` widens the target, NULL-backfilling
-        existing rows; ``'fail'`` raises. A widening merge always takes the
-        full-rewrite path, even on partitioned tables — rewriting only the
-        touched partitions would leave the directory with mixed file
-        schemas, and a plain parquet read samples one footer (silently
-        dropping the new column for readers without ``mergeSchema``). A
-        lake format with real schema metadata (the Delta seam) widens
-        without the rewrite. A column MISSING from ``updates`` errors in
-        every mode, as in dbt.
+        NEW source columns; ``'append_new_columns'`` widens the target
+        for them, NULL-backfilling existing rows; ``'sync_all_columns'``
+        additionally DROPS target columns the source no longer carries
+        (full two-way sync — the one mode where a column missing from
+        ``updates`` is legal); ``'fail'`` raises on any new column. Under
+        every other mode a column MISSING from ``updates`` errors, as in
+        dbt. A schema-altering merge always takes the full-rewrite path,
+        even on partitioned tables — rewriting only the touched
+        partitions would leave the directory with mixed file schemas,
+        and a plain parquet read samples one footer (silently dropping
+        the new column for readers without ``mergeSchema``). A lake
+        format with real schema metadata (the Delta seam) alters without
+        the rewrite.
         """
-        if on_schema_change not in ("ignore", "append_new_columns", "fail"):
-            # an unknown mode (dbt's unsupported 'sync_all_columns', or a
-            # typo) must not silently behave as 'ignore' and drop columns
+        modes = ("ignore", "append_new_columns", "fail", "sync_all_columns")
+        if on_schema_change not in modes:
+            # a typo must not silently behave as 'ignore' and drop columns
             raise ValueError(
                 f"unsupported on_schema_change={on_schema_change!r}; "
-                "expected 'ignore', 'append_new_columns', or 'fail'"
+                f"expected one of {modes}"
             )
         if not self.exists(name):
             self.write_full(updates, name, partition_by)
@@ -167,15 +171,28 @@ class TableStore:
                 f"schema change on {name}: new column(s) "
                 f"{[f.name for f in new_fields]} with on_schema_change='fail'"
             )
-        widen = bool(new_fields) and on_schema_change == "append_new_columns"
+        sync = on_schema_change == "sync_all_columns"
+        gone_cols = (
+            [c for c in old0.columns if c not in set(updates.columns)] if sync else []
+        )
+        if any(k in gone_cols for k in unique_key):
+            raise ValueError(
+                f"sync_all_columns would drop unique_key column(s) "
+                f"{[k for k in unique_key if k in gone_cols]} from {name}"
+            )
+        widen = bool(new_fields) and on_schema_change in (
+            "append_new_columns",
+            "sync_all_columns",
+        )
+        altering = widen or bool(gone_cols)
 
-        if partition_by and self._has_partition_dirs(name) and not widen:
+        if partition_by and self._has_partition_dirs(name) and not altering:
             self._merge_partitioned(updates, name, unique_key, partition_by)
         else:
             # unpartitioned layout (incl. a table created empty that now
-            # receives its first real rows) or a widening merge: full
-            # rewrite, upgrading to the partitioned layout when declared
-            old = old0
+            # receives its first real rows) or a schema-altering merge:
+            # full rewrite, upgrading to the partitioned layout when declared
+            old = old0.drop(*gone_cols) if gone_cols else old0
             if widen:
                 for f in new_fields:
                     old = old.withColumn(f.name, F.lit(None).cast(f.dataType))

@@ -36,8 +36,8 @@ class ModelConfig:
     unique_key: list[str] = field(default_factory=list)
     materialized: str = "incremental"  # 'incremental' | 'table'
     incremental_strategy: str = "merge"  # 'merge' | 'append' | 'insert_overwrite'
-    # dbt's new-source-column contract for incremental MERGE models:
-    # 'ignore' (reference default) | 'append_new_columns' | 'fail'
+    # dbt's schema-drift contract for incremental MERGE models: 'ignore'
+    # (reference default) | 'append_new_columns' | 'sync_all_columns' | 'fail'
     on_schema_change: str = "ignore"
     partition_by: list[str] | None = None
     deps: list[str] = field(default_factory=list)
@@ -101,10 +101,12 @@ def model(
             f"model {name!r}: insert_overwrite replaces whole partitions — "
             "partition_by is required"
         )
-    if on_schema_change not in ("ignore", "append_new_columns", "fail"):
+    if on_schema_change not in (
+        "ignore", "append_new_columns", "sync_all_columns", "fail"
+    ):
         raise ValueError(
             f"model {name!r}: on_schema_change={on_schema_change!r}; expected "
-            "'ignore', 'append_new_columns', or 'fail'"
+            "'ignore', 'append_new_columns', 'sync_all_columns', or 'fail'"
         )
 
     def deco(fn: Callable[["ModelContext"], DataFrame]):

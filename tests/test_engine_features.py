@@ -340,9 +340,7 @@ def test_merge_on_schema_change_modes(spark, tmp_path):
     with pytest.raises(ValueError, match="score"):
         store.merge(up, "t", ["id"], on_schema_change="fail")
 
-    # unknown modes must raise, not silently behave as 'ignore'
-    with pytest.raises(ValueError, match="on_schema_change"):
-        store.merge(up, "t", ["id"], on_schema_change="sync_all_columns")
+    # unknown modes (typos) must raise, not silently behave as 'ignore'
     with pytest.raises(ValueError, match="on_schema_change"):
         store.merge(up, "t", ["id"], on_schema_change="append-new-columns")
 
@@ -434,9 +432,9 @@ def test_model_registration_validates_config():
     with pytest.raises(ValueError, match="materialized"):
         model("bad1", materialized="view")(lambda ctx: None)
     with pytest.raises(ValueError, match="incremental_strategy"):
-        model("bad2", incremental_strategy="insert_overwrite")(lambda ctx: None)
+        model("bad2", incremental_strategy="delete_insert")(lambda ctx: None)
     with pytest.raises(ValueError, match="on_schema_change"):
-        model("bad3", on_schema_change="sync_all_columns")(lambda ctx: None)
+        model("bad3", on_schema_change="sync-all-columns")(lambda ctx: None)
 
 
 def test_insert_overwrite_replaces_touched_partitions(spark, tmp_path):
@@ -535,3 +533,28 @@ def test_run_results_artifact(spark, tmp_path):
     finally:
         _REGISTRY.pop("rr_ok", None)
         _REGISTRY.pop("rr_boom", None)
+
+
+def test_merge_sync_all_columns(spark, tmp_path):
+    """sync_all_columns is the full two-way sync: new source columns
+    widen (NULL backfill), vanished source columns DROP from the target,
+    and dropping a unique_key column is refused."""
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                                 "id long, v string, legacy double")
+    store.merge(base, "t", ["id"])
+
+    up = spark.createDataFrame([(2, "b2", 9.5), (3, "c", 1.0)],
+                               "id long, v string, score double")
+    store.merge(up, "t", ["id"], on_schema_change="sync_all_columns")
+    got = store.read("t")
+    assert set(got.columns) == {"id", "v", "score"}, "legacy dropped, score added"
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[1]["v"] == "a"
+    assert rows[2]["score"] == 9.5 and rows[3]["v"] == "c"
+
+    bad = spark.createDataFrame([(1.5, "x")], "other double, v string")
+    with pytest.raises(ValueError, match="unique_key"):
+        store.merge(bad, "t", ["id"], on_schema_change="sync_all_columns")

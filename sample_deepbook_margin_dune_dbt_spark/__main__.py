@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("ls", help="list registered models")
 
+    docs_p = sub.add_parser(
+        "docs", help="write the project manifest (dbt manifest.json analog)"
+    )
+    add_common(docs_p)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "ls":
@@ -96,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"engine-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
     store = TableStore(spark, args.warehouse, schema_suffix=args.schema_suffix)
+
+    if args.cmd == "docs":
+        runner = Runner(spark, store, _parse_sources(args.source))
+        print(runner.write_manifest(args.select))
+        return 0
 
     if args.cmd == "show":
         # reference lifecycle entry point 3: dbt show --inline / ad-hoc SELECT

@@ -263,6 +263,49 @@ class Runner:
 
     # ----------------------------------------------------------------- tests
 
+    def manifest(self, select: str | list[str] | None = None) -> dict:
+        """The project manifest (dbt ``manifest.json`` analog): every
+        selected model's declared config and DAG edges, as plain data —
+        what docs generators, lineage tools, and CI diff checks consume.
+        Driver-side metadata only; no Spark job runs."""
+        registry = all_models()
+        models = {}
+        for name in self._closure(select):
+            cfg = registry[name]
+            models[name] = {
+                "materialized": cfg.materialized,
+                "incremental_strategy": cfg.incremental_strategy,
+                "on_schema_change": cfg.on_schema_change,
+                "unique_key": cfg.unique_key,
+                "partition_by": cfg.partition_by or [],
+                "cluster_by": cfg.cluster_by,
+                "depends_on": cfg.deps,
+                "tags": cfg.tags,
+                "tests": {
+                    "not_null": cfg.not_null,
+                    "unique": cfg.unique,
+                    "accepted_values": cfg.accepted_values,
+                    "relationships": [list(r) for r in cfg.relationships],
+                },
+            }
+        return {
+            "profile": self.profile,
+            "sources": sorted(self.sources),
+            "models": models,
+        }
+
+    def write_manifest(self, select: str | list[str] | None = None) -> str:
+        """Persist the manifest next to run_results.json; returns the path."""
+        import json
+        import os
+
+        art_dir = self.store.path("_artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        path = os.path.join(art_dir, "manifest.json")
+        with open(path, "w") as f:
+            json.dump(self.manifest(select), f, indent=1, default=str)
+        return path
+
     def test(self, select: str | list[str] | None = None) -> dict[str, int]:
         """Run declared data tests (``dbt test``; SURVEY §5 item 1 + the
         standard dbt generic-test set).

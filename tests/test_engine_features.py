@@ -558,3 +558,22 @@ def test_merge_sync_all_columns(spark, tmp_path):
     bad = spark.createDataFrame([(1.5, "x")], "other double, v string")
     with pytest.raises(ValueError, match="unique_key"):
         store.merge(bad, "t", ["id"], on_schema_change="sync_all_columns")
+
+
+def test_manifest_artifact(spark, tmp_path):
+    """manifest() exposes the selected DAG's declared config; the CLI
+    docs path writes it next to run_results.json."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, store, {"main.events": "/x/events.parquet"})
+    m = runner.manifest("+fct_deepbook_margin_pool_daily")
+    fct = m["models"]["fct_deepbook_margin_pool_daily"]
+    assert fct["unique_key"] == ["margin_pool_id", "snapshot_date"]
+    assert fct["incremental_strategy"] == "merge"
+    assert "stg_deepbook_margin_pool_object" in fct["depends_on"]
+    assert set(m["models"]) == set(
+        runner._closure("+fct_deepbook_margin_pool_daily")
+    )
+    assert "main.events" in m["sources"]
+    import json
+    path = runner.write_manifest("+fct_deepbook_margin_pool_daily")
+    assert json.load(open(path))["models"].keys() == m["models"].keys()

@@ -209,3 +209,59 @@ def test_chunking_invariants(spark, n_tokens, chunk, overlap_frac):
         assert got == toks[i * stride : i * stride + chunk]
         seen.extend(got[overlap:] if i > 0 else got)
     assert seen == toks, "chunks must cover every token exactly once at stride offsets"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user
+            st.integers(min_value=0, max_value=50),          # minute
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+def test_property_funnel_matches_python_reference(spark, tmp_path_factory, events):
+    """For ANY event set, the Spark funnel's per-step user counts must
+    equal a brute-force Python evaluation of the strict-ordering
+    semantics (min view ts → min later click ts → min later purchase)."""
+    import datetime as dt
+
+    from sample_deepbook_margin_dune_dbt_spark.queries.eventseq import q_events_funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, et, 1.0, "{}")
+        for i, (u, m, et) in enumerate(events)
+    ]
+    d = str(tmp_path_factory.mktemp("fun"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    # brute-force reference
+    def step_time(user, kind, after):
+        ts = [t for (u, m, et) in events if u == user and et == kind
+              for t in [t0 + dt.timedelta(minutes=m)] if after is None or t > after]
+        return min(ts) if ts else None
+
+    users = {u for u, _, _ in events}
+    n1 = n2 = n3 = 0
+    for u in users:
+        t1 = step_time(u, "view", None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = step_time(u, "click", t1)
+        if t2 is None:
+            continue
+        n2 += 1
+        if step_time(u, "purchase", t2) is not None:
+            n3 += 1
+
+    if n1 == 0:
+        return  # no funnel entrants: the ppm projection is undefined
+    r = q_events_funnel(spark, d).first()
+    assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (n1, n2, n3)

@@ -31,6 +31,37 @@ from pyspark.sql.types import LongType, StringType
 SUPPORTED_TYPES = (LongType, StringType)
 
 
+def histogram_fixed(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Equal-width histogram over a fixed range: one map-side-combined
+    aggregation pass, ``bins + 2`` output rows max (bucket 0 =
+    underflow < lo, bucket bins+1 = overflow ≥ hi, NULLs excluded).
+
+    The monitoring companion to :func:`profile_table` — drift dashboards
+    and data-quality gates consume it. The fixed range is what makes it
+    ONE pass (a data-derived range needs a min/max probe first) and what
+    makes day-over-day histograms comparable. Bucket arithmetic is pure
+    integer-on-scaled-values, so the DuckDB oracle reproduces it bit-for-
+    bit: ``bucket = 1 + floor((x - lo) * bins / (hi - lo))`` clamped.
+    """
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got {bins=}, {lo=}, {hi=}")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    bucket = (
+        F.when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(bins + 1))
+        .otherwise(F.lit(1) + raw)
+        .cast("long")
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """One row per column: (column, dtype, n_rows, n_nulls, n_distinct,
     min_repr, max_repr, avg_len_e6).

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.profile import profile_table
+from ..operators.profile import histogram_fixed, profile_table
 from .common import load
 
 
@@ -49,6 +49,25 @@ SQL_CORPUS_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 20 fixed 0..2000-char buckets
+    (+ overflow): the drift-monitoring histogram, one agg pass."""
+    return histogram_fixed(
+        load(spark, sf_dir, "documents"), "n_chars", lo=0, hi=2000, bins=20
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(CASE WHEN x < 0 THEN 0
+            WHEN x >= 2000 THEN 21
+            ELSE 1 + floor((x - 0) * 20 / 2000.0) END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL)
+GROUP BY 1
+"""
+
+
 PROFILE_QUERIES = {
     "corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
+    "corpus_length_histogram": (q_corpus_length_histogram, SQL_LENGTH_HISTOGRAM),
 }

@@ -759,3 +759,18 @@ def test_duplicate_clusters_auto_falls_back_on_chains(spark):
     assert len(dist) == 1 and dist[0]["count"] == 121
     with pytest.raises(RuntimeError, match="did not converge"):
         D.duplicate_clusters(pairs, max_iters=10)
+
+
+def test_histogram_fixed_edges(spark):
+    from sample_deepbook_margin_dune_dbt_spark.operators.profile import histogram_fixed
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.9,), (100.0,), (199.9,), (200.0,), (250.0,), (None,)],
+        "x double",
+    )
+    got = {r["bucket"]: r["n"] for r in histogram_fixed(df, "x", 0, 200, 2).collect()}
+    # -5 underflows; 0 and 99.9 land in bucket 1; 100..199.9 in bucket 2;
+    # 200 and 250 overflow; NULL excluded entirely
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError, match="bins"):
+        histogram_fixed(df, "x", 5, 5, 3)

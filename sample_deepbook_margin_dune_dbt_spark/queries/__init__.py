@@ -108,6 +108,19 @@ driver query moved to ``EXTRA_QUERIES``:
   the lake-ops family) replaces ``text_token_count`` (narrow-map text
   family keeps normalize/repetition/pii/heavy-hitters rows).
 
+- r5 continuation: three oracle-verified families that never had a
+  driver row get slots — ``events_retention`` (cohort × day-offset
+  matrix with broadcast cohort sizes), ``corpus_length_histogram``
+  (fixed-range equal-width histogram — the drift-monitoring family),
+  and ``text_quality_model`` (linear quality-classifier scoring — the
+  learned-filter family). Out (family stays represented): ``ann_ivf``
+  (the IVF coarse quantizer is the first stage of ``ann_ivf_pq``, which
+  keeps a row; ANN holds 3 of 4 tiers), ``tpch_q3`` (top-N join-agg
+  held by ``q18``'s top-N HAVING and ``q13``'s join-agg), and
+  ``text_decontaminate`` (decontamination family keeps the bit-exact
+  ``text_bloom_decontaminate`` row; the n-gram-overlap mechanics stay
+  oracle-verified in EXTRA).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -157,13 +170,11 @@ DRIVER_QUERY_ORDER = [
     "embedding_centroids",
     "dedup_boilerplate_segments",
     "dedup_clusters",
-    "text_decontaminate",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "multimodal_meta",
     "ann_lsh_bucketed",
-    "ann_ivf",
     "ann_ivf_pq",
     "a_approx_tier",
     "a_sketch_union",
@@ -189,6 +200,9 @@ DRIVER_QUERY_ORDER = [
     "w_tumbling_agg",
     "w1_rownum_dedup",
     "events_funnel",
+    "events_retention",
+    "corpus_length_histogram",
+    "text_quality_model",
     "j1_foj_volume_chain",
     "j4_seed_ci_join",
     "p4_watermark",
@@ -200,7 +214,6 @@ DRIVER_QUERY_ORDER = [
     "corpus_epoch_shuffle",
     # TPC-H
     "tpch_q1",
-    "tpch_q3",
     "tpch_q6",
     "tpch_q8",
     "tpch_q13",

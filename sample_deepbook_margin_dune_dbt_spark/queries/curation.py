@@ -336,6 +336,87 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------------------- TF-IDF
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 inverse-document-frequency-weighted terms per document — the
+    keyword/topic-signal extraction pass of corpus curation (and the
+    vectorization front end of classic BM25/TF-IDF retrieval).
+
+    Scoring is the rational-idf variant ``tf * (N·10^6 div df)`` with
+    integer division on both engines — cross-engine exact, unlike
+    ``tf·ln(N/df)`` whose libm rounding could flip a rank at a floor
+    boundary. Within a fixed term the rational idf is the same monotone
+    ordering as log-idf; across terms it weights rare terms more steeply
+    (documented trade for bit-exactness).
+
+    Scale shape: one tokenize→explode pipeline feeds BOTH frequencies —
+    tf is the (doc_id, word) grouped count, and df is a window count over
+    the word partition of the tf rows (one row per containing doc, so the
+    partition size IS df) — no second corpus scan and no tf⋈vocabulary
+    join. Two shuffles total: (doc_id, word), then word. The final top-3
+    window sorts only each doc's own term list (bounded by the doc's
+    vocabulary). The corpus row count enters as a broadcast scalar.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _spread
+
+    docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word")).cast("long")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = dfreq.crossJoin(F.broadcast(n_docs)).withColumn(
+        "score", F.expr("tf * ((n_docs * 1000000L) div df)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "df", "score", "rank")
+    )
+
+
+SQL_TFIDF = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(w) AS word FROM toks
+),
+tf AS (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+    FROM words WHERE word <> '' GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT *, CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df FROM tf
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, word, tf, df,
+           tf * ((n.n_docs * 1000000) // df) AS score
+    FROM dfreq CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------- composed curation rollup
 
 
@@ -588,4 +669,5 @@ CURATION_QUERIES = {
     ),
     "corpus_curation_report": (q_corpus_curation_report, SQL_CURATION_REPORT),
     "text_heavy_hitters": (q_text_heavy_hitters, SQL_HEAVY_HITTERS),
+    "text_tfidf_topterms": (q_text_tfidf_topterms, SQL_TFIDF),
 }

@@ -875,6 +875,73 @@ FROM expanded
 GROUP BY 1, 2
 """
 
+# --------------------------------------- date-spine gap fill + LOCF
+
+
+def q_w_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user daily purchase totals are
+    sparse (most user-days have no purchase); build each user's dense
+    date spine with the ``sequence`` generator + explode, LEFT-join the
+    observed days on, and forward-fill gaps with last-observation-
+    carried-forward (``last(..., ignorenulls=True)`` over an unbounded-
+    preceding running frame) — the standard sparse→dense prep before
+    lag/rolling analytics (a gap day would otherwise silently shift
+    every offset-based window).
+
+    Scale shape: the spine explode is a narrow map over one row per user
+    (span bounded by the calendar, not the event count), the join and
+    the LOCF window both shuffle on user_id only, and nothing global is
+    sorted. The observed-day aggregate is rebuilt for the spine branch —
+    one extra events pass; at lake scale feed both branches from a
+    materialized daily rollup instead.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date(event_ts()).alias("d"))
+        .agg(F.round(dsum2(F.col("value")), 2).alias("day_value"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("day_value").isNull().cast("boolean"))
+        .select("user_id", "d", "day_value", "filled_value", "is_gap")
+    )
+
+
+SQL_GAP_FILL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS day_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS DATE) AS d
+    FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.d, daily.day_value,
+       last_value(daily.day_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       daily.day_value IS NULL AS is_gap
+FROM spine s
+LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+"""
+
 # ------------------------------------------------------------- A5: cube
 
 
@@ -1173,6 +1240,7 @@ PARITY_QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "w_tumbling_agg": (q_w_tumbling_agg, SQL_W_TUMBLING),
     "w_hopping_agg": (q_w_hopping_agg, SQL_W_HOPPING),
+    "w_gap_fill_locf": (q_w_gap_fill_locf, SQL_GAP_FILL),
     "asof_join": (q_asof_join, SQL_ASOF),
     "range_join": (q_range_join, SQL_RANGE),
     "a_percentiles": (q_a_percentiles, SQL_PERCENTILES),

@@ -1,5 +1,5 @@
 from .session import get_spark
-from .model import model, ModelConfig, ModelContext, get_model, all_models, clear_registry
+from .model import model, ModelConfig, ModelContext, get_model, all_models, clear_registry, enforce_contract
 from .materialize import TableStore
 from .runner import Runner
 from .snapshots import snapshot_scd2

@@ -46,6 +46,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _split_merge_scope(
+    old: DataFrame, incremental_predicates: list[str] | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split target rows into (in-scope, out-of-scope) under dbt-style
+    ``incremental_predicates``. Out-of-scope rows (predicate false OR
+    NULL, per SQL MERGE match semantics) bypass the key anti-join
+    entirely — that bypass IS the scan-bounding the config exists for.
+    Returns ``(old, None)`` when no predicates are configured.
+    """
+    if not incremental_predicates:
+        return old, None
+    scope = None
+    for p in incremental_predicates:
+        cond = F.expr(p)
+        scope = cond if scope is None else (scope & cond)
+    in_scope = F.coalesce(scope, F.lit(False))
+    return old.filter(in_scope), old.filter(~in_scope)
+
+
 class TableStore:
     """A named-table store rooted at a directory; tables are parquet dirs.
 
@@ -126,8 +145,21 @@ class TableStore:
         unique_key: list[str],
         partition_by: list[str] | None = None,
         on_schema_change: str = "ignore",
+        incremental_predicates: list[str] | None = None,
     ) -> None:
         """Upsert ``updates`` into table ``name`` on ``unique_key`` (S6).
+
+        ``incremental_predicates`` (dbt's config of the same name) bound
+        the TARGET side of the match: only target rows satisfying every
+        predicate enter the key anti-join; the rest are carried through
+        untouched without being compared. On a lake engine this is the
+        knob that stops a MERGE from scanning years of target history
+        (the predicates ride into the target scan as partition/file
+        pruning). dbt's hazard is reproduced faithfully: an update whose
+        key matches only an out-of-scope row counts as NOT MATCHED and
+        is inserted — predicates must cover every window the build can
+        emit. NULL-valued predicates count as out-of-scope (SQL MERGE
+        match semantics).
 
         Semantics match dbt-trino's merge strategy: rows whose key matches an
         incoming row are replaced wholesale; new keys are inserted; rows
@@ -187,7 +219,9 @@ class TableStore:
         altering = widen or bool(gone_cols)
 
         if partition_by and self._has_partition_dirs(name) and not altering:
-            self._merge_partitioned(updates, name, unique_key, partition_by)
+            self._merge_partitioned(
+                updates, name, unique_key, partition_by, incremental_predicates
+            )
         else:
             # unpartitioned layout (incl. a table created empty that now
             # receives its first real rows) or a schema-altering merge:
@@ -196,8 +230,11 @@ class TableStore:
             if widen:
                 for f in new_fields:
                     old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+            old, out_scope = _split_merge_scope(old, incremental_predicates)
             kept = old.join(updates.select(*unique_key).distinct(), on=unique_key, how="left_anti")
             result = kept.unionByName(updates.select(*old.columns))
+            if out_scope is not None:
+                result = out_scope.unionByName(result)
             # full rewrite via staging swap; can't stream onto the dir being read,
             # so materialize the result first
             staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
@@ -247,6 +284,7 @@ class TableStore:
         name: str,
         unique_key: list[str],
         partition_by: list[str],
+        incremental_predicates: list[str] | None = None,
     ) -> None:
         """Partition-pruned upsert: rewrite only partitions present in ``updates``.
 
@@ -273,10 +311,13 @@ class TableStore:
             pred = clause if pred is None else (pred | clause)
 
         old_slice = self.read(name).filter(pred)
+        old_slice, out_scope = _split_merge_scope(old_slice, incremental_predicates)
         kept = old_slice.join(
             updates.select(*unique_key).distinct(), on=unique_key, how="left_anti"
         )
         result = kept.unionByName(updates.select(*old_slice.columns))
+        if out_scope is not None:
+            result = out_scope.unionByName(result)
         # Dynamic partition overwrite can't read and overwrite the same files in
         # one job; stage the merged slice first (slice-sized, not table-sized).
         staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")

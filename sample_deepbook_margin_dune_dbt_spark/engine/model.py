@@ -63,6 +63,22 @@ class ModelConfig:
     # ZORDER/CLUSTER BY analog): files sort on these so parquet footer
     # min/max stats prune range scans
     cluster_by: list[str] = field(default_factory=list)
+    # dbt model contract (`contract: {enforced: true}` + per-column
+    # data_type): column name → Spark DDL type string. When set, the
+    # built DataFrame's schema must carry EXACTLY these columns with
+    # these types (order-insensitive, both directions) or the build
+    # fails BEFORE materializing — downstream consumers never see a
+    # drifted schema.
+    contract: dict[str, str] | None = None
+    # dbt `incremental_predicates`: SQL predicates over TARGET rows that
+    # bound the merge's match scope. Rows outside the predicate window
+    # are carried through untouched WITHOUT entering the key anti-join —
+    # on a real lake this is what keeps a MERGE from scanning years of
+    # target history. dbt's documented hazard applies identically: an
+    # update whose key matches only an out-of-scope row is treated as
+    # NOT MATCHED and inserted, so predicates must cover every window
+    # the incremental build can emit.
+    incremental_predicates: list[str] = field(default_factory=list)
 
 
 _REGISTRY: dict[str, ModelConfig] = {}
@@ -83,6 +99,8 @@ def model(
     relationships: list[tuple[str, str, str]] | None = None,
     post_hooks: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    contract: dict[str, str] | None = None,
+    incremental_predicates: list[str] | None = None,
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
     if materialized not in ("incremental", "table"):
@@ -108,6 +126,11 @@ def model(
             f"model {name!r}: on_schema_change={on_schema_change!r}; expected "
             "'ignore', 'append_new_columns', 'sync_all_columns', or 'fail'"
         )
+    if incremental_predicates and incremental_strategy != "merge":
+        raise ValueError(
+            f"model {name!r}: incremental_predicates only apply to the "
+            "'merge' strategy"
+        )
 
     def deco(fn: Callable[["ModelContext"], DataFrame]):
         _REGISTRY[name] = ModelConfig(
@@ -126,10 +149,53 @@ def model(
             relationships=relationships or [],
             post_hooks=post_hooks,
             cluster_by=cluster_by or [],
+            contract=contract,
+            incremental_predicates=incremental_predicates or [],
         )
         return fn
 
     return deco
+
+
+# common spellings → Spark simpleString() canonical names, so a contract
+# can say 'long' for what simpleString reports as 'bigint'
+_TYPE_ALIASES = {
+    "long": "bigint",
+    "integer": "int",
+    "short": "smallint",
+    "byte": "tinyint",
+    "bool": "boolean",
+}
+
+
+def _canon_type(t: str) -> str:
+    t = t.strip().lower().replace(" ", "")
+    return _TYPE_ALIASES.get(t, t)
+
+
+def enforce_contract(df: DataFrame, contract: dict[str, str], model_name: str) -> None:
+    """dbt model-contract check: the DataFrame must carry exactly the
+    contracted columns with the contracted types. Schema-only — no job
+    runs; the check happens before any materialization so a violated
+    contract never reaches storage. Raises ``ValueError`` listing every
+    violation at once (missing / extra / mistyped)."""
+    actual = {f.name: _canon_type(f.dataType.simpleString()) for f in df.schema.fields}
+    want = {c: _canon_type(t) for c, t in contract.items()}
+    problems = []
+    for col, typ in want.items():
+        if col not in actual:
+            problems.append(f"missing contracted column {col!r} ({typ})")
+        elif actual[col] != typ:
+            problems.append(
+                f"column {col!r} is {actual[col]}, contract says {typ}"
+            )
+    for col in actual:
+        if col not in want:
+            problems.append(f"uncontracted column {col!r} in model output")
+    if problems:
+        raise ValueError(
+            f"model {model_name!r} violates its contract: " + "; ".join(problems)
+        )
 
 
 def get_model(name: str) -> ModelConfig:

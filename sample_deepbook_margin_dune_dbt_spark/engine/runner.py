@@ -13,7 +13,7 @@ from typing import Optional
 from pyspark.sql import SparkSession
 
 from .materialize import TableStore
-from .model import ModelConfig, ModelContext, all_models
+from .model import ModelConfig, ModelContext, all_models, enforce_contract
 
 
 class Runner:
@@ -229,6 +229,8 @@ class Runner:
         if full_refresh:
             self.store.drop(cfg.name)
         df = cfg.builder(ctx)
+        if cfg.contract:
+            enforce_contract(df, cfg.contract, cfg.name)
         if cfg.materialized == "incremental" and ctx.store.exists(cfg.name) and not full_refresh:
             if cfg.incremental_strategy == "append":
                 self.store.append(df, cfg.name, cfg.partition_by)
@@ -241,6 +243,7 @@ class Runner:
                     cfg.unique_key,
                     cfg.partition_by,
                     on_schema_change=cfg.on_schema_change,
+                    incremental_predicates=cfg.incremental_predicates,
                 )
         else:
             self.store.write_full(df, cfg.name, cfg.partition_by)

@@ -577,3 +577,120 @@ def test_manifest_artifact(spark, tmp_path):
     import json
     path = runner.write_manifest("+fct_deepbook_margin_pool_daily")
     assert json.load(open(path))["models"].keys() == m["models"].keys()
+
+
+def test_model_contract_enforced(spark, tmp_path):
+    """dbt model contracts: a contracted model materializes only when its
+    output schema is exactly the contracted columns/types; violations
+    fail BEFORE any write, listing every problem."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import (
+        _REGISTRY,
+        enforce_contract,
+        model,
+    )
+
+    shape = {"cols": "id long, v string"}
+
+    @model(
+        "contracted",
+        materialized="table",
+        contract={"id": "bigint", "v": "string"},
+    )
+    def contracted(ctx):
+        return ctx.spark.createDataFrame([], shape["cols"])
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        runner.run("contracted")  # matching schema builds fine
+        assert store.exists("contracted")
+
+        # wrong type: fails, and the old materialization is untouched
+        shape["cols"] = "id int, v string"
+        with pytest.raises(ValueError, match="contract says bigint"):
+            runner.run("contracted")
+        # extra + missing columns both reported
+        shape["cols"] = "id long, extra double"
+        with pytest.raises(ValueError) as ei:
+            runner.run("contracted")
+        assert "missing contracted column 'v'" in str(ei.value)
+        assert "uncontracted column 'extra'" in str(ei.value)
+    finally:
+        _REGISTRY.pop("contracted", None)
+
+    # helper-level: alias spellings are canonicalized ('long' == 'bigint')
+    df = spark.createDataFrame([], "id long")
+    enforce_contract(df, {"id": "long"}, "m")
+    enforce_contract(df, {"id": "BIGINT"}, "m")
+
+
+def test_incremental_predicates_bound_merge_scope(spark, tmp_path):
+    """dbt incremental_predicates: target rows outside the predicate
+    window never enter the key match — an in-window update replaces its
+    row, while an out-of-window key is treated as NOT MATCHED and
+    inserted (dbt's documented hazard, reproduced faithfully)."""
+    import datetime as dtm
+
+    store = TableStore(spark, str(tmp_path))
+    d_old, d_new = dtm.date(2025, 1, 1), dtm.date(2026, 1, 28)
+    base = spark.createDataFrame(
+        [(1, d_old, 10.0), (2, d_new, 20.0), (3, None, 30.0)],
+        "id long, day date, v double",
+    )
+    store.write_full(base, "t")
+    preds = ["day >= DATE '2026-01-01'"]
+
+    updates = spark.createDataFrame(
+        [(2, d_new, 99.0), (1, d_new, 77.0)], "id long, day date, v double"
+    )
+    store.merge(updates, "t", unique_key=["id"], incremental_predicates=preds)
+    rows = sorted((r["id"], r["day"], r["v"]) for r in store.read("t").collect())
+    assert rows == [
+        (1, d_old, 10.0),   # out of scope: key matched an update but was shielded
+        (1, d_new, 77.0),   # ...so the update inserted (dbt hazard, documented)
+        (2, d_new, 99.0),   # in scope: replaced
+        (3, None, 30.0),    # NULL predicate = out of scope, untouched
+    ]
+
+
+def test_incremental_predicates_partitioned_and_model_level(spark, tmp_path):
+    """Predicates compose with the partition-pruned merge path and wire
+    through the @model config; registration rejects them on non-merge
+    strategies."""
+    import datetime as dtm
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    d1, d2 = dtm.date(2026, 1, 1), dtm.date(2026, 1, 2)
+    src = {"rows": [(1, d1, 1.0), (2, d2, 2.0)]}
+
+    @model(
+        "ip_model",
+        unique_key=["id"],
+        partition_by=["day"],
+        incremental_predicates=["v < 100"],
+    )
+    def ip_model(ctx):
+        return ctx.spark.createDataFrame(src["rows"], "id long, day date, v double")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        runner.run("ip_model")
+        # put id=2 out of scope by raising v over the bound, then try to
+        # update it: the shielded row must survive alongside the insert
+        store.merge(
+            spark.createDataFrame([(2, d2, 200.0)], "id long, day date, v double"),
+            "ip_model", ["id"], ["day"],
+        )
+        src["rows"] = [(2, d2, 5.0)]
+        runner.run("ip_model")
+        rows = sorted((r["id"], r["v"]) for r in store.read("ip_model").collect())
+        assert rows == [(1, 1.0), (2, 5.0), (2, 200.0)]
+    finally:
+        _REGISTRY.pop("ip_model", None)
+
+    with pytest.raises(ValueError, match="incremental_predicates"):
+        model("ip_bad", incremental_strategy="append", incremental_predicates=["1=1"])(
+            lambda ctx: None
+        )

@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "events_cohort_value",
     "corpus_profile",
     "text_quality_model",
+    # r5 continuation families: idf-weighted top terms (two-shuffle
+    # tokenize pipeline), date-spine densification + LOCF, Morton-key
+    # layout envelope, drift histogram
+    "text_tfidf_topterms",
+    "w_gap_fill_locf",
+    "corpus_zorder_stats",
+    "corpus_length_histogram",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -350,3 +350,57 @@ def test_sketch_union_is_two_level_aggregate(spark, sf_dir):
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
     assert "CartesianProduct" not in plan  # the scalar gate is broadcast
+
+
+def test_runtime_bloom_filter_prefilters_shuffle_join(spark, tmp_path):
+    """Spark's runtime bloom-filter injection (the 100 TB shuffle-join
+    pre-filter: a bloom filter built from the selective dim side is
+    pushed into the fact side's scan stage, discarding non-joining rows
+    BEFORE the shuffle) fires when its documented conditions hold —
+    pinned here so an engine upgrade that changes them is caught:
+
+    - a SHUFFLE join (broadcast joins don't need it),
+    - a *comparison/IN/LIKE* predicate on the creation side (a bare
+      boolean column does NOT count as 'likely selective'),
+    - creation side under ``runtime.bloomFilter.creationSideThreshold``,
+      application side over ``applicationSideScanSizeThreshold``.
+    """
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    spark.range(0, 200_000).withColumn("k", F.col("id") % 10_000).write.parquet(
+        d + "/fact"
+    )
+    spark.range(0, 10_000).withColumn("grp", F.col("id") % 50).write.parquet(
+        d + "/dim"
+    )
+    keep = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in keep:
+        keep[k] = spark.conf.get(k)
+    try:
+        # thresholds sized for a test-scale fact table; on a real cluster
+        # the defaults (10GB application side) already pass at fact scale
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(d + "/fact")
+        dim = spark.read.parquet(d + "/dim").filter("grp = 7")
+        plan = explain_str(fact.join(dim, fact.k == dim.id), "simple")
+        assert "bloom_filter_agg" in plan, "runtime bloom filter must inject"
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+        # a computed-then-filtered boolean still injects: the optimizer
+        # collapses filter(flag) over flag = (grp = 7) back to the EqualTo,
+        # which IS 'likely selective' (unlike a bare stored boolean column)
+        dim2 = spark.read.parquet(d + "/dim").withColumn(
+            "flag", F.col("grp") == 7
+        ).filter("flag")
+        plan2 = explain_str(fact.join(dim2, fact.k == dim2.id), "simple")
+        assert "bloom_filter_agg" in plan2
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)

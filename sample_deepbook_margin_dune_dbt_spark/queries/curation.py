@@ -351,13 +351,22 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering as log-idf; across terms it weights rare terms more steeply
     (documented trade for bit-exactness).
 
-    Scale shape: one tokenize→explode pipeline feeds BOTH frequencies —
-    tf is the (doc_id, word) grouped count, and df is a window count over
-    the word partition of the tf rows (one row per containing doc, so the
-    partition size IS df) — no second corpus scan and no tf⋈vocabulary
-    join. Two shuffles total: (doc_id, word), then word. The final top-3
-    window sorts only each doc's own term list (bounded by the doc's
-    vocabulary). The corpus row count enters as a broadcast scalar.
+    Scale shape: tf is the (doc_id, word) grouped count; df is a grouped
+    count OVER the tf rows (one row per containing doc), map-side
+    combined so the reduce side of the hottest word ("the", df ≈ N)
+    carries partial counts, not df rows; then tf re-joins the vocabulary
+    table on word. The join is the deliberate choice over a window count
+    per word partition: both shuffle tf on word, but the hot-key
+    partition of a WINDOW must be buffered whole (df("the") rows in one
+    task — the skew cliff), while the join's fat partitions AQE
+    skew-splits across tasks because the vocabulary side is one row per
+    key. The vocabulary table is NOT broadcast: web-scale vocabularies
+    run to 10^8+ terms. Cost of the formulation: the tokenize→tf
+    pipeline feeds both join sides, so the df branch recomputes it — at
+    lake scale materialize tf once (the `corpus_features` model pattern)
+    and both branches read the one copy. The final top-3 window sorts
+    only each doc's own term list (bounded by the doc's vocabulary);
+    the corpus row count enters as a broadcast scalar.
     """
     from pyspark.sql import Window
 
@@ -371,12 +380,12 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dfreq = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("word")).cast("long")
-    )
+    vocab = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    scored = dfreq.crossJoin(F.broadcast(n_docs)).withColumn(
-        "score", F.expr("tf * ((n_docs * 1000000L) div df)")
+    scored = (
+        tf.join(vocab, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.expr("tf * ((n_docs * 1000000L) div df)"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
     return (

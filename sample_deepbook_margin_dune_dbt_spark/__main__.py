@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
             default=None,
             help="model, +model (upstream closure), model+ (downstream), or tag:x",
         )
+        p.add_argument(
+            "--exclude",
+            action="append",
+            default=None,
+            help="selector(s) to remove AFTER selection (dbt --exclude; repeatable)",
+        )
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)
@@ -86,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("ls", help="list registered models")
 
+    seed_p = sub.add_parser(
+        "seed", help="load *.csv reference data into the warehouse (dbt seed)"
+    )
+    seed_p.add_argument("--warehouse", required=True)
+    seed_p.add_argument("--schema-suffix", default="")
+    seed_p.add_argument("--seed-dir", required=True, help="directory of *.csv files")
+    seed_p.add_argument("--delimiter", default=",")
+
     docs_p = sub.add_parser(
         "docs", help="write the project manifest (dbt manifest.json analog)"
     )
@@ -110,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "show":
         # reference lifecycle entry point 3: dbt show --inline / ad-hoc SELECT
         store.sql(args.inline).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "seed":
+        runner = Runner(spark, store, {})
+        for name in runner.seed(args.seed_dir, delimiter=args.delimiter):
+            print(f"seeded {name}")
         return 0
 
     runner = Runner(
@@ -147,7 +167,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "run":
-        order = runner.run(args.select, full_refresh=args.full_refresh, threads=args.threads)
+        order = runner.run(
+            args.select,
+            full_refresh=args.full_refresh,
+            threads=args.threads,
+            exclude=args.exclude,
+        )
         for name in order:
             print(f"built {name}")
         return 0

@@ -49,15 +49,31 @@ class Runner:
 
     # ------------------------------------------------------------- selection
 
-    def _closure(self, select: str | list[str] | None) -> list[str]:
+    def _closure(
+        self,
+        select: str | list[str] | None,
+        exclude: str | list[str] | None = None,
+    ) -> list[str]:
         """Resolve dbt-style selector(s) to an execution-ordered model list.
 
         ``None`` → all models; ``'+name'`` → name plus upstream closure;
         ``'name+'`` → name plus downstream closure (everything that
         depends on it — the rebuild-after-a-fix selector); ``'tag:x'`` →
         models carrying the tag; ``'name'`` → just that model; a list
-        unions each selector's set.
+        unions each selector's set. ``exclude`` takes the same selector
+        syntax and removes its resolved set AFTER selection (dbt
+        ``--exclude``); excluding a dependency of a still-selected model
+        is allowed — the dependent reads whatever materialization the
+        excluded model last produced, exactly dbt's semantics.
         """
+        wanted = self._resolve(select)
+        if exclude is not None:
+            wanted -= self._resolve(exclude)
+        registry = all_models()
+        ts = TopologicalSorter({m: [d for d in registry[m].deps if d in wanted] for m in wanted})
+        return list(ts.static_order())
+
+    def _resolve(self, select: str | list[str] | None) -> set[str]:
         registry = all_models()
         if select is None:
             wanted = set(registry)
@@ -102,14 +118,16 @@ class Runner:
                         stack.extend(registry[m].deps)
                 else:
                     wanted.add(sel)
-
-        ts = TopologicalSorter({m: [d for d in registry[m].deps if d in wanted] for m in wanted})
-        return list(ts.static_order())
+        return wanted
 
     # ------------------------------------------------------------- execution
 
     def run(
-        self, select: str | None = None, full_refresh: bool = False, threads: int = 1
+        self,
+        select: str | None = None,
+        full_refresh: bool = False,
+        threads: int = 1,
+        exclude: str | list[str] | None = None,
     ) -> list[str]:
         """Build the selected models in dependency order; returns the order.
 
@@ -119,7 +137,7 @@ class Runner:
         complete. Spark schedules jobs from multiple threads fine; each
         model is still one job chain.
         """
-        order = self._closure(select)
+        order = self._closure(select, exclude)
         registry = all_models()
         self.last_run_results = []  # reset per invocation
         try:
@@ -130,6 +148,29 @@ class Runner:
             return self._run_threaded(order, registry, full_refresh, threads)
         finally:
             self._write_run_results(full_refresh)
+
+    def seed(self, seed_dir: str, delimiter: str = ",") -> list[str]:
+        """dbt ``seed``: load every ``*.csv`` under ``seed_dir`` into the
+        warehouse as a full-refresh table named after the file. Types are
+        inferred (dbt's agreed-value behavior for seeds); seeds are small
+        reference data by contract, so the inference pass is cheap and the
+        write is a single full create — no incremental machinery.
+        """
+        import glob as _glob
+        import os as _os
+
+        loaded = []
+        for path in sorted(_glob.glob(_os.path.join(seed_dir, "*.csv"))):
+            name = _os.path.splitext(_os.path.basename(path))[0]
+            df = (
+                self.spark.read.option("header", "true")
+                .option("inferSchema", "true")
+                .option("delimiter", delimiter)
+                .csv(path)
+            )
+            self.store.write_full(df, name)
+            loaded.append(name)
+        return loaded
 
     def _run_threaded(
         self,

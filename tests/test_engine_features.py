@@ -694,3 +694,48 @@ def test_incremental_predicates_partitioned_and_model_level(spark, tmp_path):
         model("ip_bad", incremental_strategy="append", incremental_predicates=["1=1"])(
             lambda ctx: None
         )
+
+
+def test_exclude_selector_and_seed_command(spark, tmp_path):
+    """dbt --exclude removes its resolved set after selection (the
+    dependent still runs against the excluded model's existing
+    materialization); dbt seed loads *.csv reference data as tables."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    calls = []
+
+    @model("ex_a", materialized="table")
+    def ex_a(ctx):
+        calls.append("ex_a")
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    @model("ex_b", materialized="table", deps=["ex_a"])
+    def ex_b(ctx):
+        calls.append("ex_b")
+        return ctx.ref("ex_a")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        runner.run("+ex_b")
+        assert calls == ["ex_a", "ex_b"]
+        calls.clear()
+        runner.run("+ex_b", exclude="ex_a")  # dep already materialized
+        assert calls == ["ex_b"]
+        # selection-level: excluding with a list removes both names
+        order = runner._closure(["ex_a", "ex_b"], exclude=["ex_a", "ex_b"])
+        assert order == []
+    finally:
+        _REGISTRY.pop("ex_a", None)
+        _REGISTRY.pop("ex_b", None)
+
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    (seed_dir / "coin_meta.csv").write_text(
+        "coin,decimals,active\nSUI,9,true\nUSDC,6,true\n"
+    )
+    store = TableStore(spark, str(tmp_path / "wh2"))
+    runner = Runner(spark, store, {})
+    assert runner.seed(str(seed_dir)) == ["coin_meta"]
+    rows = {r["coin"]: (r["decimals"], r["active"]) for r in store.read("coin_meta").collect()}
+    assert rows == {"SUI": (9, True), "USDC": (6, True)}  # types inferred

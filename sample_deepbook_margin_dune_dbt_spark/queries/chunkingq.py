@@ -122,8 +122,23 @@ SELECT doc_id, chunk_index,
 FROM ex
 """
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 BPE merge rules learned from the documents' word
+    histogram (``operators/bpe.py``). Iterative argmax-merge — not
+    SQL-expressible, so no oracle; correctness is pinned by equivalence
+    with a pure-Python reference implementation in
+    ``tests/test_bpe.py``, and the output is fully deterministic
+    (count-desc, pair-asc tie-break)."""
+    from ..operators import bpe as B
+
+    hist = B.word_histogram(load(spark, sf_dir, "documents"))
+    rules, _ = B.learn_bpe(hist, n_merges=20)
+    return B.bpe_merge_table(spark, rules)
+
+
 CHUNKING_QUERIES = {
     "chunk_token_windows": (q_chunk_windows, _SQL_CHUNKS),
     "chunk_pack_sequences": (q_pack_sequences, _pack_sql()),
     "chunk_content_defined": (q_chunk_content_defined, _SQL_CDC),
+    "corpus_bpe_merges": (q_bpe_merges, None),
 }

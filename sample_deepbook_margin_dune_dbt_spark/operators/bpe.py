@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-__all__ = ["word_histogram", "learn_bpe", "bpe_merge_table"]
+__all__ = ["word_histogram", "learn_bpe", "bpe_merge_table", "bpe_encode"]
 
 END_OF_WORD = "</w>"
 
@@ -143,3 +143,49 @@ def bpe_merge_table(spark, rules: list[Row]) -> DataFrame:
         [(r["rank"], r["left"], r["right"], r["merged"], r["pair_freq"]) for r in rules],
         schema,
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    rules: list[Row],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned merge rules to tokenize text — the ENCODE side of
+    the tokenizer (what the chunk/pack operators consume as real token
+    counts). Standard greedy application: per word, repeatedly merge the
+    present pair with the LOWEST merge rank until none applies — exactly
+    how BPE tokenizers apply their merges file at inference.
+
+    One Arrow-batched narrow map over the corpus; the rule table rides
+    along as a closure constant (vocab-sized merges lists are broadcast
+    with the serialized udf — for 10⁵⁺ rules ship them via
+    ``spark.sparkContext.broadcast`` instead). Zero shuffles.
+    """
+    rank_of = {(r["left"], r["right"]): r["rank"] for r in rules}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        def enc_word(word: str) -> list[str]:
+            syms = list(word) + [END_OF_WORD]
+            while len(syms) >= 2:
+                best_i, best_rank = -1, None
+                for i in range(len(syms) - 1):
+                    rk = rank_of.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best_rank is None or rk < best_rank):
+                        best_i, best_rank = i, rk
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        def enc_text(t: str) -> list[str]:
+            out: list[str] = []
+            for w in t.strip().lower().split(" "):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return texts.map(enc_text)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))

@@ -102,3 +102,25 @@ def test_histogram_is_single_scan_partial_agg(spark, sf_dir):
     )
     assert "partial_count" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_encode_reproduces_training_state(spark, hist_df):
+    """The ENCODE side (greedy lowest-rank merge application) must
+    reproduce the training loop's final symbol sequences on the training
+    words — the classical BPE round-trip invariant."""
+    rules, seqs = B.learn_bpe(hist_df, 15)
+    want = {r["word"]: list(r["syms"]) for r in seqs.collect()}
+
+    words = hist_df.select(F.col("word").alias("text"))
+    enc = B.bpe_encode(words, "text", rules)
+    got = {r["text"]: list(r["bpe_tokens"]) for r in enc.collect()}
+    assert got == want
+
+
+def test_encode_is_narrow_map(spark, sf_dir):
+    from sample_deepbook_margin_dune_dbt_spark.plans import explain_str
+
+    docs = load(spark, sf_dir, "documents")
+    rules, _ = B.learn_bpe(B.word_histogram(docs).limit(50), 3)
+    plan = explain_str(B.bpe_encode(docs, "text", rules), "simple")
+    assert "Exchange" not in plan, "encode must not shuffle"

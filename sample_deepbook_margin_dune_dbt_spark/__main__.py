@@ -79,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
     test_p = sub.add_parser("test", help="run declared not_null assertions")
     add_common(test_p)
 
+    build_p = sub.add_parser(
+        "build", help="run models in DAG order, gating downstream on each model's tests"
+    )
+    add_common(build_p)
+    build_p.add_argument("--full-refresh", action="store_true")
+
     compile_p = sub.add_parser(
         "compile", help="resolve a model's plan without materializing (dbt compile)"
     )
@@ -175,6 +181,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         for name in order:
             print(f"built {name}")
+        return 0
+
+    if args.cmd == "build":
+        order = runner.build(
+            args.select, full_refresh=args.full_refresh, exclude=args.exclude
+        )
+        for name in order:
+            print(f"built+tested {name}")
         return 0
 
     failures = runner.test(args.select)

@@ -350,6 +350,44 @@ class Runner:
             json.dump(self.manifest(select), f, indent=1, default=str)
         return path
 
+    def build(
+        self,
+        select: str | None = None,
+        full_refresh: bool = False,
+        exclude: str | list[str] | None = None,
+    ) -> list[str]:
+        """dbt ``build``: run each selected model in DAG order and gate
+        its DOWNSTREAM on its data tests — a model's test failure stops
+        the walk before dependents consume bad data (the semantic
+        difference from ``run`` + ``test``, which tests only after
+        everything built). Returns the build order; raises on the first
+        test failure, with the failing checks in the message.
+        """
+        order = self._closure(select, exclude)
+        registry = all_models()
+        self.last_run_results = []
+        try:
+            for name in order:
+                self._run_one(registry[name], full_refresh)
+                failures = self.test(name)
+                if failures:
+                    self.last_run_results.append(
+                        {
+                            "model": name,
+                            "status": "test_failed",
+                            "error": str(failures)[:500],
+                            "execution_time_s": 0.0,
+                            "strategy": registry[name].incremental_strategy,
+                            "materialized": registry[name].materialized,
+                        }
+                    )
+                    raise RuntimeError(
+                        f"build stopped: tests failed on {name!r}: {failures}"
+                    )
+        finally:
+            self._write_run_results(full_refresh)
+        return order
+
     def test(self, select: str | list[str] | None = None) -> dict[str, int]:
         """Run declared data tests (``dbt test``; SURVEY §5 item 1 + the
         standard dbt generic-test set).

@@ -739,3 +739,39 @@ def test_exclude_selector_and_seed_command(spark, tmp_path):
     assert runner.seed(str(seed_dir)) == ["coin_meta"]
     rows = {r["coin"]: (r["decimals"], r["active"]) for r in store.read("coin_meta").collect()}
     assert rows == {"SUI": (9, True), "USDC": (6, True)}  # types inferred
+
+
+def test_build_gates_downstream_on_tests(spark, tmp_path):
+    """dbt build: a model whose data tests fail stops the DAG walk before
+    its dependents run — the semantic difference from run-then-test."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    calls = []
+    rows = {"a": [(1,), (None,)]}  # NULL violates not_null
+
+    @model("b_a", materialized="table", not_null=["id"])
+    def b_a(ctx):
+        calls.append("b_a")
+        return ctx.spark.createDataFrame(rows["a"], "id long")
+
+    @model("b_b", materialized="table", deps=["b_a"])
+    def b_b(ctx):
+        calls.append("b_b")
+        return ctx.ref("b_a")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        with pytest.raises(RuntimeError, match="tests failed on 'b_a'"):
+            runner.build("+b_b")
+        assert calls == ["b_a"], "downstream must not build after a test failure"
+        statuses = {r["model"]: r["status"] for r in runner.last_run_results}
+        assert statuses["b_a"] == "test_failed" or "b_a" in statuses
+
+        calls.clear()
+        rows["a"] = [(1,), (2,)]
+        assert runner.build("+b_b") == ["b_a", "b_b"]
+        assert calls == ["b_a", "b_b"]
+    finally:
+        _REGISTRY.pop("b_a", None)
+        _REGISTRY.pop("b_b", None)

@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
 
     test_p = sub.add_parser("test", help="run declared not_null assertions")
     add_common(test_p)
+    test_p.add_argument(
+        "--store-failures",
+        action="store_true",
+        help="materialize each failing test's offending rows to a "
+        "_test_failures__<model>__<test> audit table (dbt store_failures)",
+    )
 
     build_p = sub.add_parser(
         "build", help="run models in DAG order, gating downstream on each model's tests"
@@ -191,7 +197,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"built+tested {name}")
         return 0
 
-    failures = runner.test(args.select)
+    failures = runner.test(
+        args.select, store_failures=getattr(args, "store_failures", False)
+    )
     if failures:
         for col, n in failures.items():
             print(f"FAIL not_null {col}: {n} nulls", file=sys.stderr)

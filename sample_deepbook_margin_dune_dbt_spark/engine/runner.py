@@ -388,13 +388,28 @@ class Runner:
             self._write_run_results(full_refresh)
         return order
 
-    def test(self, select: str | list[str] | None = None) -> dict[str, int]:
+    def test(
+        self,
+        select: str | list[str] | None = None,
+        store_failures: bool = False,
+    ) -> dict[str, int]:
         """Run declared data tests (``dbt test``; SURVEY §5 item 1 + the
         standard dbt generic-test set).
 
         Returns {model.test_description: offending_row_count}, failures only.
+        ``store_failures`` (dbt config of the same name) additionally
+        materializes each failing test's OFFENDING ROWS to an audit table
+        ``_test_failures__<model>__<test>`` in the warehouse, so a failure
+        is debuggable from storage instead of re-querying — rewritten per
+        test run (dbt's semantics).
         """
         from pyspark.sql import functions as F
+
+        def _store(bad_df, model: str, test_id: str) -> None:
+            if store_failures:
+                self.store.write_full(
+                    bad_df, f"_test_failures__{model}__{test_id}"
+                )
 
         failures: dict[str, int] = {}
         for name in self._closure(select):
@@ -416,16 +431,25 @@ class Runner:
                 for c in cfg.not_null:
                     if row[c] and row[c] > 0:
                         failures[f"{name}.{c}"] = int(row[c])
+                        _store(df.filter(F.col(c).isNull()), name, f"not_null_{c}")
 
             for c in cfg.unique:
-                dup = df.groupBy(c).count().filter(F.col("count") > 1).count()
+                dup_keys = df.groupBy(c).count().filter(F.col("count") > 1)
+                dup = dup_keys.count()
                 if dup:
                     failures[f"{name}.unique:{c}"] = int(dup)
+                    _store(
+                        df.join(dup_keys.select(c), on=c, how="left_semi"),
+                        name,
+                        f"unique_{c}",
+                    )
 
             for c, allowed in cfg.accepted_values.items():
-                bad = df.filter(~F.col(c).isin(allowed) & F.col(c).isNotNull()).count()
+                bad_rows = df.filter(~F.col(c).isin(allowed) & F.col(c).isNotNull())
+                bad = bad_rows.count()
                 if bad:
                     failures[f"{name}.accepted_values:{c}"] = int(bad)
+                    _store(bad_rows, name, f"accepted_values_{c}")
 
             for c, other_model, other_col in cfg.relationships:
                 if not self.store.exists(other_model):
@@ -434,11 +458,13 @@ class Runner:
                 other = self.store.read(other_model).select(
                     F.col(other_col).alias(c)
                 ).distinct()
-                orphans = (
-                    df.filter(F.col(c).isNotNull())
-                    .join(other, on=c, how="left_anti")
-                    .count()
+                orphan_rows = df.filter(F.col(c).isNotNull()).join(
+                    other, on=c, how="left_anti"
                 )
+                orphans = orphan_rows.count()
                 if orphans:
                     failures[f"{name}.relationships:{c}->{other_model}.{other_col}"] = int(orphans)
+                    _store(
+                        orphan_rows, name, f"relationships_{c}__{other_model}"
+                    )
         return failures

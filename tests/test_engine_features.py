@@ -775,3 +775,47 @@ def test_build_gates_downstream_on_tests(spark, tmp_path):
     finally:
         _REGISTRY.pop("b_a", None)
         _REGISTRY.pop("b_b", None)
+
+
+def test_store_failures_materializes_offending_rows(spark, tmp_path):
+    """dbt store_failures: each failing test writes its offending rows to
+    a `_test_failures__<model>__<test>` audit table."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    @model(
+        "sf_model",
+        materialized="table",
+        not_null=["v"],
+        unique=["id"],
+        accepted_values={"cat": ["a", "b"]},
+    )
+    def sf_model(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, None, "a"), (1, 2.0, "z"), (3, 4.0, "b")],
+            "id long, v double, cat string",
+        )
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        runner.run("sf_model")
+        failures = runner.test("sf_model", store_failures=True)
+        assert failures == {
+            "sf_model.v": 1,
+            "sf_model.unique:id": 1,
+            "sf_model.accepted_values:cat": 1,
+        }
+        nulls = store.read("_test_failures__sf_model__not_null_v").collect()
+        assert [r["id"] for r in nulls] == [1]
+        dups = store.read("_test_failures__sf_model__unique_id").collect()
+        assert sorted(r["id"] for r in dups) == [1, 1]
+        bad_cat = store.read("_test_failures__sf_model__accepted_values_cat").collect()
+        assert [r["cat"] for r in bad_cat] == ["z"]
+        # default path writes nothing
+        store2 = TableStore(spark, str(tmp_path / "wh2"))
+        runner2 = Runner(spark, store2, {})
+        runner2.run("sf_model")
+        runner2.test("sf_model")
+        assert not store2.exists("_test_failures__sf_model__not_null_v")
+    finally:
+        _REGISTRY.pop("sf_model", None)

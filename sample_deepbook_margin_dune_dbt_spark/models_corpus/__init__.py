@@ -27,4 +27,6 @@ ALL_MODELS = [
     "corpus_index_centroids",
     "corpus_embedding_index",
     "corpus_refresh_audit",
+    "corpus_bpe_rules",
+    "corpus_tokenized_documents",
 ]

@@ -400,3 +400,75 @@ def corpus_refresh_audit(ctx: ModelContext) -> DataFrame:
         "doc_id", F.col("fingerprint").cast("string").alias("old_fp")
     )
     return snapshot_diff_summary(snapshot_diff_fingerprints(feats, src, "doc_id"))
+
+
+@model(
+    "corpus_bpe_rules",
+    unique_key=["rank"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["rank", "merged"],
+    contract={
+        "rank": "bigint",
+        "left": "string",
+        "right": "string",
+        "merged": "string",
+        "pair_freq": "bigint",
+    },
+)
+def corpus_bpe_rules(ctx: ModelContext) -> DataFrame:
+    """Frozen tokenizer: BPE merge rules trained ONCE (same train-once
+    discipline as ``corpus_index_centroids`` — a tokenizer's vocabulary
+    must stay stable while documents keep arriving, or every incremental
+    batch's token ids/counts would disagree with the last; retraining is
+    an explicit --full-refresh). First run learns the rules from the
+    corpus word histogram (one corpus scan, then vocab-sized iterations —
+    ``operators/bpe.py``); later runs return zero rows so the MERGE
+    leaves the table untouched. Doubles as the model-contract exhibit:
+    the rule schema is contracted, so a drifted trainer fails before
+    materializing.
+    """
+    from ..operators import bpe as B
+
+    schema = "rank long, left string, right string, merged string, pair_freq long"
+    if ctx.is_incremental():
+        return ctx.spark.createDataFrame([], schema)
+    docs = ctx.source("main", "documents")
+    rules, _ = B.learn_bpe(B.word_histogram(docs), n_merges=32)
+    return B.bpe_merge_table(ctx.spark, rules)
+
+
+@model(
+    "corpus_tokenized_documents",
+    unique_key=["doc_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_bpe_rules"],
+    tags=["corpus"],
+    not_null=["doc_id", "n_bpe_tokens"],
+)
+def corpus_tokenized_documents(ctx: ModelContext) -> DataFrame:
+    """Per-document BPE tokenization under the FROZEN rule table:
+    (doc_id, n_bpe_tokens, tokens_md5). Incremental on the doc_id
+    watermark; because the rules are frozen, rows tokenized in different
+    runs are mutually consistent (the property the train-once model
+    exists to guarantee). The encode is a zero-shuffle Arrow narrow map;
+    the bounded rule table (n_merges rows) is collected once and shipped
+    in the udf closure.
+    """
+    from ..operators import bpe as B
+
+    rules = ctx.ref("corpus_bpe_rules").orderBy("rank").collect()
+    docs = ctx.source("main", "documents")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        docs = docs.filter(F.col("doc_id") > wm)
+    enc = B.bpe_encode(docs, "text", rules)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("", F.col("bpe_tokens"))).alias("tokens_md5"),
+        ctx.now().alias("updated_at"),
+    )

@@ -404,3 +404,50 @@ def test_runtime_bloom_filter_prefilters_shuffle_join(spark, tmp_path):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """AQE's skew-join handling (the runtime half of the skew story —
+    `operators/skew.py` salting is the plan-time half): a sort-merge
+    join whose shuffle puts ~90% of fact rows in one partition is
+    re-planned mid-query with that partition split across tasks
+    (`skew=true` in the final adaptive plan). Pinned so a conf or
+    engine-default change that silently disables it is caught —
+    at 100 TB this is the difference between one straggler task
+    holding a 9-TB partition and N parallel splits.
+    """
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.adaptive.coalescePartitions.enabled": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in keys:
+        keys[k] = spark.conf.get(k)
+    try:
+        # thresholds scaled down so the MB-scale test fact qualifies as
+        # skewed; production keeps the defaults (256MB advisory)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        fact = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("d"))
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 500_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE must split the hot partition"
+    finally:
+        for k, v in keys.items():
+            spark.conf.set(k, v)

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "w_gap_fill_locf",
     "corpus_zorder_stats",
     "corpus_length_histogram",
+    "events_outlier_zscore",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -67,7 +67,96 @@ GROUP BY 1
 """
 
 
+def q_events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ outlier screen in EXACT integer arithmetic — the
+    anomaly gate of data profiling, cross-engine bit-exact where the
+    textbook ``abs(x - mean) > 3*stddev`` (two float divisions and a
+    sqrt) could flip rows at the boundary between engines.
+
+    The float-free trick: with cents ``c`` (exact integers via the
+    DECIMAL(12,2) grid), mean = S1/n and var = (n·S2 − S1²)/n², so
+
+        (c − mean)² > 9·var   ⟺   (n·c − S1)² > 9·(n·S2 − S1²)
+
+    (multiply both sides by n² — the n² on the left lands on (c − mean)²
+    and the n² on the right cancels var's denominator)
+
+    — both sides integer products (DECIMAL(38,0) in Spark, HUGEINT in
+    DuckDB; the squared left side overflows int64, hence the wide
+    types). Scale shape: the per-group stats table (≤ n_types rows)
+    broadcasts back onto the rows — the join-the-tiny-aggregate idiom,
+    not a per-group window (which would buffer hot groups whole) — then
+    one grouped count. Two shuffles on event_type, both map-side
+    combined.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(38,0)").alias("c"),
+    )
+    # the testdata's values are uniform (no 3σ tail at all — verified at
+    # sf0.01), so the screen would be vacuously all-zero; plant extreme
+    # rows identically on both engines (same non-vacuity pattern as the
+    # planted-PII/dup-line curation queries)
+    planted = spark.createDataFrame(
+        [("purchase", 10_000_000), ("click", 25_000_000)],
+        "event_type string, c_raw long",
+    ).select("event_type", F.col("c_raw").cast("decimal(38,0)").alias("c"))
+    ev = ev.unionByName(planted)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "is_outlier",
+            (F.col("n") * F.col("c") - F.col("s1"))
+            * (F.col("n") * F.col("c") - F.col("s1"))
+            > F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.max(F.when(F.col("is_outlier"), F.col("c"))).cast("long").alias("max_outlier_cents"),
+    )
+
+
+SQL_OUTLIER_ZSCORE = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c
+    FROM events
+    UNION ALL
+    SELECT * FROM (VALUES ('purchase', CAST(10000000 AS HUGEINT)),
+                          ('click',    CAST(25000000 AS HUGEINT))) v(event_type, c)
+),
+stats AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(c) AS HUGEINT) AS s1,
+           CAST(sum(c * c) AS HUGEINT) AS s2
+    FROM ev GROUP BY 1
+),
+flagged AS (
+    SELECT ev.event_type, ev.c,
+           (n * c - s1) * (n * c - s1) > 9 * (n * s2 - s1 * s1) AS is_outlier
+    FROM ev JOIN stats USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(max(CASE WHEN is_outlier THEN c END) AS BIGINT) AS max_outlier_cents
+FROM flagged
+GROUP BY 1
+"""
+
+
 PROFILE_QUERIES = {
     "corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
     "corpus_length_histogram": (q_corpus_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "events_outlier_zscore": (q_events_outlier_zscore, SQL_OUTLIER_ZSCORE),
 }

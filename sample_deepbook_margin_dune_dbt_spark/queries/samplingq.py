@@ -96,8 +96,60 @@ FROM (
 WHERE wrn <= 10
 """
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split variate is keyed on
+    the CONTENT fingerprint, not the row id, so every copy of a
+    duplicated document lands in the same split — a doc_id-keyed split
+    would scatter near-identical training text into the eval sets (the
+    classic train/test contamination channel). Planted duplicate docs
+    (same non-vacuity pattern as the curation queries) make the
+    co-assignment observable: ``n_docs > n_contents`` in whichever
+    splits received a duplicated text, never a fingerprint straddling
+    two splits (pinned in ``tests/test_sampling.py``).
+
+    Scale shape: md5 + split assignment are a narrow map; the census is
+    one grouped count. Fingerprint-keyed splitting needs no dedup pass
+    first — the hash of equal content is equal, period.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    keyed = docs.unionByName(dups).withColumn("fp", F.md5("text"))
+    split = SM.train_val_test_split(
+        keyed, "fp", val_fraction=0.1, test_fraction=0.1
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_contents"),
+    )
+
+
+_U_FP = SM.sql_hash_uniform("fp", salt="split")
+_SQL_LEAKAGE_SAFE = f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+),
+keyed AS (SELECT doc_id, md5(text) AS fp FROM base),
+s AS (
+    SELECT doc_id, fp,
+           CASE WHEN {_U_FP} < 0.1 THEN 'test'
+                WHEN {_U_FP} < 0.2 THEN 'val'
+                ELSE 'train' END AS split
+    FROM keyed
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_contents
+FROM s
+GROUP BY 1
+"""
+
+
 SAMPLING_QUERIES = {
     "sample_hash_bernoulli": (q_hash_bernoulli, _SQL_BERNOULLI),
+    "sample_split_leakage_safe": (q_split_leakage_safe, _SQL_LEAKAGE_SAFE),
     "sample_train_val_test": (q_train_val_test, _SQL_TVT),
     "sample_stratified_quota": (q_stratified_quota, _SQL_QUOTA),
     "sample_weighted": (q_weighted_sample, _SQL_WEIGHTED),

@@ -76,3 +76,39 @@ def test_sampling_is_map_only(spark, docs):
     plan = explain_str(SM.hash_sample(docs, "doc_id", 0.5), "formatted")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fingerprint_split_never_straddles(spark, sf_dir):
+    """Leakage-safe split invariant: a content fingerprint appears in
+    exactly ONE split, however many doc ids carry it (the property the
+    fingerprint keying exists for — a doc_id-keyed split scatters the
+    planted duplicates across splits)."""
+    from pyspark.sql import functions as F
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import sampling as SM
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    keyed = docs.unionByName(dups).withColumn("fp", F.md5("text"))
+
+    by_fp = SM.train_val_test_split(keyed, "fp", 0.1, 0.1)
+    straddle = (
+        by_fp.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+    # the contrast: id-keyed splitting DOES scatter duplicated content
+    by_id = SM.train_val_test_split(keyed, "doc_id", 0.1, 0.1)
+    scattered = (
+        by_id.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert scattered > 0, "planted dups must expose the id-keyed leakage"

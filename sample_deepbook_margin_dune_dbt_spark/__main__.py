@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
             default=None,
             help="selector(s) to remove AFTER selection (dbt --exclude; repeatable)",
         )
+        p.add_argument(
+            "--vars",
+            action="append",
+            default=[],
+            help="project variable key=value for ctx.var() (dbt --vars; repeatable)",
+        )
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)
@@ -104,6 +110,20 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("ls", help="list registered models")
 
+    fresh_p = sub.add_parser(
+        "source-freshness",
+        help="grade each source's newest-row age (dbt source freshness)",
+    )
+    fresh_p.add_argument("--warehouse", required=True)
+    fresh_p.add_argument("--schema-suffix", default="")
+    fresh_p.add_argument("--source", action="append", default=[], help="db.table=path")
+    fresh_p.add_argument(
+        "--freshness",
+        action="append",
+        required=True,
+        help="db.table=loaded_at_col:warn_after_s:error_after_s (repeatable)",
+    )
+
     seed_p = sub.add_parser(
         "seed", help="load *.csv reference data into the warehouse (dbt seed)"
     )
@@ -138,6 +158,24 @@ def main(argv: list[str] | None = None) -> int:
         store.sql(args.inline).show(args.limit, truncate=False)
         return 0
 
+    if args.cmd == "source-freshness":
+        runner = Runner(spark, store, _parse_sources(args.source))
+        spec = {}
+        for f in args.freshness:
+            key, rest = f.split("=", 1)
+            col, warn_s, err_s = rest.split(":")
+            spec[key] = {
+                "loaded_at_field": col,
+                "warn_after_s": int(warn_s),
+                "error_after_s": int(err_s),
+            }
+        results = runner.source_freshness(spec)
+        worst = 0
+        for key, r in results.items():
+            print(f"{key}: {r['status']} (age_s={r['age_s']}, max={r['max_loaded_at']})")
+            worst = max(worst, {"pass": 0, "warn": 1, "error": 2}[r["status"]])
+        return 0 if worst < 2 else 1
+
     if args.cmd == "seed":
         runner = Runner(spark, store, {})
         for name in runner.seed(args.seed_dir, delimiter=args.delimiter):
@@ -152,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         lookback_days=args.lookback_days,
         profile=args.profile,
         lag_widen_days=args.lag_widen_days,
+        vars=dict(v.split("=", 1) for v in getattr(args, "vars", [])),
     )
 
     if args.cmd == "compile":

@@ -224,6 +224,7 @@ class ModelContext:
         backfill_days: int = 30,
         lookback_days: int = 7,
         lag_widen_days: int = 0,
+        vars: dict[str, object] | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -231,6 +232,7 @@ class ModelContext:
         self.current = current
         self.full_refresh = full_refresh
         self.fixed_now = fixed_now
+        self._vars = dict(vars or {})
         # reference time-bounding knobs (BASELINE.md): 30-day first-run
         # backfill, 7-day late-data lookback
         self.backfill_days = backfill_days
@@ -266,6 +268,11 @@ class ModelContext:
                 f"model {self.current.name!r} refs {name!r} but does not declare it in deps"
             )
         return self.store.read(name)
+
+    def var(self, name: str, default=None):
+        """dbt ``var()``: project-level variable with an optional default
+        (``Runner(vars={...})`` / CLI ``--vars k=v``)."""
+        return self._vars.get(name, default)
 
     def is_incremental(self) -> bool:
         return (not self.full_refresh) and self.store.exists(self.current.name)

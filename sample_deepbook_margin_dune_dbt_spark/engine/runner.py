@@ -34,6 +34,7 @@ class Runner:
         profile: str = "dev",
         vacuum_retain_hours: int = 168,  # the reference's '7d'
         lag_widen_days: int = 0,
+        vars: dict[str, object] | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -44,6 +45,9 @@ class Runner:
         self.profile = profile
         self.vacuum_retain_hours = vacuum_retain_hours
         self.lag_widen_days = lag_widen_days
+        #: dbt --vars: project-level variables handed to builders via
+        #: ctx.var(name, default)
+        self.vars = dict(vars or {})
         #: per-model outcomes of the most recent run() (see _run_one)
         self.last_run_results: list[dict] = []
 
@@ -172,6 +176,52 @@ class Runner:
             loaded.append(name)
         return loaded
 
+    def source_freshness(
+        self, freshness: dict[str, dict]
+    ) -> dict[str, dict]:
+        """dbt ``source freshness``: age of each source's newest row vs
+        warn/error thresholds.
+
+        ``freshness`` maps ``"db.table"`` → ``{"loaded_at_field": col,
+        "warn_after_s": n, "error_after_s": n}``. Returns per-source
+        ``{"max_loaded_at", "age_s", "status"}`` with status
+        pass/warn/error (error also when the source is empty — an empty
+        feed is the stalest possible feed). The probe is one scalar MAX
+        per source — footer-level stats make it cheap on huge tables
+        (same shape as the incremental watermark). The clock is the
+        runner's injectable ``fixed_now`` so tests are deterministic.
+        """
+        from datetime import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        probe_cfg = ModelConfig(name="_freshness_probe", builder=lambda ctx: None)
+        ctx = ModelContext(
+            self.spark, self.store, self.sources, probe_cfg, fixed_now=self.fixed_now
+        )
+        now = self.fixed_now or _dt.utcnow()  # naive UTC, matching session tz
+        out: dict[str, dict] = {}
+        for key, cfg in freshness.items():
+            db, table = key.split(".", 1)
+            src = ctx.source(db, table)
+            mx = src.agg(F.max(cfg["loaded_at_field"]).alias("m")).first()["m"]
+            if mx is None:
+                out[key] = {"max_loaded_at": None, "age_s": None, "status": "error"}
+                continue
+            age = (now - mx).total_seconds()
+            if age > cfg["error_after_s"]:
+                status = "error"
+            elif age > cfg["warn_after_s"]:
+                status = "warn"
+            else:
+                status = "pass"
+            out[key] = {
+                "max_loaded_at": mx.isoformat(),
+                "age_s": round(age, 3),
+                "status": status,
+            }
+        return out
+
     def _run_threaded(
         self,
         order: list[str],
@@ -266,6 +316,7 @@ class Runner:
             backfill_days=self.backfill_days,
             lookback_days=self.lookback_days,
             lag_widen_days=self.lag_widen_days,
+            vars=self.vars,
         )
         if full_refresh:
             self.store.drop(cfg.name)

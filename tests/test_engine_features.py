@@ -819,3 +819,47 @@ def test_store_failures_materializes_offending_rows(spark, tmp_path):
         assert not store2.exists("_test_failures__sf_model__not_null_v")
     finally:
         _REGISTRY.pop("sf_model", None)
+
+
+def test_vars_and_source_freshness(spark, sf_dir, tmp_path):
+    """ctx.var() resolves Runner(vars=...) with defaults; source
+    freshness grades each source's newest-row age pass/warn/error
+    against the injectable clock."""
+    import datetime as dtm
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+    from sample_deepbook_margin_dune_dbt_spark.sources import (
+        testdata_sources as tds,
+    )
+
+    seen = {}
+
+    @model("v_model", materialized="table")
+    def v_model(ctx):
+        seen["thr"] = ctx.var("threshold", 5)
+        seen["missing"] = ctx.var("nope", "fallback")
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {}, vars={"threshold": 9})
+        runner.run("v_model")
+        assert seen == {"thr": 9, "missing": "fallback"}
+    finally:
+        _REGISTRY.pop("v_model", None)
+
+    sources = tds(sf_dir)
+    import pyarrow.parquet as pq
+
+    max_ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"].to_pandas().max()
+    base = max_ts.to_pydatetime().replace(tzinfo=None)
+
+    def grade(now):
+        r = Runner(spark, store, sources, fixed_now=now)
+        return r.source_freshness(
+            {"main.events": {"loaded_at_field": "ts", "warn_after_s": 3600, "error_after_s": 86400}}
+        )["main.events"]["status"]
+
+    assert grade(base + dtm.timedelta(seconds=60)) == "pass"
+    assert grade(base + dtm.timedelta(hours=2)) == "warn"
+    assert grade(base + dtm.timedelta(days=2)) == "error"

@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
             default=[],
             help="project variable key=value for ctx.var() (dbt --vars; repeatable)",
         )
+        p.add_argument(
+            "--state",
+            default=None,
+            help="path to a prior manifest.json enabling --select state:modified",
+        )
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)
@@ -191,6 +196,7 @@ def main(argv: list[str] | None = None) -> int:
         profile=args.profile,
         lag_widen_days=args.lag_widen_days,
         vars=dict(v.split("=", 1) for v in getattr(args, "vars", [])),
+        state=getattr(args, "state", None),
     )
 
     if args.cmd == "compile":

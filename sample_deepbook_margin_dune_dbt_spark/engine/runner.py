@@ -35,6 +35,7 @@ class Runner:
         vacuum_retain_hours: int = 168,  # the reference's '7d'
         lag_widen_days: int = 0,
         vars: dict[str, object] | None = None,
+        state: Optional[str] = None,
     ):
         self.spark = spark
         self.store = store
@@ -48,6 +49,8 @@ class Runner:
         #: dbt --vars: project-level variables handed to builders via
         #: ctx.var(name, default)
         self.vars = dict(vars or {})
+        #: dbt --state: path to a prior manifest.json for state:modified
+        self.state = state
         #: per-model outcomes of the most recent run() (see _run_one)
         self.last_run_results: list[dict] = []
 
@@ -90,7 +93,9 @@ class Runner:
             selectors = [select] if isinstance(select, str) else list(select)
             wanted = set()
             for sel in selectors:
-                if sel.startswith("tag:"):
+                if sel == "state:modified":
+                    wanted |= self._modified_models()
+                elif sel.startswith("tag:"):
                     tagged = {m for m, c in registry.items() if sel[4:] in c.tags}
                     if not tagged:
                         raise KeyError(f"no models carry {sel!r}")
@@ -123,6 +128,26 @@ class Runner:
                 else:
                     wanted.add(sel)
         return wanted
+
+    def _modified_models(self) -> set[str]:
+        """dbt ``state:modified`` (CI's build-only-what-changed selector):
+        models that are NEW or whose manifest entry differs from the
+        ``--state`` manifest — builder source hash included, so editing a
+        builder body selects it even with identical config (the analog
+        of dbt hashing compiled SQL). Requires ``Runner(state=...)``.
+        """
+        import json
+
+        if not self.state:
+            raise ValueError("state:modified requires Runner(state=<old manifest.json>)")
+        with open(self.state) as f:
+            old = json.load(f).get("models", {})
+        current = self.manifest()["models"]
+        return {
+            name
+            for name, entry in current.items()
+            if name not in old or old[name] != entry
+        }
 
     # ------------------------------------------------------------- execution
 
@@ -363,11 +388,22 @@ class Runner:
         selected model's declared config and DAG edges, as plain data —
         what docs generators, lineage tools, and CI diff checks consume.
         Driver-side metadata only; no Spark job runs."""
+        import hashlib
+        import inspect
+
         registry = all_models()
         models = {}
         for name in self._closure(select):
             cfg = registry[name]
+            try:
+                src = inspect.getsource(cfg.builder)
+            except (OSError, TypeError):  # builtins/lambdas without source
+                src = repr(cfg.builder)
             models[name] = {
+                # the state:modified fingerprint: a model counts as
+                # modified when its BUILDER SOURCE changes (the analog of
+                # dbt hashing the compiled SQL) or any declared config does
+                "builder_sha": hashlib.md5(src.encode()).hexdigest(),
                 "materialized": cfg.materialized,
                 "incremental_strategy": cfg.incremental_strategy,
                 "on_schema_change": cfg.on_schema_change,

@@ -863,3 +863,47 @@ def test_vars_and_source_freshness(spark, sf_dir, tmp_path):
     assert grade(base + dtm.timedelta(seconds=60)) == "pass"
     assert grade(base + dtm.timedelta(hours=2)) == "warn"
     assert grade(base + dtm.timedelta(days=2)) == "error"
+
+
+def test_state_modified_selector(spark, tmp_path):
+    """dbt state:modified against a saved manifest: unchanged project
+    selects nothing; a config change or builder-body change selects that
+    model (builder source is part of the fingerprint)."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    def reg(tag):
+        @model("sm_a", materialized="table", tags=[tag])
+        def sm_a(ctx):
+            return ctx.spark.createDataFrame([(1,)], "id long")
+
+    def reg_b(body_marker):
+        if body_marker == 1:
+            @model("sm_b", materialized="table")
+            def sm_b(ctx):
+                return ctx.spark.createDataFrame([(1,)], "id long")
+        else:
+            @model("sm_b", materialized="table")
+            def sm_b(ctx):
+                return ctx.spark.createDataFrame([(2,)], "id long")
+
+    reg("t1")
+    reg_b(1)
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        state_path = runner.write_manifest(["sm_a", "sm_b"])
+
+        fresh = Runner(spark, store, {}, state=state_path)
+        assert fresh._modified_models() & {"sm_a", "sm_b"} == set()
+
+        reg("t2")      # config change
+        reg_b(2)       # builder-body change, config identical
+        assert {"sm_a", "sm_b"} <= Runner(
+            spark, store, {}, state=state_path
+        )._modified_models()
+
+        with pytest.raises(ValueError, match="state:modified requires"):
+            Runner(spark, store, {})._modified_models()
+    finally:
+        _REGISTRY.pop("sm_a", None)
+        _REGISTRY.pop("sm_b", None)

@@ -364,6 +364,7 @@ class TableStore:
         name: str,
         target_files: int | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """File compaction (reference prod post-hook ``optimize_table.sql:1-6``,
         gated to the prod target there and to the Runner's prod profile here).
@@ -382,13 +383,29 @@ class TableStore:
         prune whole files/row-groups on ``col BETWEEN``-style scans — the
         data-skipping layer that matters most at 100 TB. Partitioned
         tables keep their partition layout and sort within it.
+
+        ``zorder_by`` (exactly two non-negative integer columns) is the
+        multi-dimensional variant — Delta's ``OPTIMIZE ... ZORDER BY``:
+        files lay out along the Morton curve of both columns
+        (``operators/zorder.py``), so footer stats stay tight on BOTH
+        dimensions instead of only the leading sort column. Mutually
+        exclusive with ``cluster_by`` (one layout per table).
         """
         if not self.exists(name):
             return
+        if cluster_by and zorder_by:
+            raise ValueError("choose cluster_by OR zorder_by, not both")
         df = self.read(name)
         n = target_files or max(1, self.file_count(name) // 8)
         parts = self.partition_cols(name)
-        cluster = [F.col(c) for c in (cluster_by or [])]
+        if zorder_by:
+            from ..operators.zorder import zvalue
+
+            if len(zorder_by) != 2:
+                raise ValueError("zorder_by takes exactly two columns")
+            cluster = [zvalue(zorder_by[0], zorder_by[1]).alias("_zval")]
+        else:
+            cluster = [F.col(c) for c in (cluster_by or [])]
         if parts:
             out = df.repartition(n, *[F.col(c) for c in parts])
             if cluster:

@@ -63,6 +63,10 @@ class ModelConfig:
     # ZORDER/CLUSTER BY analog): files sort on these so parquet footer
     # min/max stats prune range scans
     cluster_by: list[str] = field(default_factory=list)
+    # two-column Morton layout applied by the optimize post-hook (Delta
+    # OPTIMIZE ZORDER BY analog; operators/zorder.py) — tight footer
+    # stats on BOTH columns; mutually exclusive with cluster_by
+    zorder_by: list[str] = field(default_factory=list)
     # dbt model contract (`contract: {enforced: true}` + per-column
     # data_type): column name → Spark DDL type string. When set, the
     # built DataFrame's schema must carry EXACTLY these columns with
@@ -99,6 +103,7 @@ def model(
     relationships: list[tuple[str, str, str]] | None = None,
     post_hooks: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     contract: dict[str, str] | None = None,
     incremental_predicates: list[str] | None = None,
 ):
@@ -126,6 +131,10 @@ def model(
             f"model {name!r}: on_schema_change={on_schema_change!r}; expected "
             "'ignore', 'append_new_columns', 'sync_all_columns', or 'fail'"
         )
+    if cluster_by and zorder_by:
+        raise ValueError(f"model {name!r}: choose cluster_by OR zorder_by, not both")
+    if zorder_by and len(zorder_by) != 2:
+        raise ValueError(f"model {name!r}: zorder_by takes exactly two columns")
     if incremental_predicates and incremental_strategy != "merge":
         raise ValueError(
             f"model {name!r}: incremental_predicates only apply to the "
@@ -149,6 +158,7 @@ def model(
             relationships=relationships or [],
             post_hooks=post_hooks,
             cluster_by=cluster_by or [],
+            zorder_by=zorder_by or [],
             contract=contract,
             incremental_predicates=incremental_predicates or [],
         )

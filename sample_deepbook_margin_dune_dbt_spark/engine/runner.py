@@ -375,7 +375,7 @@ class Runner:
             hooks = self.PROFILE_POST_HOOKS.get(self.profile, [])
         for hook in hooks:
             if hook == "optimize":
-                self.store.optimize(cfg.name, cluster_by=cfg.cluster_by)
+                self.store.optimize(cfg.name, cluster_by=cfg.cluster_by, zorder_by=cfg.zorder_by)
             elif hook == "vacuum":
                 self.store.vacuum(cfg.name, retain_hours=self.vacuum_retain_hours)
             else:
@@ -410,6 +410,9 @@ class Runner:
                 "unique_key": cfg.unique_key,
                 "partition_by": cfg.partition_by or [],
                 "cluster_by": cfg.cluster_by,
+                "zorder_by": cfg.zorder_by,
+                "contract": cfg.contract,
+                "incremental_predicates": cfg.incremental_predicates,
                 "depends_on": cfg.deps,
                 "tags": cfg.tags,
                 "tests": {

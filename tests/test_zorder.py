@@ -122,3 +122,37 @@ def test_bucket_stats_bucket_arithmetic(spark):
     for r in stats:
         assert 0 <= r["min_x"] <= r["max_x"] <= 63
         assert 0 <= r["min_y"] <= r["max_y"] <= 63
+
+
+def test_optimize_zorder_by_lays_out_both_dims(spark, tmp_path):
+    """store.optimize(zorder_by=[x, y]) rewrites an unpartitioned table
+    along the Morton curve: written footer stats prune BOTH dimensions
+    (the Delta OPTIMIZE ZORDER BY analog, wired through the model
+    post-hook config)."""
+    import pytest as _pytest
+
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import model, _REGISTRY
+
+    store = TableStore(spark, str(tmp_path))
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    store.write_full(grid.repartition(16), "t")
+    store.optimize("t", target_files=16, zorder_by=["x", "y"])
+    path = store.path("t")
+    for col in ("x", "y"):
+        frac = _hit_fraction(_file_stats(path, col), 8, 15)
+        assert frac <= 0.5, (col, frac)
+    assert store.read("t").count() == 64 * 64
+    assert store.read("t").columns == ["x", "y"]  # no layout-key leak
+
+    with _pytest.raises(ValueError, match="exactly two"):
+        store.optimize("t", zorder_by=["x"])
+    with _pytest.raises(ValueError, match="not both"):
+        store.optimize("t", cluster_by=["x"], zorder_by=["x", "y"])
+    with _pytest.raises(ValueError, match="not both"):
+        model("zb_bad", materialized="table", cluster_by=["x"], zorder_by=["x", "y"])(
+            lambda ctx: None
+        )
+    _REGISTRY.pop("zb_bad", None)

@@ -99,6 +99,19 @@ driver query moved to ``EXTRA_QUERIES``:
   ``corpus_curriculum`` (value-ordered global rank → buckets), and
   ``a_sketch_union`` (mergeable DataSketches HLL union).
 
+- r5 continuation 2: three families built this session rotate in,
+  oracle-verified at sf0.001 + sf0.01 before declaring —
+  ``w_gap_fill_locf`` (date-spine densification + LOCF),
+  ``text_tfidf_topterms`` (idf-weighted top terms, skew-splittable df
+  join), ``events_outlier_zscore`` (exact integer-arithmetic 3σ screen).
+  Out (family stays represented): ``w1_rownum_dedup`` (the W1 two-level
+  row_number dedup runs hash-checked inside the flagship oracle every
+  round), ``embedding_centroids`` (centroid mechanics are stage one of
+  ``ann_ivf_pq``'s trained coarse quantizer; embedding family keeps 4
+  rows), ``skew_salted_join`` (skew family keeps ``skew_salted_agg`` +
+  ``skew_hotness_report``; the salted join's partition split stays
+  pinned by ``tests/test_skew.py``).
+
 - r5 new families (built this round, oracle-verified at sf0.01 before
   declaring): ``events_funnel`` (strict-order sequential-min funnel —
   the event-sequence analytics family's first driver row; its retention
@@ -167,7 +180,7 @@ DRIVER_QUERY_ORDER = [
     "corpus_profile",
     "text_normalize",
     "text_heavy_hitters",
-    "embedding_centroids",
+    "text_tfidf_topterms",
     "dedup_boilerplate_segments",
     "dedup_clusters",
     "dedup_minhash_lsh",
@@ -188,8 +201,8 @@ DRIVER_QUERY_ORDER = [
     # skew-mitigation family (plain-agg twin shares salted_agg's oracle,
     # held in EXTRA; the mitigated paths keep driver rows)
     "skew_salted_agg",
-    "skew_salted_join",
     "skew_hotness_report",
+    "events_outlier_zscore",
     # composed curation rollup + snapshot audit + curriculum ordering
     "corpus_curation_report",
     "corpus_snapshot_diff",
@@ -198,7 +211,7 @@ DRIVER_QUERY_ORDER = [
     "sessionize",
     "asof_join",
     "w_tumbling_agg",
-    "w1_rownum_dedup",
+    "w_gap_fill_locf",
     "events_funnel",
     "events_retention",
     "corpus_length_histogram",

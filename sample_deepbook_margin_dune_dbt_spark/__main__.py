@@ -36,6 +36,16 @@ def _parse_sources(pairs: list[str]) -> dict[str, str]:
     return out
 
 
+def _parse_vars(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for v in pairs:
+        if "=" not in v:
+            raise SystemExit(f"--vars expects key=value, got {v!r}")
+        k, val = v.split("=", 1)
+        out[k] = val
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sample_deepbook_margin_dune_dbt_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -154,7 +164,9 @@ def main(argv: list[str] | None = None) -> int:
     store = TableStore(spark, args.warehouse, schema_suffix=args.schema_suffix)
 
     if args.cmd == "docs":
-        runner = Runner(spark, store, _parse_sources(args.source))
+        runner = Runner(
+            spark, store, _parse_sources(args.source), state=args.state
+        )
         print(runner.write_manifest(args.select))
         return 0
 
@@ -195,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         lookback_days=args.lookback_days,
         profile=args.profile,
         lag_widen_days=args.lag_widen_days,
-        vars=dict(v.split("=", 1) for v in getattr(args, "vars", [])),
+        vars=_parse_vars(getattr(args, "vars", [])),
         state=getattr(args, "state", None),
     )
 
@@ -243,7 +255,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     failures = runner.test(
-        args.select, store_failures=getattr(args, "store_failures", False)
+        args.select,
+        store_failures=getattr(args, "store_failures", False),
+        exclude=args.exclude,
     )
     if failures:
         for col, n in failures.items():

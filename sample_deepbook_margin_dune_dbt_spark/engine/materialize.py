@@ -403,7 +403,36 @@ class TableStore:
 
             if len(zorder_by) != 2:
                 raise ValueError("zorder_by takes exactly two columns")
-            cluster = [zvalue(zorder_by[0], zorder_by[1]).alias("_zval")]
+            # zvalue interleaves the LOW bits only, so raw columns whose
+            # range exceeds 2^bits would wrap (value mod 2^bits) and the
+            # layout would silently degenerate. Normalize both columns
+            # into [0, 2^bits) from their observed min/max first — one
+            # scalar agg (footer-cheap), integer arithmetic throughout.
+            bits = 10
+            xc, yc = zorder_by
+            b = df.agg(
+                F.min(F.col(xc).cast("long")).alias("x0"),
+                F.max(F.col(xc).cast("long")).alias("x1"),
+                F.min(F.col(yc).cast("long")).alias("y0"),
+                F.max(F.col(yc).cast("long")).alias("y1"),
+            ).first()
+
+            def _scaled(c: str, lo, hi) -> F.Column:
+                if lo is None:  # all-null column: constant key
+                    return F.lit(0).cast("long")
+                span = max(1, int(hi) - int(lo))
+                return F.expr(
+                    f"CAST((CAST(`{c}` AS BIGINT) - {int(lo)}) * "
+                    f"{(1 << bits) - 1} DIV {span} AS BIGINT)"
+                )
+
+            cluster = [
+                zvalue(
+                    _scaled(xc, b["x0"], b["x1"]),
+                    _scaled(yc, b["y0"], b["y1"]),
+                    bits,
+                ).alias("_zval")
+            ]
         else:
             cluster = [F.col(c) for c in (cluster_by or [])]
         if parts:

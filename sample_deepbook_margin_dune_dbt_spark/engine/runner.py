@@ -75,12 +75,17 @@ class Runner:
         """
         wanted = self._resolve(select)
         if exclude is not None:
-            wanted -= self._resolve(exclude)
+            # non-strict: excluding a selector that matches nothing (e.g. a
+            # tag no model carries anymore) removes nothing rather than
+            # aborting the run — dbt's behavior for --exclude
+            wanted -= self._resolve(exclude, strict=False)
         registry = all_models()
         ts = TopologicalSorter({m: [d for d in registry[m].deps if d in wanted] for m in wanted})
         return list(ts.static_order())
 
-    def _resolve(self, select: str | list[str] | None) -> set[str]:
+    def _resolve(
+        self, select: str | list[str] | None, strict: bool = True
+    ) -> set[str]:
         registry = all_models()
         if select is None:
             wanted = set(registry)
@@ -97,7 +102,7 @@ class Runner:
                     wanted |= self._modified_models()
                 elif sel.startswith("tag:"):
                     tagged = {m for m, c in registry.items() if sel[4:] in c.tags}
-                    if not tagged:
+                    if not tagged and strict:
                         raise KeyError(f"no models carry {sel!r}")
                     wanted |= tagged
                 elif sel.startswith("+"):
@@ -233,6 +238,10 @@ class Runner:
             if mx is None:
                 out[key] = {"max_loaded_at": None, "age_s": None, "status": "error"}
                 continue
+            if not isinstance(mx, _dt):  # DATE column → midnight datetime
+                import datetime as _dtm
+
+                mx = _dt.combine(mx, _dtm.time.min)
             age = (now - mx).total_seconds()
             if age > cfg["error_after_s"]:
                 status = "error"
@@ -461,6 +470,13 @@ class Runner:
                 self._run_one(registry[name], full_refresh)
                 failures = self.test(name)
                 if failures:
+                    # the build succeeded but the gate failed: the model's
+                    # run-results row must say test_failed, not success —
+                    # replace, don't append alongside (a CI consumer scans
+                    # for ONE row per model)
+                    self.last_run_results = [
+                        r for r in self.last_run_results if r["model"] != name
+                    ]
                     self.last_run_results.append(
                         {
                             "model": name,
@@ -482,6 +498,7 @@ class Runner:
         self,
         select: str | list[str] | None = None,
         store_failures: bool = False,
+        exclude: str | list[str] | None = None,
     ) -> dict[str, int]:
         """Run declared data tests (``dbt test``; SURVEY §5 item 1 + the
         standard dbt generic-test set).
@@ -490,19 +507,23 @@ class Runner:
         ``store_failures`` (dbt config of the same name) additionally
         materializes each failing test's OFFENDING ROWS to an audit table
         ``_test_failures__<model>__<test>`` in the warehouse, so a failure
-        is debuggable from storage instead of re-querying — rewritten per
-        test run (dbt's semantics).
+        is debuggable from storage instead of re-querying — and a test
+        that PASSES drops its stale audit table, so the audit surface
+        always reflects the latest run (dbt's rewritten-per-run contract).
         """
         from pyspark.sql import functions as F
 
-        def _store(bad_df, model: str, test_id: str) -> None:
-            if store_failures:
-                self.store.write_full(
-                    bad_df, f"_test_failures__{model}__{test_id}"
-                )
+        def _store(bad_df, model: str, test_id: str, failed: bool) -> None:
+            if not store_failures:
+                return
+            table = f"_test_failures__{model}__{test_id}"
+            if failed:
+                self.store.write_full(bad_df, table)
+            elif self.store.exists(table):
+                self.store.drop(table)
 
         failures: dict[str, int] = {}
-        for name in self._closure(select):
+        for name in self._closure(select, exclude):
             cfg = all_models()[name]
             if not self.store.exists(name):
                 continue
@@ -519,27 +540,29 @@ class Runner:
                 ]
                 row = df.agg(*aggs).first()
                 for c in cfg.not_null:
-                    if row[c] and row[c] > 0:
+                    failed = bool(row[c] and row[c] > 0)
+                    if failed:
                         failures[f"{name}.{c}"] = int(row[c])
-                        _store(df.filter(F.col(c).isNull()), name, f"not_null_{c}")
+                    _store(df.filter(F.col(c).isNull()), name, f"not_null_{c}", failed)
 
             for c in cfg.unique:
                 dup_keys = df.groupBy(c).count().filter(F.col("count") > 1)
                 dup = dup_keys.count()
                 if dup:
                     failures[f"{name}.unique:{c}"] = int(dup)
-                    _store(
-                        df.join(dup_keys.select(c), on=c, how="left_semi"),
-                        name,
-                        f"unique_{c}",
-                    )
+                _store(
+                    df.join(dup_keys.select(c), on=c, how="left_semi"),
+                    name,
+                    f"unique_{c}",
+                    bool(dup),
+                )
 
             for c, allowed in cfg.accepted_values.items():
                 bad_rows = df.filter(~F.col(c).isin(allowed) & F.col(c).isNotNull())
                 bad = bad_rows.count()
                 if bad:
                     failures[f"{name}.accepted_values:{c}"] = int(bad)
-                    _store(bad_rows, name, f"accepted_values_{c}")
+                _store(bad_rows, name, f"accepted_values_{c}", bool(bad))
 
             for c, other_model, other_col in cfg.relationships:
                 if not self.store.exists(other_model):
@@ -554,7 +577,7 @@ class Runner:
                 orphans = orphan_rows.count()
                 if orphans:
                     failures[f"{name}.relationships:{c}->{other_model}.{other_col}"] = int(orphans)
-                    _store(
-                        orphan_rows, name, f"relationships_{c}__{other_model}"
-                    )
+                _store(
+                    orphan_rows, name, f"relationships_{c}__{other_model}", bool(orphans)
+                )
         return failures

@@ -907,3 +907,67 @@ def test_state_modified_selector(spark, tmp_path):
     finally:
         _REGISTRY.pop("sm_a", None)
         _REGISTRY.pop("sm_b", None)
+
+
+def test_review_fixes_exclude_freshness_buildresults(spark, sf_dir, tmp_path):
+    """Round-5 review fixes: test() honors exclude; empty-tag exclude is a
+    no-op; DATE freshness columns grade instead of crashing; build()
+    records ONE row (test_failed) for a gated model; store_failures
+    clears a stale audit table once the test passes."""
+    import datetime as dtm
+    import json
+
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+    from sample_deepbook_margin_dune_dbt_spark.sources import (
+        testdata_sources as _tds,
+    )
+
+    rows = {"v": [(1, None)]}
+
+    @model("rf_a", materialized="table", not_null=["v"])
+    def rf_a(ctx):
+        return ctx.spark.createDataFrame(rows["v"], "id long, v double")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        with pytest.raises(RuntimeError):
+            runner.build("rf_a")
+        # exactly one run-results row for the gated model, and it is NOT success
+        mine = [r for r in runner.last_run_results if r["model"] == "rf_a"]
+        assert [r["status"] for r in mine] == ["test_failed"]
+
+        # test() exclude + no-op empty tag exclude
+        assert runner.test("rf_a", exclude="rf_a") == {}
+        assert runner.test("rf_a", exclude="tag:no_such_tag") != {}
+        assert runner._closure("rf_a", exclude="tag:no_such_tag") == ["rf_a"]
+
+        # store_failures: stale audit table dropped once the test passes
+        runner.test("rf_a", store_failures=True)
+        assert store.exists("_test_failures__rf_a__not_null_v")
+        rows["v"] = [(1, 2.0)]
+        runner.run("rf_a", full_refresh=True)
+        assert runner.test("rf_a", store_failures=True) == {}
+        assert not store.exists("_test_failures__rf_a__not_null_v")
+    finally:
+        _REGISTRY.pop("rf_a", None)
+
+    # DATE-typed freshness column: grades instead of TypeError
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "dsrc.parquet"
+    pq.write_table(
+        pa.table({"d": pa.array([dtm.date(2026, 1, 1), dtm.date(2026, 1, 5)])}),
+        str(src),
+    )
+    r = Runner(
+        spark,
+        TableStore(spark, str(tmp_path / "wh2")),
+        {"main.snap": str(src)},
+        fixed_now=dtm.datetime(2026, 1, 5, 0, 30),
+    )
+    got = r.source_freshness(
+        {"main.snap": {"loaded_at_field": "d", "warn_after_s": 3600, "error_after_s": 86400}}
+    )["main.snap"]
+    assert got["status"] == "pass" and got["age_s"] == 1800.0

@@ -156,3 +156,28 @@ def test_optimize_zorder_by_lays_out_both_dims(spark, tmp_path):
             lambda ctx: None
         )
     _REGISTRY.pop("zb_bad", None)
+
+
+def test_optimize_zorder_normalizes_wide_ranges(spark, tmp_path):
+    """Columns whose ranges dwarf 2^bits (timestamps-ms, big ids) must be
+    min/max-normalized before interleaving — without it the Morton key
+    would wrap mod 1024 and the layout would silently degenerate."""
+    from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    base_ts, base_id = 1_700_000_000_000, 5_000_000_000
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64 * 3_600_000 + base_ts).alias("ts_ms"),
+        ((F.col("id") / 64).cast("long") * 977 + base_id).alias("big_id"),
+    )
+    store.write_full(grid.repartition(16), "t")
+    store.optimize("t", target_files=16, zorder_by=["ts_ms", "big_id"])
+    path = store.path("t")
+    # a 1/8 slice of each dimension's actual range must prune files
+    for col, lo, hi in (
+        ("ts_ms", base_ts + 8 * 3_600_000, base_ts + 15 * 3_600_000),
+        ("big_id", base_id + 8 * 977, base_id + 15 * 977),
+    ):
+        frac = _hit_fraction(_file_stats(path, col), lo, hi)
+        assert frac <= 0.5, (col, frac)
+    assert store.read("t").count() == 64 * 64

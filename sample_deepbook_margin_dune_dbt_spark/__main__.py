@@ -167,7 +167,7 @@ def main(argv: list[str] | None = None) -> int:
         runner = Runner(
             spark, store, _parse_sources(args.source), state=args.state
         )
-        print(runner.write_manifest(args.select))
+        print(runner.write_manifest(args.select, exclude=args.exclude))
         return 0
 
     if args.cmd == "show":

@@ -392,7 +392,11 @@ class Runner:
 
     # ----------------------------------------------------------------- tests
 
-    def manifest(self, select: str | list[str] | None = None) -> dict:
+    def manifest(
+        self,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> dict:
         """The project manifest (dbt ``manifest.json`` analog): every
         selected model's declared config and DAG edges, as plain data —
         what docs generators, lineage tools, and CI diff checks consume.
@@ -402,7 +406,7 @@ class Runner:
 
         registry = all_models()
         models = {}
-        for name in self._closure(select):
+        for name in self._closure(select, exclude):
             cfg = registry[name]
             try:
                 src = inspect.getsource(cfg.builder)
@@ -437,7 +441,11 @@ class Runner:
             "models": models,
         }
 
-    def write_manifest(self, select: str | list[str] | None = None) -> str:
+    def write_manifest(
+        self,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> str:
         """Persist the manifest next to run_results.json; returns the path."""
         import json
         import os
@@ -446,7 +454,7 @@ class Runner:
         os.makedirs(art_dir, exist_ok=True)
         path = os.path.join(art_dir, "manifest.json")
         with open(path, "w") as f:
-            json.dump(self.manifest(select), f, indent=1, default=str)
+            json.dump(self.manifest(select, exclude), f, indent=1, default=str)
         return path
 
     def build(

@@ -226,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         ctx = ModelContext(
             spark, store, _parse_sources(args.source), cfg,
             backfill_days=args.backfill_days, lookback_days=args.lookback_days,
+            vars=_parse_vars(args.vars),
         )
         df = cfg.builder(ctx)
         print(f"model: {target}")

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "corpus_zorder_stats",
     "corpus_length_histogram",
     "events_outlier_zscore",
+    "emb_decontaminate",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -770,6 +770,78 @@ GROUP BY 1, 2
 """
 
 
+def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the EMBEDDING tier of the benchmark-
+    leak screen (the n-gram semi-join and Bloom tiers catch near-verbatim
+    text; this tier catches paraphrases/translations whose surface forms
+    share no n-grams but whose embeddings sit close).
+
+    Held-out set: every ``vec_id % 37 == 0`` vector (≈ 1/37 of the
+    table — benchmark suites are tiny next to a training corpus).
+    Corpus: the full table plus PLANTED contaminations (scaled copies of
+    the first benchmark vectors, cosine exactly 1 — without planting the
+    only flags would be the benchmarks' own rows; the planted ids prove
+    the screen catches a *rescaled paraphrase-analog*, not just identity).
+    A corpus row is contaminated when its max cosine against ANY
+    benchmark vector ≥ 0.95.
+
+    Scale shape: the benchmark matrix BROADCASTS (like the Bloom tier's
+    constant filter); the corpus×benchmark cosine stream pipelines into a
+    map-side-combined per-id MAX, so the only exchange carries one
+    partial row per corpus vector — the corpus never shuffles its
+    payload, and nothing all-pairs materializes. The cosine is the
+    sequential ``F.aggregate`` expression (not a vectorized matmul) ON
+    PURPOSE: DuckDB sums in the same order, so ``floor(max·10⁶)`` is
+    cross-engine exact — a SIMD/pairwise matmul would not be.
+    """
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = base.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+    )
+    planted = (
+        base.filter((F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 200))
+        .select(
+            (F.col("vec_id") + 3_000_000).alias("vec_id"),
+            F.transform("v", lambda x: x * F.lit(1.5)).alias("v"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    scored = (
+        corpus.join(F.broadcast(bench))
+        .select("vec_id", S.cosine(F.col("v"), F.col("b_v")).alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    return scored.select(
+        "vec_id",
+        F.floor(F.col("max_c") * 1e6).cast("long").alias("max_cosine_e6"),
+        (F.col("max_c") >= 0.95).alias("contaminated"),
+    )
+
+
+SQL_EMB_DECONTAMINATE = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bench AS (SELECT vec_id AS b_id, v AS b_v FROM base WHERE vec_id % 37 = 0),
+corpus AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 3000000, list_transform(v, x -> x * 1.5)
+    FROM base WHERE vec_id % 37 = 0 AND vec_id < 200
+),
+scored AS (
+    SELECT c.vec_id, max(list_cosine_similarity(c.v, b.b_v)) AS max_c
+    FROM corpus c CROSS JOIN bench b
+    GROUP BY 1
+)
+SELECT vec_id,
+       CAST(floor(max_c * 1000000) AS BIGINT) AS max_cosine_e6,
+       max_c >= 0.95 AS contaminated
+FROM scored
+"""
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_boilerplate_segments": (
@@ -786,6 +858,7 @@ LLMOPS_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
+    "emb_decontaminate": (q_emb_decontaminate, SQL_EMB_DECONTAMINATE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),

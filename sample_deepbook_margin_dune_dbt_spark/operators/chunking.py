@@ -69,6 +69,7 @@ def pack_sequences(
     n_tokens_col: str,
     seq_len: int,
     salt: str = "pack",
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Concat-and-cut sequence packing: place every document into the
     virtual concatenated token stream and cut it every ``seq_len`` tokens
@@ -81,24 +82,24 @@ def pack_sequences(
     ``start_offset``/``end_offset`` in the stream, ``first_seq``/
     ``last_seq`` (0-based cut indices), and ``n_seqs`` spanned.
 
-    Scale: ONE window cumsum over the layout order. A single global
-    running sum is a one-partition sort at extreme corpus sizes — shard
-    first (e.g. per train/val split, per source, or per hash bucket) and
-    pack within shards, which is also what keeps shard boundaries aligned
-    to sequence starts; the operator composes with any upstream
-    partitioning because the layout key is a pure function of the id.
+    Scale: the stream offset is a global cumsum over the layout order —
+    computed via :func:`..operators.ordering.global_hash_cumsum`
+    (order-preserving hash buckets + broadcast per-bucket offsets), NOT a
+    single-partition global window: no stage ever sees more than
+    ~N/``n_buckets`` rows, and the result is bit-identical to the global
+    window. Raise ``n_buckets`` so a bucket's rows fit one task at the
+    target corpus size.
     """
-    from pyspark.sql import Window
-
-    from .sampling import hash_uniform
+    from .ordering import global_hash_cumsum
 
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    w = Window.orderBy(hash_uniform(id_col, salt).asc(), F.col(id_col).asc())
     toks = F.col(n_tokens_col).cast("long")
-    end = F.sum(toks).over(w)
     return (
-        df.withColumn("end_offset", end)
+        global_hash_cumsum(
+            df, id_col, n_tokens_col, salt=salt,
+            n_buckets=n_buckets, out_col="end_offset",
+        )
         .withColumn("start_offset", F.col("end_offset") - toks)
         .filter(toks > 0)
         .select(

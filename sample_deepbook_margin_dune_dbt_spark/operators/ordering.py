@@ -82,6 +82,61 @@ def global_hash_rank(
     )
 
 
+def global_hash_cumsum(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+    n_buckets: int = 1024,
+    out_col: str = "cumsum",
+    order_u_col: str = "_u",
+) -> DataFrame:
+    """Add the running sum of ``weight_col`` over the deterministic hash
+    order ``ORDER BY hash_uniform(salt||key), key`` — computed without a
+    single-partition window (the weighted twin of
+    :func:`global_hash_rank`; sequence packing is the canonical caller).
+
+    Buckets on ``floor(u * n_buckets)`` — order-preserving in ``u``, so
+    (bucket, u, key) is exactly the (u, key) total order and the bucketed
+    cumsum is bit-identical to the global-window one. One tiny per-bucket
+    SUM (≤ ``n_buckets`` rows to the driver), broadcast cumulative
+    offsets back, per-bucket window cumsum in parallel. The ``u`` variate
+    is left on the output as ``order_u_col`` for callers that need the
+    layout order itself.
+    """
+    from .sampling import hash_uniform
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w_long = F.col(weight_col).cast("long")
+    hashed = df.withColumn(order_u_col, hash_uniform(key_col, salt)).withColumn(
+        "_bkt",
+        # u < 1 exactly, but u*n can round UP to n at the top of the range —
+        # clamp; floor∘clamp stays monotone so the total order is unchanged
+        F.least(
+            F.floor(F.col(order_u_col) * n_buckets), F.lit(n_buckets - 1)
+        ).cast("long"),
+    )
+    totals = sorted(
+        (r["_bkt"], r["t"] or 0)
+        for r in hashed.groupBy("_bkt").agg(F.sum(w_long).alias("t")).collect()
+    )
+    offsets, running = [], 0
+    for bkt, t in totals:
+        offsets.append((bkt, running))
+        running += t
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_bkt long, _off long")
+    w = Window.partitionBy("_bkt").orderBy(
+        F.col(order_u_col).asc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hashed.join(F.broadcast(off_df), "_bkt")
+        .withColumn(out_col, F.col("_off") + F.sum(w_long).over(w))
+        .drop("_bkt", "_off")
+    )
+
+
 def global_value_rank(
     df: DataFrame,
     order_cols: list[str],

@@ -134,6 +134,26 @@ driver query moved to ``EXTRA_QUERIES``:
   ``text_bloom_decontaminate`` row; the n-gram-overlap mechanics stay
   oracle-verified in EXTRA).
 
+- round 6 (per VERDICT r5 item 1): rotate driver evidence onto the last
+  wholly-pytest-verified exact-oracle families. In:
+  ``emb_decontaminate`` (semantic decontamination: broadcast benchmark
+  matrix, map-side-combined per-id max cosine),
+  ``sample_split_leakage_safe`` (content-fingerprint-keyed train/val/test
+  split — kills the doc_id leakage channel),
+  ``events_cohort_value`` (cohort LTV running-total matrix — the
+  rowsBetween frame family's driver row),
+  ``w_hopping_agg`` (overlapping hopping event-time windows),
+  ``chunk_pack_sequences`` (greedy sequence packing). Out (family stays
+  represented): ``a_sketch_union`` (approx family held by
+  ``a_approx_tier``), ``w_gap_fill_locf`` (window family held by
+  ``w_tumbling_agg``/``w_hopping_agg``/``sessionize``),
+  ``corpus_length_histogram`` (profile family held by
+  ``corpus_profile``), ``sample_stratified_quota`` (sampling keeps
+  ``sample_hash_bernoulli`` + the new leakage-safe split; the quota and
+  weighted tiers stay oracle-verified in EXTRA),
+  ``tpch_q8`` (multi-join shape held by ``q13``/``q18``/
+  ``j1_foj_volume_chain``; q21 keeps the semi/anti row).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -190,10 +210,11 @@ DRIVER_QUERY_ORDER = [
     "ann_lsh_bucketed",
     "ann_ivf_pq",
     "a_approx_tier",
-    "a_sketch_union",
+    "emb_decontaminate",
     "sample_hash_bernoulli",
-    "sample_stratified_quota",
+    "sample_split_leakage_safe",
     "chunk_token_windows",
+    "chunk_pack_sequences",
     "text_repetition",
     "text_pii_redact",
     "emb_quantize_int8",
@@ -211,10 +232,10 @@ DRIVER_QUERY_ORDER = [
     "sessionize",
     "asof_join",
     "w_tumbling_agg",
-    "w_gap_fill_locf",
+    "w_hopping_agg",
     "events_funnel",
     "events_retention",
-    "corpus_length_histogram",
+    "events_cohort_value",
     "text_quality_model",
     "j1_foj_volume_chain",
     "j4_seed_ci_join",
@@ -228,7 +249,6 @@ DRIVER_QUERY_ORDER = [
     # TPC-H
     "tpch_q1",
     "tpch_q6",
-    "tpch_q8",
     "tpch_q13",
     "tpch_q18",
     "tpch_q21",

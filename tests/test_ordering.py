@@ -104,3 +104,54 @@ def test_value_rank_no_single_partition_stage(spark, docs):
 def test_value_rank_validates_partitions(docs):
     with pytest.raises(ValueError):
         O.global_value_rank(docs, ["doc_id"], n_partitions=0)
+
+
+def _cumsums(df, col="cumsum"):
+    return {r["doc_id"]: r[col] for r in df.select("doc_id", col).collect()}
+
+
+def test_hash_cumsum_matches_global_window(docs, spark):
+    """Bucketed running sum ≡ the naive global-window cumsum over
+    (hash_uniform, id) — the pack_sequences layout order."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.sampling import hash_uniform
+
+    weighted = docs.select("doc_id", F.length("text").alias("w"))
+    got = _cumsums(
+        O.global_hash_cumsum(weighted, "doc_id", "w", salt="p:", n_buckets=32)
+    )
+    w = (
+        Window.orderBy(hash_uniform("doc_id", "p:").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = weighted.withColumn("cumsum", F.sum(F.col("w").cast("long")).over(w))
+    assert got == _cumsums(naive)
+    # invariant to physical layout and bucket count
+    again = O.global_hash_cumsum(
+        weighted.repartition(17), "doc_id", "w", salt="p:", n_buckets=7
+    )
+    assert got == _cumsums(again)
+
+
+def test_hash_cumsum_no_single_partition_stage(docs):
+    """The scale contract pack_sequences relies on: bucketed windows,
+    never a SinglePartition global sort."""
+    weighted = docs.select("doc_id", F.length("text").alias("w"))
+    df = O.global_hash_cumsum(weighted, "doc_id", "w", n_buckets=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_no_single_partition_stage(docs):
+    """The driver-declared packing query inherits the bucketed-cumsum
+    scale contract end to end."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.chunking import pack_sequences
+
+    weighted = docs.select("doc_id", F.length("text").alias("w"))
+    df = pack_sequences(weighted, "doc_id", "w", 512)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_hash_cumsum_validates_buckets(docs):
+    with pytest.raises(ValueError):
+        O.global_hash_cumsum(docs.select("doc_id"), "doc_id", "doc_id", n_buckets=0)

@@ -435,12 +435,18 @@ JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 
 # ------------------------------------------------------ cosine similarity
 
+#: one k / one query set for every ANN driver query and its oracle — the
+#: oracles below DERIVE their expectations from these, so changing either
+#: value keeps Spark and DuckDB in lockstep (VERDICT r5 item 2)
+_ANN_K = 5
+_ANN_NQUERIES = 10
+
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 for the first 10 vectors as queries."""
+    """Brute-force exact cosine top-k for the first vectors as queries."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    out = S.cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERIES)
+    out = S.cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=_ANN_K)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -449,9 +455,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_TOPK = """
+SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
-           FROM embeddings WHERE vec_id < 10),
+           FROM embeddings WHERE vec_id < {_ANN_NQUERIES}),
 scored AS (
     SELECT q.query_id, v.vec_id AS neighbor_id,
            list_cosine_similarity(q.vq, CAST(v.embedding AS DOUBLE[])) AS cos
@@ -464,7 +470,7 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cosine_e6, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
@@ -605,31 +611,42 @@ def _ann_structural_summary(out: DataFrame) -> DataFrame:
     )
 
 
-# k=5 ⇒ 5 distinct neighbors, ranks 1..5 summing to 15, self excluded.
+# k distinct neighbors, ranks 1..k summing to k(k+1)/2, self excluded.
 # The k-row guarantee is OPERATOR-enforced, not dataset-luck: every ANN
 # driver query wraps its approximate tier in ``ensure_k_neighbors`` (probe
-# escalation to the exact scan on deficit), so this oracle stays valid for
-# any regenerated/rescaled embeddings table with ≥ k+1 vectors (ADVICE r4).
-SQL_ANN_SUMMARY = """
-SELECT CAST(vec_id AS BIGINT) AS query_id,
-       CAST(5 AS BIGINT) AS n_neighbors,
-       CAST(5 AS BIGINT) AS n_distinct_neighbors,
+# escalation to the exact scan on deficit). The oracle DERIVES the
+# expected count per query — k_eff = least(k, candidates), candidates =
+# |embeddings| − 1 since the queries are corpus members and self is
+# excluded — so the row survives a k change or a smaller regenerated
+# table, instead of hardcoding the k=5 constants (VERDICT r5 item 2).
+SQL_ANN_SUMMARY = f"""
+WITH kk AS (
+    SELECT q.vec_id AS query_id,
+           LEAST({_ANN_K}, (SELECT count(*) FROM embeddings) - 1) AS k_eff
+    FROM embeddings q WHERE q.vec_id < {_ANN_NQUERIES}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(k_eff AS BIGINT) AS n_neighbors,
+       CAST(k_eff AS BIGINT) AS n_distinct_neighbors,
        CAST(1 AS BIGINT) AS rank_min,
-       CAST(5 AS BIGINT) AS rank_max,
-       CAST(15 AS BIGINT) AS rank_sum,
+       CAST(k_eff AS BIGINT) AS rank_max,
+       CAST((k_eff * (k_eff + 1)) // 2 AS BIGINT) AS rank_sum,
        CAST(0 AS BIGINT) AS n_self
-FROM embeddings WHERE vec_id < 10
+FROM kk WHERE k_eff > 0
 """
 
 
 def q_ann_lsh_bucketed_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate bucketed ANN (hyperplane LSH), full neighbor lists."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERIES)
     out = S.lsh_ann_topk(
-        emb, queries, "vec_id", "embedding", "vec_id", dim=64, k=5, planes=6, probes=2
+        emb, queries, "vec_id", "embedding", "vec_id",
+        dim=64, k=_ANN_K, planes=6, probes=2,
     )
-    out = S.ensure_k_neighbors(out, emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    out = S.ensure_k_neighbors(
+        out, emb, queries, "vec_id", "embedding", "vec_id", k=_ANN_K
+    )
     return out.select(
         "query_id", "neighbor_id",
         F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
@@ -685,12 +702,14 @@ def q_ann_ivf_pq_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine; 32x vector compression), full neighbor lists. Recall vs exact
     is asserted in tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQUERIES)
     out = S.ivf_pq_ann_topk(
         emb, queries, "vec_id", "embedding", "vec_id",
-        k=5, n_probes=6, refine_factor=6,
+        k=_ANN_K, n_probes=6, refine_factor=6,
     )
-    out = S.ensure_k_neighbors(out, emb, queries, "vec_id", "embedding", "vec_id", k=5)
+    out = S.ensure_k_neighbors(
+        out, emb, queries, "vec_id", "embedding", "vec_id", k=_ANN_K
+    )
     return out.select(
         "query_id", "neighbor_id",
         F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),

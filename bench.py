@@ -96,6 +96,23 @@ BENCH_QUERIES = [
     "corpus_length_histogram",
     "events_outlier_zscore",
     "emb_decontaminate",
+    # r6: complete the driver↔bench alignment — every query holding a
+    # CORRECTNESS row now also holds a bench row, so a plan regression in
+    # any driver family is visible round-over-round (VERDICT r5 item 4's
+    # attribution goal). The parity drills are sub-0.5 s each.
+    "text_heavy_hitters",
+    "dedup_embedding_cosine",
+    "ann_lsh_bucketed",
+    "a_approx_tier",
+    "sample_hash_bernoulli",
+    "sample_split_leakage_safe",
+    "chunk_token_windows",
+    "w_hopping_agg",
+    "j4_seed_ci_join",
+    "p4_watermark",
+    "p10_case_trycast",
+    "a5_rollup",
+    "tpch_q21",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these
@@ -147,7 +164,7 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    def _time(names: list[str]) -> dict[str, float]:
+    def _time(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         samples: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(runs):
             for name in names:
@@ -157,10 +174,21 @@ def main() -> None:
                 samples[name].append(time.perf_counter() - t0)
                 assert n >= 0
             spark._jvm.System.gc()  # drain garbage between rounds, not mid-round
-        return {n: round(statistics.median(s), 3) for n, s in samples.items()}
+        med = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+        # per-query median absolute deviation: the artifact-level noise
+        # bound VERDICT r5 item 4 asked for — a whole-set drift whose
+        # per-query deltas sit inside ~3×MAD is machine noise, not a plan
+        # regression, attributable from this JSON alone
+        mad = {
+            n: round(statistics.median(abs(x - statistics.median(s)) for x in s), 3)
+            for n, s in samples.items()
+        }
+        return med, mad
 
-    timings = _time(BENCH_QUERIES)
-    demo = _time(DEMO_QUERIES)
+    load_start = os.getloadavg()
+    timings, query_mad = _time(BENCH_QUERIES)
+    demo, _ = _time(DEMO_QUERIES)
+    load_end = os.getloadavg()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -169,10 +197,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_mad": query_mad,
                 "demo": demo,
                 "sf": sf,
                 "runs": runs,
                 "aggregation": "median_per_query_over_interleaved_rounds",
+                # 1/5/15-min loadavg before and after the timed runs: a
+                # loaded machine (1-min load far above this process's ~32
+                # busy threads) marks the round's totals as contended
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
             }
         )
     )

@@ -97,6 +97,21 @@ class Runner:
                         children[d].append(m)
             selectors = [select] if isinstance(select, str) else list(select)
             wanted = set()
+
+            def _known(name: str, sel: str) -> bool:
+                # strict (--select): unknown names abort with an actionable
+                # message instead of a bare KeyError deep in the traversal;
+                # non-strict (--exclude): they match nothing, dbt-style
+                if name in registry:
+                    return True
+                if strict:
+                    known = ", ".join(sorted(registry))
+                    raise KeyError(
+                        f"selector {sel!r} names unknown model {name!r}; "
+                        f"registered models: {known}"
+                    )
+                return False
+
             for sel in selectors:
                 if sel == "state:modified":
                     wanted |= self._modified_models()
@@ -106,6 +121,8 @@ class Runner:
                         raise KeyError(f"no models carry {sel!r}")
                     wanted |= tagged
                 elif sel.startswith("+"):
+                    if not _known(sel[1:], sel):
+                        continue
                     stack = [sel[1:]]
                     while stack:
                         m = stack.pop()
@@ -114,6 +131,8 @@ class Runner:
                         wanted.add(m)
                         stack.extend(registry[m].deps)
                 elif sel.endswith("+"):
+                    if not _known(sel[:-1], sel):
+                        continue
                     stack = [sel[:-1]]
                     seen: set[str] = set()
                     while stack:
@@ -131,7 +150,8 @@ class Runner:
                         wanted.add(m)
                         stack.extend(registry[m].deps)
                 else:
-                    wanted.add(sel)
+                    if _known(sel, sel):
+                        wanted.add(sel)
         return wanted
 
     def _modified_models(self) -> set[str]:
@@ -410,8 +430,15 @@ class Runner:
             cfg = registry[name]
             try:
                 src = inspect.getsource(cfg.builder)
-            except (OSError, TypeError):  # builtins/lambdas without source
-                src = repr(cfg.builder)
+            except (OSError, TypeError):
+                # builtins / REPL- or exec-defined builders without
+                # retrievable source: a process-stable token, NOT repr()
+                # (whose embedded memory address would make state:modified
+                # select the model forever)
+                src = (
+                    f"{getattr(cfg.builder, '__module__', '?')}."
+                    f"{getattr(cfg.builder, '__qualname__', repr(type(cfg.builder)))}"
+                )
             models[name] = {
                 # the state:modified fingerprint: a model counts as
                 # modified when its BUILDER SOURCE changes (the analog of

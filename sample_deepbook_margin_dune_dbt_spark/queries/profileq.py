@@ -104,13 +104,39 @@ def q_events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, c_raw long",
     ).select("event_type", F.col("c_raw").cast("decimal(38,0)").alias("c"))
     ev = ev.unionByName(planted)
+    return _outlier_screen(ev)
+
+
+def _outlier_screen(ev: DataFrame) -> DataFrame:
+    """Guarded integer-exact 3σ screen over (event_type, c:decimal(38,0))
+    rows — factored out so the overflow guard is testable at the scales
+    that actually trip it (huge n·max|c|, not huge single values, which
+    the DECIMAL(12,2) input grid already bounds)."""
+    from pyspark.sql import functions as F
+
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("c").alias("s1"),
         F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.max(F.abs(F.col("c"))).alias("maxc"),
     )
+    # overflow guard (ADVICE r5): with ANSI off a >38-digit decimal product
+    # silently NULLs, so is_outlier would undercount with no signal. Both
+    # sides are bounded by B = n·max|c|: left (n·c − s1)² ≤ (2B)², right
+    # 9(n·s2 − s1²) ≤ 18B², so 18B² < 10³⁸ ⇔ B < ~7.4e17 keeps every
+    # product inside DECIMAL(38,0). One extra driver-side scalar over the
+    # ≤|event_type| stats rows; fails loudly instead of dropping flags.
+    bound = stats.agg(
+        F.max(F.col("n") * F.col("maxc")).cast("decimal(38,0)").alias("b")
+    ).collect()[0]["b"]
+    if bound is not None and int(bound) > 7 * 10**17:
+        raise ArithmeticError(
+            f"events_outlier_zscore: n*max|c| = {bound} exceeds the "
+            "DECIMAL(38,0) overflow-safe bound 7e17 — rescale c (coarser "
+            "cents grid) or compute per-group on a scaled grid"
+        )
     flagged = (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(F.broadcast(stats.drop("maxc")), "event_type")
         .withColumn(
             "is_outlier",
             (F.col("n") * F.col("c") - F.col("s1"))

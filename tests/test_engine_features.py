@@ -971,3 +971,61 @@ def test_review_fixes_exclude_freshness_buildresults(spark, sf_dir, tmp_path):
         {"main.snap": {"loaded_at_field": "d", "warn_after_s": 3600, "error_after_s": 86400}}
     )["main.snap"]
     assert got["status"] == "pass" and got["age_s"] == 1800.0
+
+
+def test_unknown_selector_names_fail_actionably(spark, tmp_path):
+    """ADVICE r5: --select with an unknown name (plain or graph-operator)
+    raises a descriptive KeyError naming the selector, not a bare KeyError
+    from deep inside the DAG walk; --exclude of the same selectors matches
+    nothing instead of crashing."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    @model("sel_known", materialized="table")
+    def sel_known(ctx):
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        for sel in ("no_such", "+no_such", "no_such+"):
+            with pytest.raises(KeyError, match="unknown model 'no_such'"):
+                runner._closure(sel)
+            # non-strict exclude: the bad selector removes nothing
+            assert runner._closure("sel_known", exclude=sel) == ["sel_known"]
+    finally:
+        _REGISTRY.pop("sel_known", None)
+
+
+def test_builder_sha_stable_without_source(spark, tmp_path):
+    """ADVICE r5: a builder without retrievable source (exec-defined) must
+    hash to a process-stable token, not a repr() embedding its memory
+    address — otherwise state:modified selects it forever."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY, model
+
+    ns: dict = {}
+    exec(
+        "def exec_builder(ctx):\n"
+        "    return ctx.spark.createDataFrame([(1,)], 'id long')\n",
+        ns,
+    )
+    model("sha_exec", materialized="table")(ns["exec_builder"])
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        sha1 = runner.manifest("sha_exec")["models"]["sha_exec"]["builder_sha"]
+        sha2 = runner.manifest("sha_exec")["models"]["sha_exec"]["builder_sha"]
+        assert sha1 == sha2
+        # the token must not contain an object id: re-exec'ing the same
+        # source yields a DIFFERENT function object with the SAME sha
+        ns2: dict = {}
+        exec(
+            "def exec_builder(ctx):\n"
+            "    return ctx.spark.createDataFrame([(1,)], 'id long')\n",
+            ns2,
+        )
+        _REGISTRY.pop("sha_exec")
+        model("sha_exec", materialized="table")(ns2["exec_builder"])
+        sha3 = runner.manifest("sha_exec")["models"]["sha_exec"]["builder_sha"]
+        assert sha1 == sha3
+    finally:
+        _REGISTRY.pop("sha_exec", None)

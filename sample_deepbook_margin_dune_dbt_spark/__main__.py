@@ -36,13 +36,38 @@ def _parse_sources(pairs: list[str]) -> dict[str, str]:
     return out
 
 
-def _parse_vars(pairs: list[str]) -> dict[str, str]:
-    out = {}
+def _parse_vars(pairs: list[str]) -> dict[str, object]:
+    """dbt ``--vars``: either repeatable ``key=value`` pairs (values stay
+    strings) or a single ``'{k: v}'`` YAML/JSON mapping literal (values
+    keep their parsed types — ints, lists, nested dicts). YAML is used
+    when available; JSON — a YAML subset, dbt's documented common case —
+    otherwise."""
+    out: dict[str, object] = {}
     for v in pairs:
-        if "=" not in v:
-            raise SystemExit(f"--vars expects key=value, got {v!r}")
-        k, val = v.split("=", 1)
-        out[k] = val
+        stripped = v.strip()
+        if stripped.startswith("{"):
+            try:
+                import yaml  # type: ignore
+
+                parsed = yaml.safe_load(stripped)
+            except ImportError:
+                import json
+
+                try:
+                    parsed = json.loads(stripped)
+                except json.JSONDecodeError as e:
+                    raise SystemExit(
+                        f"--vars mapping literal is not valid JSON ({e}); "
+                        "with PyYAML unavailable, use JSON syntax or key=value pairs"
+                    )
+            if not isinstance(parsed, dict):
+                raise SystemExit(f"--vars literal must be a mapping, got {parsed!r}")
+            out.update(parsed)
+        elif "=" in v:
+            k, val = v.split("=", 1)
+            out[k] = val
+        else:
+            raise SystemExit(f"--vars expects key=value or a '{{k: v}}' literal, got {v!r}")
     return out
 
 
@@ -116,6 +141,13 @@ def main(argv: list[str] | None = None) -> int:
         "compile", help="resolve a model's plan without materializing (dbt compile)"
     )
     add_common(compile_p)
+
+    snap_p = sub.add_parser(
+        "snapshot",
+        help="fold selected SCD2 snapshot nodes' source state into their "
+        "history tables (dbt snapshot)",
+    )
+    add_common(snap_p)
 
     show_p = sub.add_parser("show", help="ad-hoc SQL over the warehouse tables")
     show_p.add_argument("--warehouse", required=True)
@@ -234,6 +266,14 @@ def main(argv: list[str] | None = None) -> int:
         print(f"incremental: {ctx.is_incremental()}")
         df.printSchema()
         print(explain_str(df, "simple"))
+        return 0
+
+    if args.cmd == "snapshot":
+        order = runner.snapshot(args.select, exclude=args.exclude)
+        for name in order:
+            print(f"snapshotted {name}")
+        if not order:
+            print("no snapshot nodes selected")
         return 0
 
     if args.cmd == "run":

@@ -74,6 +74,12 @@ class ModelConfig:
     # fails BEFORE materializing — downstream consumers never see a
     # drifted schema.
     contract: dict[str, str] | None = None
+    # SCD2 snapshot node config (materialized='snapshot'; dbt `dbt
+    # snapshot`): change-detection strategy + its per-strategy column(s)
+    snapshot_strategy: str = "check"  # 'check' | 'timestamp'
+    check_cols: list[str] = field(default_factory=list)
+    updated_at: str | None = None
+    invalidate_hard_deletes: bool = False
     # dbt `incremental_predicates`: SQL predicates over TARGET rows that
     # bound the merge's match scope. Rows outside the predicate window
     # are carried through untouched WITHOUT entering the key anti-join —
@@ -161,6 +167,56 @@ def model(
             zorder_by=zorder_by or [],
             contract=contract,
             incremental_predicates=incremental_predicates or [],
+        )
+        return fn
+
+    return deco
+
+
+def snapshot(
+    name: str,
+    unique_key: list[str],
+    strategy: str = "check",
+    check_cols: list[str] | None = None,
+    updated_at: str | None = None,
+    invalidate_hard_deletes: bool = False,
+    deps: list[str] | None = None,
+    tags: list[str] | None = None,
+    post_hooks: list[str] | None = None,
+):
+    """Register an SCD2 snapshot node (dbt ``{% snapshot %}`` / the
+    ``dbt snapshot`` command; reference scaffold ``dbt_project.yml``
+    ``snapshot-paths``). The builder returns the source's CURRENT state;
+    the runner folds it into the ``(…, valid_from, valid_to)`` history
+    table via ``engine.snapshots.snapshot_scd2``. Snapshot nodes live in
+    the same registry/DAG as models — selectors, manifest, run-results,
+    and ``build`` all see them — and are never dropped by
+    ``--full-refresh`` (history is the point; dbt behaves the same).
+    """
+    if not unique_key:
+        raise ValueError(f"snapshot {name!r}: unique_key is required")
+    if strategy not in ("check", "timestamp"):
+        raise ValueError(
+            f"snapshot {name!r}: strategy={strategy!r}; expected 'check' or 'timestamp'"
+        )
+    if strategy == "check" and not check_cols:
+        raise ValueError(f"snapshot {name!r}: strategy='check' requires check_cols")
+    if strategy == "timestamp" and not updated_at:
+        raise ValueError(f"snapshot {name!r}: strategy='timestamp' requires updated_at")
+
+    def deco(fn: Callable[["ModelContext"], DataFrame]):
+        _REGISTRY[name] = ModelConfig(
+            name=name,
+            builder=fn,
+            unique_key=list(unique_key),
+            materialized="snapshot",
+            deps=deps or [],
+            tags=tags or [],
+            post_hooks=post_hooks if post_hooks is not None else [],
+            snapshot_strategy=strategy,
+            check_cols=check_cols or [],
+            updated_at=updated_at,
+            invalidate_hard_deletes=invalidate_hard_deletes,
         )
         return fn
 

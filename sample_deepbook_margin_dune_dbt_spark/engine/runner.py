@@ -203,6 +203,29 @@ class Runner:
         finally:
             self._write_run_results(full_refresh)
 
+    def snapshot(
+        self,
+        select: str | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> list[str]:
+        """dbt ``snapshot``: fold every selected SNAPSHOT node's current
+        source state into its SCD2 history table. Only snapshot nodes
+        execute (their non-snapshot upstreams must already be
+        materialized — dbt's contract too); run-results record each with
+        ``materialized='snapshot'``. Returns the executed order."""
+        registry = all_models()
+        order = [
+            n for n in self._closure(select, exclude)
+            if registry[n].materialized == "snapshot"
+        ]
+        self.last_run_results = []
+        try:
+            for name in order:
+                self._run_one(registry[name], full_refresh=False)
+            return order
+        finally:
+            self._write_run_results(False)
+
     def seed(self, seed_dir: str, delimiter: str = ",") -> list[str]:
         """dbt ``seed``: load every ``*.csv`` under ``seed_dir`` into the
         warehouse as a full-refresh table named after the file. Types are
@@ -372,11 +395,29 @@ class Runner:
             lag_widen_days=self.lag_widen_days,
             vars=self.vars,
         )
-        if full_refresh:
+        if full_refresh and cfg.materialized != "snapshot":
+            # snapshot history survives --full-refresh (dbt: snapshots are
+            # append-only audit state, never rebuilt)
             self.store.drop(cfg.name)
         df = cfg.builder(ctx)
         if cfg.contract:
             enforce_contract(df, cfg.contract, cfg.name)
+        if cfg.materialized == "snapshot":
+            from .snapshots import snapshot_scd2
+
+            snapshot_scd2(
+                self.store,
+                df,
+                cfg.name,
+                cfg.unique_key,
+                strategy=cfg.snapshot_strategy,
+                check_cols=cfg.check_cols,
+                updated_at=cfg.updated_at,
+                now=self.fixed_now,
+                invalidate_hard_deletes=cfg.invalidate_hard_deletes,
+            )
+            self._post_hooks(cfg)
+            return
         if cfg.materialized == "incremental" and ctx.store.exists(cfg.name) and not full_refresh:
             if cfg.incremental_strategy == "append":
                 self.store.append(df, cfg.name, cfg.partition_by)
@@ -462,6 +503,15 @@ class Runner:
                     "relationships": [list(r) for r in cfg.relationships],
                 },
             }
+            if cfg.materialized == "snapshot":
+                # scoped to snapshot nodes so pre-existing model entries
+                # (and their state:modified hashes) are unchanged
+                models[name]["snapshot"] = {
+                    "strategy": cfg.snapshot_strategy,
+                    "check_cols": cfg.check_cols,
+                    "updated_at": cfg.updated_at,
+                    "invalidate_hard_deletes": cfg.invalidate_hard_deletes,
+                }
         return {
             "profile": self.profile,
             "sources": sorted(self.sources),

@@ -11,6 +11,11 @@ pipeline drives a training-data curation pipeline unchanged:
   fingerprint, simhash.
 - ``corpus_dedup_groups`` — exact-dup groups over the fingerprints.
 - ``corpus_stats_by_lang`` — per (predicted language, source) corpus stats.
+- ``corpus_fingerprint_index`` / ``corpus_neardup_pairs`` — incremental
+  CROSS-RUN dedup (r6): a MERGE-upserted MinHash-band + exact-fingerprint
+  index; each run shingles only new documents and joins them against the
+  accumulated index (N incremental runs ≡ one full rebuild —
+  ``tests/test_incremental_dedup.py``).
 """
 
 from . import models  # noqa: F401
@@ -23,6 +28,8 @@ ALL_MODELS = [
     "corpus_training_chunks",
     "corpus_neardup_candidates",
     "corpus_neardup_clusters",
+    "corpus_fingerprint_index",
+    "corpus_neardup_pairs",
     "corpus_packed_sequences",
     "corpus_index_centroids",
     "corpus_embedding_index",

@@ -224,6 +224,95 @@ def corpus_neardup_clusters(ctx: ModelContext) -> DataFrame:
 
 
 @model(
+    "corpus_fingerprint_index",
+    unique_key=["doc_id", "band"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["doc_id", "band", "band_key", "fingerprint"],
+)
+def corpus_fingerprint_index(ctx: ModelContext) -> DataFrame:
+    """Persisted cross-run dedup index: MinHash LSH band keys + the exact
+    content fingerprint per document, MERGE-upserted on the doc_id
+    watermark (VERDICT r5 item 5).
+
+    The 100 TB contract: deduplicating a daily batch must not re-shingle
+    the accumulated corpus. Each run shingles/bands ONLY new documents —
+    a narrow map + the signature groupBy + an n_bands explode — and the
+    MERGE accumulates the frozen band index that
+    ``corpus_neardup_pairs`` probes (the same train-once pattern as
+    ``corpus_embedding_index``). The fingerprint column makes EXACT dedup
+    incremental too: group any slice of this index by fingerprint.
+    """
+    from ..operators.dedup import minhash_band_rows
+
+    docs = ctx.source("main", "documents")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        docs = docs.filter(F.col("doc_id") > wm)
+    bands = minhash_band_rows(docs, "doc_id", "text")
+    fp = docs.select("doc_id", T.fingerprint64(F.col("text")).alias("fingerprint"))
+    return bands.join(fp, "doc_id").select(
+        "doc_id", "band", "band_key", "fingerprint", ctx.now().alias("updated_at")
+    )
+
+
+@model(
+    "corpus_neardup_pairs",
+    unique_key=["id_a", "id_b"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_fingerprint_index"],
+    tags=["corpus"],
+    not_null=["id_a", "id_b"],
+)
+def corpus_neardup_pairs(ctx: ModelContext) -> DataFrame:
+    """Incremental near-duplicate candidates: ONLY new documents' band
+    rows equi-join the accumulated fingerprint index on (band, band_key)
+    — new×old and new×new pairs appear; old×old pairs were found by the
+    run that introduced them, so N incremental runs ≡ one full rebuild
+    (pinned by ``tests/test_incremental_dedup.py``).
+
+    Watermark totality: every processed doc also emits a MARKER row
+    (d, d), so ``max(id_b)`` is the highest processed doc even when a
+    batch yields no real pair — without markers an all-unique batch would
+    stall the watermark and be re-joined forever. Consumers filter
+    ``id_a < id_b``.
+
+    Scale: the join shuffles on (band, band_key) — the bucketed shape,
+    never all-pairs. Degenerate buckets are the same risk as in
+    ``minhash_lsh_candidates``; production caps them using
+    ``lsh_band_bucket_stats`` on the index (a monitoring query over this
+    model's upstream, no re-shingling).
+    """
+    idx = ctx.ref("corpus_fingerprint_index")
+    wm = -1
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("id_b").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+    new = idx.filter(F.col("doc_id") > wm)
+    joined = (
+        new.alias("n")
+        .join(
+            idx.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.band_key") == F.col("i.band_key"))
+            & (F.col("n.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("id_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    markers = new.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).distinct()
+    return joined.unionByName(markers)
+
+
+@model(
     "corpus_packed_sequences",
     unique_key=["doc_id", "chunk_index"],
     materialized="table",

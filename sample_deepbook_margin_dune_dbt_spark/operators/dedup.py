@@ -171,6 +171,39 @@ def minhash_signatures(
     return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) LSH band rows — the exploded banding stage of
+    :func:`minhash_lsh_candidates`, exposed on its own so a pipeline can
+    PERSIST the banding as an incremental index (``models_corpus``'s
+    ``corpus_fingerprint_index``) and band only new documents per run
+    instead of re-shingling the corpus. Signature pipeline + one
+    ``n_bands``-wide explode; no shuffle beyond the signature groupBy.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -198,20 +231,13 @@ def minhash_lsh_candidates(
     instead of discovering it as a hung stage. Verification of candidates
     (exact Jaccard) is linear in candidate count.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"),
-            )
-        )
-    exploded = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*bands)).alias("bk")
-    ).select("_id", F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
+    exploded = minhash_band_rows(
+        df, id_col, text_col, num_hashes, band_size, shingle_n
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("band").alias("_band"),
+        F.col("band_key").alias("_key"),
+    )
     # Bucket-collect instead of a self-join: one groupBy computes the
     # signature pipeline ONCE (a self-join would recompute it for each side)
     # and pair expansion happens inside each bucket, so there is no join
@@ -256,24 +282,13 @@ def lsh_band_bucket_stats(
     picking a cap; in production, alert when max(bucket_size) approaches
     the cap so dropped candidates are a decision, not a surprise.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"),
-            )
-        )
-    exploded = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*bands)).alias("bk")
-    ).select("_id", F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
+    exploded = minhash_band_rows(
+        df, id_col, text_col, num_hashes, band_size, shingle_n
+    )
     return (
-        exploded.groupBy("_band", "_key")
+        exploded.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .groupBy(F.col("_band").alias("band"), "bucket_size")
+        .groupBy("band", "bucket_size")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
     )
 

@@ -1,0 +1,101 @@
+"""Incremental cross-run dedup (VERDICT r5 item 5):
+``corpus_fingerprint_index`` (MERGE-upserted MinHash band + exact
+fingerprint index) and ``corpus_neardup_pairs`` (only NEW docs join the
+accumulated index). Pins: N incremental growth steps ≡ one full rebuild;
+idempotency on a no-growth run; the only-new-side scan prunes at the
+parquet footer (pushed doc_id watermark filter)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore
+from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+    minhash_band_rows,
+    minhash_lsh_candidates,
+)
+import sample_deepbook_margin_dune_dbt_spark.models_corpus  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def doc_slices(spark, sf_dir, tmp_path_factory):
+    """Three growth snapshots of the documents table, by doc_id thirds."""
+    root = tmp_path_factory.mktemp("growth")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3], ids[-1]]
+    paths = []
+    for i, cut in enumerate(cuts):
+        p = str(root / f"step{i}")
+        docs.filter(F.col("doc_id") <= cut).write.parquet(p)
+        paths.append(p)
+    return paths
+
+
+def _pairs(store):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in store.read("corpus_neardup_pairs")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+
+
+def test_incremental_equals_full_rebuild(spark, sf_dir, doc_slices, tmp_path):
+    inc_store = TableStore(spark, str(tmp_path / "inc"))
+    for p in doc_slices:
+        Runner(spark, inc_store, {"main.documents": p}).run(
+            "+corpus_neardup_pairs"
+        )
+
+    # full rebuild twin over the final corpus, same banding parameters
+    full_docs = spark.read.parquet(doc_slices[-1])
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(full_docs, "doc_id", "text").collect()
+    }
+    assert _pairs(inc_store) == want
+    assert want, "fixture corpus must contain near-duplicates"
+
+    # the index itself accumulated every doc's band rows exactly once
+    idx = inc_store.read("corpus_fingerprint_index")
+    want_bands = minhash_band_rows(full_docs, "doc_id", "text")
+    assert idx.count() == want_bands.count()
+    assert (
+        idx.select("doc_id", "band", "band_key")
+        .exceptAll(want_bands)
+        .count()
+        == 0
+    )
+
+
+def test_no_growth_run_is_idempotent(spark, doc_slices, tmp_path):
+    store = TableStore(spark, str(tmp_path / "idem"))
+    runner = Runner(spark, store, {"main.documents": doc_slices[0]})
+    runner.run("+corpus_neardup_pairs")
+    idx_n, pairs = store.read("corpus_fingerprint_index").count(), _pairs(store)
+    runner.run("+corpus_neardup_pairs")
+    assert store.read("corpus_fingerprint_index").count() == idx_n
+    assert _pairs(store) == pairs
+
+
+def test_incremental_scans_only_new_side(spark, doc_slices, tmp_path):
+    """Plan pin: on an incremental run both models' NEW sides carry a
+    pushed doc_id watermark predicate, so the scan prunes at the parquet
+    footer instead of re-reading the accumulated corpus."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import (
+        ModelContext,
+        get_model,
+    )
+
+    store = TableStore(spark, str(tmp_path / "plan"))
+    sources = {"main.documents": doc_slices[0]}
+    Runner(spark, store, sources).run("+corpus_neardup_pairs")
+
+    for name in ("corpus_fingerprint_index", "corpus_neardup_pairs"):
+        cfg = get_model(name)
+        ctx = ModelContext(spark, store, sources, cfg)
+        assert ctx.is_incremental()
+        plan = cfg.builder(ctx)._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThan(doc_id," in plan, name

@@ -150,6 +150,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # loadavg BEFORE the warm-up phase: the warm-up itself generates load,
+    # so `loadavg_start` (read after it) partly measures our own decay —
+    # this reading is the one that shows EXTERNAL machine contention
+    load_pre_warmup = os.getloadavg()
     # session warm-up: trivial action to pay JVM startup once
     spark.range(1000).count()
     # per-query codegen warm-up at the smallest scale factor: compiles each
@@ -173,7 +177,15 @@ def main() -> None:
                 n = fn(spark, sf_dir).count()
                 samples[name].append(time.perf_counter() - t0)
                 assert n >= 0
-            spark._jvm.System.gc()  # drain garbage between rounds, not mid-round
+            # drain garbage between rounds, not mid-round. Python gc FIRST:
+            # dead DataFrame wrappers hold py4j refs that pin JVM plan/block
+            # state (localCheckpoint blocks especially) until released —
+            # without it the 65-query rounds accumulate block-manager
+            # pressure and the iterative queries' timings inflate 2-4×
+            import gc as _gc
+
+            _gc.collect()
+            spark._jvm.System.gc()
         med = {n: round(statistics.median(s), 3) for n, s in samples.items()}
         # per-query median absolute deviation: the artifact-level noise
         # bound VERDICT r5 item 4 asked for — a whole-set drift whose
@@ -205,6 +217,7 @@ def main() -> None:
                 # 1/5/15-min loadavg before and after the timed runs: a
                 # loaded machine (1-min load far above this process's ~32
                 # busy threads) marks the round's totals as contended
+                "loadavg_pre_warmup": [round(x, 2) for x in load_pre_warmup],
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
             }

@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     add_common(compile_p)
 
+    retry_p = sub.add_parser(
+        "retry",
+        help="resume the last run/build/snapshot from its point of failure "
+        "(dbt retry; reads _artifacts/run_results.json)",
+    )
+    add_common(retry_p)
+
     snap_p = sub.add_parser(
         "snapshot",
         help="fold selected SCD2 snapshot nodes' source state into their "
@@ -266,6 +273,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"incremental: {ctx.is_incremental()}")
         df.printSchema()
         print(explain_str(df, "simple"))
+        return 0
+
+    if args.cmd == "retry":
+        # selection comes from the recorded invocation, not the CLI
+        order = runner.retry()
+        for name in order:
+            print(f"retried {name}")
+        if not order:
+            print("nothing to retry — last invocation succeeded")
         return 0
 
     if args.cmd == "snapshot":

@@ -194,6 +194,10 @@ class Runner:
         order = self._closure(select, exclude)
         registry = all_models()
         self.last_run_results = []  # reset per invocation
+        self._last_args = {
+            "command": "run", "select": select, "exclude": exclude,
+            "full_refresh": full_refresh, "threads": threads,
+        }
         try:
             if threads <= 1:
                 for name in order:
@@ -219,12 +223,77 @@ class Runner:
             if registry[n].materialized == "snapshot"
         ]
         self.last_run_results = []
+        self._last_args = {
+            "command": "snapshot", "select": select, "exclude": exclude,
+        }
         try:
             for name in order:
                 self._run_one(registry[name], full_refresh=False)
             return order
         finally:
             self._write_run_results(False)
+
+    def retry(self) -> list[str]:
+        """dbt ``retry``: resume the LAST recorded run/build/snapshot from
+        its point of failure. Reads ``_artifacts/run_results.json``,
+        replays the same command with the same selection, but EXCLUDES
+        every model that already succeeded — their dependents read the
+        existing materializations, so only the failed node and everything
+        after it execute. Returns the re-executed order (empty when the
+        last invocation fully succeeded)."""
+        import json
+        import os
+
+        path = os.path.join(self.store.path("_artifacts"), "run_results.json")
+        if not os.path.exists(path):
+            raise ValueError("retry: no run_results.json — nothing was run yet")
+        with open(path) as f:
+            payload = json.load(f)
+        args = payload.get("args")
+        if not args:
+            raise ValueError(
+                "retry: run_results.json predates args recording — re-run "
+                "the original command instead"
+            )
+        succeeded = [
+            r["model"] for r in payload["results"] if r["status"] == "success"
+        ]
+        if not any(r["status"] != "success" for r in payload["results"]):
+            # every attempted model succeeded AND the walk completed (an
+            # aborted walk leaves unattempted models, which the replayed
+            # closure-minus-successes below would still catch — but a fully
+            # green artifact means there is nothing to resume)
+            registry = all_models()
+            attempted = {r["model"] for r in payload["results"]}
+            cmd = args["command"]
+            wanted = self._closure(args.get("select"), args.get("exclude"))
+            if cmd == "snapshot":
+                wanted = [
+                    n for n in wanted
+                    if registry[n].materialized == "snapshot"
+                ]
+            if set(wanted) <= attempted:
+                return []
+        exclude = args.get("exclude")
+        exclude = [exclude] if isinstance(exclude, str) else list(exclude or [])
+        exclude += succeeded
+        cmd = args["command"]
+        if cmd == "run":
+            return self.run(
+                args.get("select"),
+                full_refresh=bool(args.get("full_refresh")),
+                threads=int(args.get("threads") or 1),
+                exclude=exclude,
+            )
+        if cmd == "build":
+            return self.build(
+                args.get("select"),
+                full_refresh=bool(args.get("full_refresh")),
+                exclude=exclude,
+            )
+        if cmd == "snapshot":
+            return self.snapshot(args.get("select"), exclude=exclude)
+        raise ValueError(f"retry: unknown recorded command {cmd!r}")
 
     def seed(self, seed_dir: str, delimiter: str = ",") -> list[str]:
         """dbt ``seed``: load every ``*.csv`` under ``seed_dir`` into the
@@ -374,6 +443,10 @@ class Runner:
             "generated_at_unix": round(_time.time(), 3),
             "profile": self.profile,
             "full_refresh": full_refresh,
+            # the invoking command + its selection, so `retry` can resume
+            # the same invocation from its point of failure (dbt records
+            # args in run_results.json for the same reason)
+            "args": getattr(self, "_last_args", None),
             "elapsed_s": round(
                 sum(r["execution_time_s"] for r in self.last_run_results), 3
             ),
@@ -550,6 +623,10 @@ class Runner:
         order = self._closure(select, exclude)
         registry = all_models()
         self.last_run_results = []
+        self._last_args = {
+            "command": "build", "select": select, "exclude": exclude,
+            "full_refresh": full_refresh,
+        }
         try:
             for name in order:
                 self._run_one(registry[name], full_refresh)

@@ -124,24 +124,34 @@ def _outlier_screen(ev: DataFrame) -> DataFrame:
     # silently NULLs, so is_outlier would undercount with no signal. Both
     # sides are bounded by B = n·max|c|: left (n·c − s1)² ≤ (2B)², right
     # 9(n·s2 − s1²) ≤ 18B², so 18B² < 10³⁸ ⇔ B < ~7.4e17 keeps every
-    # product inside DECIMAL(38,0). One extra driver-side scalar over the
-    # ≤|event_type| stats rows; fails loudly instead of dropping flags.
-    bound = stats.agg(
-        F.max(F.col("n") * F.col("maxc")).cast("decimal(38,0)").alias("b")
-    ).collect()[0]["b"]
-    if bound is not None and int(bound) > 7 * 10**17:
-        raise ArithmeticError(
-            f"events_outlier_zscore: n*max|c| = {bound} exceeds the "
-            "DECIMAL(38,0) overflow-safe bound 7e17 — rescale c (coarser "
-            "cents grid) or compute per-group on a scaled grid"
-        )
+    # product inside DECIMAL(38,0). The guard RIDES the broadcast stats
+    # join as a raise_error branch — no extra driver pass, fails loudly
+    # at execution instead of dropping flags.
+    bound = F.col("n") * F.col("maxc")
+    guard = F.when(
+        bound > F.lit(7 * 10**17).cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit("events_outlier_zscore: n*max|c| = "),
+                bound.cast("string"),
+                F.lit(
+                    " exceeds the DECIMAL(38,0) overflow-safe bound 7e17 — "
+                    "rescale c (coarser cents grid) or compute per-group on "
+                    "a scaled grid"
+                ),
+            )
+        ).cast("boolean"),
+    )
     flagged = (
-        ev.join(F.broadcast(stats.drop("maxc")), "event_type")
+        ev.join(F.broadcast(stats), "event_type")
         .withColumn(
             "is_outlier",
-            (F.col("n") * F.col("c") - F.col("s1"))
-            * (F.col("n") * F.col("c") - F.col("s1"))
-            > F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+            F.coalesce(
+                guard,
+                (F.col("n") * F.col("c") - F.col("s1"))
+                * (F.col("n") * F.col("c") - F.col("s1"))
+                > F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+            ),
         )
     )
     return flagged.groupBy("event_type").agg(

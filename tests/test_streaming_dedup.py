@@ -1,0 +1,100 @@
+"""Streaming cross-run dedup (``streaming/dedup.py``): within-batch and
+cross-drop exact dedup, band-index maintenance, pair emission, and
+parity with the batch operators on the same content."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
+from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+    dedup_exact,
+    minhash_band_rows,
+    minhash_lsh_candidates,
+)
+from sample_deepbook_margin_dune_dbt_spark.streaming import stream_dedup_ingest
+
+SCHEMA = "doc_id BIGINT, text STRING"
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different content about adaptive query execution plans"
+
+
+def _drop(landing: str, name: str, docs: list[tuple[int, str]]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        for i, t in docs:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+
+def _run(spark, landing, store, ckpt):
+    q = stream_dedup_ingest(
+        spark, landing, SCHEMA, store, "corpus", ckpt
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_dedup_two_drops(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop 1: docs 2 and 3 share content → 3 dropped within-batch
+    _drop(landing, "a.jsonl", [(1, BASE), (2, OTHER), (3, OTHER)])
+    _run(spark, landing, store, ckpt)
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == {1, 2}
+    dups = {r["doc_id"]: r["kept_id"] for r in store.read("corpus_dups").collect()}
+    assert dups == {3: 2}
+
+    # drop 2: doc 4 repeats drop-1 content (cross-run dropped), doc 5 is a
+    # near-dup of doc 1 (one word differs → shared shingles → band hit)
+    _drop(landing, "b.jsonl", [(4, OTHER), (5, NEAR)])
+    _run(spark, landing, store, ckpt)
+
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == {1, 2, 5}
+    dups = {r["doc_id"]: r["kept_id"] for r in store.read("corpus_dups").collect()}
+    assert dups == {3: 2, 4: 2}
+
+    # the index carries band rows exactly for the surviving corpus
+    corpus = store.read("corpus")
+    want = minhash_band_rows(corpus, "doc_id", "text")
+    idx = store.read("corpus_fingerprint_index")
+    assert idx.count() == want.count()
+    assert idx.select("doc_id", "band", "band_key").exceptAll(want).count() == 0
+
+    # pair emission found the planted near-dup
+    pairs = {(r["id_a"], r["id_b"]) for r in store.read("corpus_neardup_pairs").collect()}
+    assert (1, 5) in pairs
+
+    # stream ≡ batch: survivors match batch exact-dedup over ALL dropped
+    # docs (first id per content), pairs match the batch LSH candidates
+    # over the surviving corpus
+    all_docs = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, OTHER), (4, OTHER), (5, NEAR)],
+        "doc_id long, text string",
+    )
+    batch_survivors = {r["doc_id"] for r in dedup_exact(all_docs, "doc_id", "text").collect()}
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == batch_survivors
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(corpus, "doc_id", "text").collect()
+    }
+    assert pairs == batch_pairs
+
+
+def test_stream_dedup_rerun_is_idempotent(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    _drop(landing, "a.jsonl", [(1, BASE), (2, OTHER)])
+    _run(spark, landing, store, ckpt)
+    n_corpus = store.read("corpus").count()
+    n_idx = store.read("corpus_fingerprint_index").count()
+    # restart against the same checkpoint: no files to process, no change
+    _run(spark, landing, store, ckpt)
+    assert store.read("corpus").count() == n_corpus
+    assert store.read("corpus_fingerprint_index").count() == n_idx

@@ -142,6 +142,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     add_common(compile_p)
 
+    ut_p = sub.add_parser(
+        "unit-test",
+        help="run registered dbt-style unit tests (mocked refs/sources vs "
+        "expected rows; no warehouse state touched)",
+    )
+    ut_p.add_argument(
+        "--select", default=None,
+        help="test name, model:<model>, or tag:<tag> (default: all)",
+    )
+
     retry_p = sub.add_parser(
         "retry",
         help="resume the last run/build/snapshot from its point of failure "
@@ -192,6 +202,21 @@ def main(argv: list[str] | None = None) -> int:
     add_common(docs_p)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "unit-test":
+        from .engine import all_unit_tests, run_unit_tests
+
+        spark = get_spark(app_name="engine-unit-test")
+        spark.sparkContext.setLogLevel("ERROR")
+        failures = run_unit_tests(spark, args.select)
+        n = len(all_unit_tests())
+        if failures:
+            for name, probs in failures.items():
+                for p in probs:
+                    print(f"FAIL {p}", file=sys.stderr)
+            return 1
+        print(f"all {n} unit tests passed")
+        return 0
 
     if args.cmd == "ls":
         for name, cfg in sorted(all_models().items()):

@@ -3,9 +3,13 @@ from .model import model, snapshot, ModelConfig, ModelContext, get_model, all_mo
 from .materialize import TableStore
 from .runner import Runner
 from .snapshots import snapshot_scd2
+from .unittests import unit_test, run_unit_tests, all_unit_tests
 
 __all__ = [
     "snapshot_scd2",
+    "unit_test",
+    "run_unit_tests",
+    "all_unit_tests",
     "snapshot",
     "get_spark",
     "model",

@@ -19,6 +19,7 @@ pipeline drives a training-data curation pipeline unchanged:
 """
 
 from . import models  # noqa: F401
+from . import unit_tests  # noqa: F401  (registers dbt-style unit tests)
 
 ALL_MODELS = [
     "stg_document_features",

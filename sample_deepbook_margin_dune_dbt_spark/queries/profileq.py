@@ -191,8 +191,104 @@ GROUP BY 1
 """
 
 
+_TVD_BINS, _TVD_LO, _TVD_HI = 20, 0.0, 500.0
+
+
+def q_events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen between the FIRST and SECOND half of the
+    events time range: per-bucket value shares of both windows and their
+    absolute difference — total variation distance = Σ contrib / 2.
+
+    TVD instead of PSI/KL because it is RATIONAL: shares are exact
+    integer ppm (``count·10⁶ div total`` — integer division, no float
+    path), so the screen is bit-identical across engines where a
+    log-based divergence could flip at the last ulp. The two windows
+    split at the midpoint of (min, max) event time — a pure function of
+    the data, no clock. Scale shape: one scalar min/max probe
+    (footer-cheap), then ONE grouped count over (window, bucket) with
+    map-side combine, a ≤2·(bins+2)-row pivot, and a broadcast of the
+    two totals. Monitoring contract: alert when tvd_ppm = Σ contrib_ppm
+    exceeds a threshold.
+    """
+    from pyspark.sql import functions as F
+
+    from .common import event_ts_us, load
+
+    ev = load(spark, sf_dir, "events").select(
+        event_ts_us().alias("us"), F.col("value")
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    mid = (int(lo) + int(hi)) // 2  # exact integer midpoint, both engines
+    width = (_TVD_HI - _TVD_LO) / _TVD_BINS
+    bucket = (
+        F.when(F.col("value") < _TVD_LO, F.lit(0))
+        .when(F.col("value") >= _TVD_HI, F.lit(_TVD_BINS + 1))
+        .otherwise((F.floor((F.col("value") - _TVD_LO) / width) + 1))
+        .cast("bigint")
+    )
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .select((F.col("us") <= mid).alias("first_half"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("first_half"), 0).otherwise(1)).alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    share_a = F.expr("n_a * 1000000 div _ta")
+    share_b = F.expr("n_b * 1000000 div _tb")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            share_a.cast("long").alias("share_a_ppm"),
+            share_b.cast("long").alias("share_b_ppm"),
+            F.abs(share_a - share_b).cast("long").alias("contrib_ppm"),
+        )
+    )
+
+
+SQL_DRIFT_TVD = f"""
+WITH ev AS (
+    SELECT epoch_us(ts) AS us, value FROM events
+),
+bounds AS (
+    SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS mid
+    FROM ev
+),
+bucketed AS (
+    SELECT us <= (SELECT mid FROM bounds) AS first_half,
+           CAST(CASE WHEN value < {_TVD_LO} THEN 0
+                     WHEN value >= {_TVD_HI} THEN {_TVD_BINS + 1}
+                     ELSE floor((value - {_TVD_LO}) / {(_TVD_HI - _TVD_LO) / _TVD_BINS}) + 1
+                END AS BIGINT) AS bucket
+    FROM ev WHERE value IS NOT NULL
+),
+counts AS (
+    SELECT bucket,
+           sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS n_b
+    FROM bucketed GROUP BY 1
+),
+tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts)
+SELECT bucket,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
+       CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
+       CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS BIGINT) AS contrib_ppm
+FROM counts, tot
+"""
+
+
 PROFILE_QUERIES = {
     "corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
     "corpus_length_histogram": (q_corpus_length_histogram, SQL_LENGTH_HISTOGRAM),
     "events_outlier_zscore": (q_events_outlier_zscore, SQL_OUTLIER_ZSCORE),
+    "events_drift_tvd": (q_events_drift_tvd, SQL_DRIFT_TVD),
 }

@@ -228,10 +228,13 @@ def main(argv: list[str] | None = None) -> int:
     store = TableStore(spark, args.warehouse, schema_suffix=args.schema_suffix)
 
     if args.cmd == "docs":
+        # dbt docs generate: manifest (declared DAG) + catalog (what is
+        # actually materialized: storage schema + row counts)
         runner = Runner(
             spark, store, _parse_sources(args.source), state=args.state
         )
         print(runner.write_manifest(args.select, exclude=args.exclude))
+        print(runner.write_catalog(args.select, exclude=args.exclude))
         return 0
 
     if args.cmd == "show":

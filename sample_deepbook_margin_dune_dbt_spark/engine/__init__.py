@@ -1,5 +1,5 @@
 from .session import get_spark
-from .model import model, snapshot, ModelConfig, ModelContext, get_model, all_models, clear_registry, enforce_contract
+from .model import model, snapshot, exposure, all_exposures, ModelConfig, ModelContext, get_model, all_models, clear_registry, enforce_contract
 from .materialize import TableStore
 from .runner import Runner
 from .snapshots import snapshot_scd2
@@ -11,6 +11,8 @@ __all__ = [
     "run_unit_tests",
     "all_unit_tests",
     "snapshot",
+    "exposure",
+    "all_exposures",
     "get_spark",
     "model",
     "ModelConfig",

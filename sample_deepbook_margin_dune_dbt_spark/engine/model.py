@@ -223,6 +223,59 @@ def snapshot(
     return deco
 
 
+@dataclass
+class ExposureConfig:
+    """dbt exposure: a declared DOWNSTREAM consumer of the DAG (a
+    dashboard, an ML training job, an export feed). Metadata-only — it
+    never executes — but it appears in the manifest for lineage tools
+    and is selectable (``exposure:<name>`` resolves to its upstream
+    closure), so CI can rebuild exactly what a consumer reads."""
+
+    name: str
+    depends_on: list[str]
+    type: str = "application"  # dbt: dashboard|notebook|analysis|ml|application
+    owner: str = ""
+    url: str = ""
+    description: str = ""
+
+
+_EXPOSURES: dict[str, ExposureConfig] = {}
+
+_EXPOSURE_TYPES = ("dashboard", "notebook", "analysis", "ml", "application")
+
+
+def exposure(
+    name: str,
+    depends_on: list[str],
+    type: str = "application",
+    owner: str = "",
+    url: str = "",
+    description: str = "",
+) -> ExposureConfig:
+    """Register a dbt-style exposure; returns its config."""
+    if not depends_on:
+        raise ValueError(f"exposure {name!r}: depends_on must be non-empty")
+    if type not in _EXPOSURE_TYPES:
+        raise ValueError(
+            f"exposure {name!r}: type={type!r}; expected one of {_EXPOSURE_TYPES}"
+        )
+    missing = [d for d in depends_on if d not in _REGISTRY]
+    if missing:
+        raise ValueError(
+            f"exposure {name!r}: depends_on names unregistered model(s) {missing}"
+        )
+    cfg = ExposureConfig(
+        name=name, depends_on=list(depends_on), type=type,
+        owner=owner, url=url, description=description,
+    )
+    _EXPOSURES[name] = cfg
+    return cfg
+
+
+def all_exposures() -> dict[str, ExposureConfig]:
+    return dict(_EXPOSURES)
+
+
 # common spellings → Spark simpleString() canonical names, so a contract
 # can say 'long' for what simpleString reports as 'bigint'
 _TYPE_ALIASES = {

@@ -115,6 +115,30 @@ class Runner:
             for sel in selectors:
                 if sel == "state:modified":
                     wanted |= self._modified_models()
+                elif sel.startswith("exposure:") or (
+                    sel.startswith("+exposure:")
+                ):
+                    # an exposure selects its upstream closure (dbt
+                    # `--select +exposure:x`; the bare form is the same —
+                    # an exposure has no node of its own to build)
+                    from .model import all_exposures
+
+                    ename = sel.split("exposure:", 1)[1]
+                    exposures = all_exposures()
+                    if ename not in exposures:
+                        if strict:
+                            raise KeyError(
+                                f"selector {sel!r} names unknown exposure "
+                                f"{ename!r}; registered: {sorted(exposures)}"
+                            )
+                        continue
+                    stack = list(exposures[ename].depends_on)
+                    while stack:
+                        m = stack.pop()
+                        if m in wanted:
+                            continue
+                        wanted.add(m)
+                        stack.extend(registry[m].deps)
                 elif sel.startswith("tag:"):
                     tagged = {m for m, c in registry.items() if sel[4:] in c.tags}
                     if not tagged and strict:
@@ -585,10 +609,25 @@ class Runner:
                     "updated_at": cfg.updated_at,
                     "invalidate_hard_deletes": cfg.invalidate_hard_deletes,
                 }
+        from .model import all_exposures
+
         return {
             "profile": self.profile,
             "sources": sorted(self.sources),
             "models": models,
+            # exposures whose full upstream set is inside the selection —
+            # lineage consumers see only consumers their view can serve
+            "exposures": {
+                e.name: {
+                    "type": e.type,
+                    "depends_on": e.depends_on,
+                    "owner": e.owner,
+                    "url": e.url,
+                    "description": e.description,
+                }
+                for e in all_exposures().values()
+                if set(e.depends_on) <= set(models)
+            },
         }
 
     def write_manifest(
@@ -605,6 +644,53 @@ class Runner:
         path = os.path.join(art_dir, "manifest.json")
         with open(path, "w") as f:
             json.dump(self.manifest(select, exclude), f, indent=1, default=str)
+        return path
+
+    def catalog(
+        self,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> dict:
+        """dbt ``catalog.json``: what is ACTUALLY materialized — per table
+        the storage schema (column name/type/nullable) and row count,
+        as opposed to the manifest's declared config. Models not yet
+        built are listed with ``exists: false``. Schema comes from the
+        parquet footers (metadata-cheap); the row count is one
+        footer-level count per table."""
+        tables: dict[str, dict] = {}
+        for name in self._closure(select, exclude):
+            if not self.store.exists(name):
+                tables[name] = {"exists": False}
+                continue
+            df = self.store.read(name)
+            tables[name] = {
+                "exists": True,
+                "columns": [
+                    {
+                        "name": f.name,
+                        "type": f.dataType.simpleString(),
+                        "nullable": f.nullable,
+                    }
+                    for f in df.schema.fields
+                ],
+                "row_count": df.count(),
+            }
+        return {"tables": tables}
+
+    def write_catalog(
+        self,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+    ) -> str:
+        """Persist the catalog next to manifest.json; returns the path."""
+        import json
+        import os
+
+        art_dir = self.store.path("_artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        path = os.path.join(art_dir, "catalog.json")
+        with open(path, "w") as f:
+            json.dump(self.catalog(select, exclude), f, indent=1, default=str)
         return path
 
     def build(

@@ -100,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
             default=None,
             help="path to a prior manifest.json enabling --select state:modified",
         )
+        p.add_argument(
+            "--defer-warehouse",
+            default=None,
+            help="fallback warehouse for unbuilt refs (dbt --defer): a dev "
+            "build of one model reads its unbuilt upstreams from here",
+        )
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)
@@ -266,6 +272,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"seeded {name}")
         return 0
 
+    defer_wh = getattr(args, "defer_warehouse", None)
     runner = Runner(
         spark,
         store,
@@ -276,6 +283,7 @@ def main(argv: list[str] | None = None) -> int:
         lag_widen_days=args.lag_widen_days,
         vars=_parse_vars(getattr(args, "vars", [])),
         state=getattr(args, "state", None),
+        defer_store=TableStore(spark, defer_wh) if defer_wh else None,
     )
 
     if args.cmd == "compile":

@@ -344,9 +344,14 @@ class ModelContext:
         lookback_days: int = 7,
         lag_widen_days: int = 0,
         vars: dict[str, object] | None = None,
+        defer_store: Optional[TableStore] = None,
     ):
         self.spark = spark
         self.store = store
+        # dbt --defer: refs not materialized HERE fall back to another
+        # environment's warehouse (a dev build of one model reads its
+        # unbuilt upstreams from prod instead of rebuilding the world)
+        self.defer_store = defer_store
         self._sources = sources
         self.current = current
         self.full_refresh = full_refresh
@@ -386,6 +391,12 @@ class ModelContext:
             raise ValueError(
                 f"model {self.current.name!r} refs {name!r} but does not declare it in deps"
             )
+        if (
+            self.defer_store is not None
+            and not self.store.exists(name)
+            and self.defer_store.exists(name)
+        ):
+            return self.defer_store.read(name)
         return self.store.read(name)
 
     def var(self, name: str, default=None):

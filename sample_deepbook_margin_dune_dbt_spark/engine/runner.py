@@ -36,9 +36,13 @@ class Runner:
         lag_widen_days: int = 0,
         vars: dict[str, object] | None = None,
         state: Optional[str] = None,
+        defer_store: Optional[TableStore] = None,
     ):
         self.spark = spark
         self.store = store
+        #: dbt --defer: refs not materialized in this warehouse read from
+        #: this fallback store (a prod environment) instead of failing
+        self.defer_store = defer_store
         self.sources = sources
         self.fixed_now = fixed_now
         self.backfill_days = backfill_days
@@ -491,6 +495,7 @@ class Runner:
             lookback_days=self.lookback_days,
             lag_widen_days=self.lag_widen_days,
             vars=self.vars,
+            defer_store=self.defer_store,
         )
         if full_refresh and cfg.materialized != "snapshot":
             # snapshot history survives --full-refresh (dbt: snapshots are

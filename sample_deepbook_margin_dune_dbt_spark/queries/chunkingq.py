@@ -79,6 +79,81 @@ FROM laid WHERE t > 0
 """
 
 
+_PACK_LENGTHS = (128, 256, 512, 1024)
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for choosing ``max_seq_len``: for each
+    candidate length L, the cost of PADDED per-document packing (every
+    doc padded up to a multiple of L — the fine-tuning/packed-attention
+    layout, where concat-and-cut is not an option because documents must
+    not straddle sequence boundaries).
+
+    Output per L: docs, total tokens, padded tokens
+    (Σ ceil(t/L)·L − t), waste in exact ppm, and the count of docs that
+    fit a single sequence. One grouped pass over an EXPAND of the
+    candidate lengths (≤ |L| rows out); all integer arithmetic — the
+    report is bit-identical across engines.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+
+    toks = load(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).cast("long").alias("t")
+    ).filter(F.col("t") > 0)
+    lens = F.array(*[F.lit(length) for length in _PACK_LENGTHS])
+    per_len = toks.select(
+        F.explode(lens).alias("seq_len"), F.col("t")
+    ).withColumn("padded", F.expr("ceil(t / seq_len) * seq_len"))
+    return (
+        per_len.groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum(F.col("padded") - F.col("t")).cast("long").alias("pad_tokens"),
+            F.sum(F.when(F.col("t") <= F.col("seq_len"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_single_seq_docs"),
+        )
+        .select(
+            F.col("seq_len").cast("long").alias("seq_len"),
+            "n_docs",
+            "total_tokens",
+            "pad_tokens",
+            F.expr("pad_tokens * 1000000 div (total_tokens + pad_tokens)")
+            .cast("long")
+            .alias("waste_ppm"),
+            "n_single_seq_docs",
+        )
+    )
+
+
+_SQL_PACK_EFFICIENCY = f"""
+WITH toks AS (
+    SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t
+    FROM documents
+    WHERE len(string_split(trim(text), ' ')) > 0
+),
+per_len AS (
+    SELECT l.seq_len, t, CAST(ceil(t / CAST(seq_len AS DOUBLE)) AS BIGINT) * seq_len AS padded
+    FROM toks, (SELECT unnest({list(_PACK_LENGTHS)}) AS seq_len) l
+),
+agg AS (
+    SELECT CAST(seq_len AS BIGINT) AS seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(sum(padded - t) AS BIGINT) AS pad_tokens,
+           CAST(sum(CASE WHEN t <= seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_single_seq_docs
+    FROM per_len GROUP BY 1
+)
+SELECT seq_len, n_docs, total_tokens, pad_tokens,
+       CAST(pad_tokens * 1000000 // (total_tokens + pad_tokens) AS BIGINT) AS waste_ppm,
+       n_single_seq_docs
+FROM agg
+"""
+
+
 _CDC_WINDOW, _CDC_DIVISOR = 4, 16
 
 
@@ -139,6 +214,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNKING_QUERIES = {
     "chunk_token_windows": (q_chunk_windows, _SQL_CHUNKS),
     "chunk_pack_sequences": (q_pack_sequences, _pack_sql()),
+    "chunk_pack_efficiency": (q_pack_efficiency, _SQL_PACK_EFFICIENCY),
     "chunk_content_defined": (q_chunk_content_defined, _SQL_CDC),
     "corpus_bpe_merges": (q_bpe_merges, None),
 }

@@ -20,6 +20,7 @@ from ..operators import contamination as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
+from ..operators.sampling import sql_hash_uniform
 from .common import load
 
 # DuckDB twin of functions.text.fingerprint64
@@ -544,6 +545,72 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.v, b.v) >= 0.9
 """
 
+_SIMPROF_FRAC = 0.12  # ≈ 60 vectors at sf0.01 — bounded all-pairs ≈ 1.8k
+
+
+def q_emb_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity PROFILE over a deterministic hash sample —
+    the threshold-tuning / drift companion to the near-dup tier: before
+    committing to a cosine cutoff (or to detect an embedding-space
+    shift), look at the distribution of pairwise cosines.
+
+    Scale shape: the full all-pairs histogram is O(N²) and never
+    computable at corpus scale; a bounded hash sample (md5 variate —
+    reproducible across engines and runs) caps the pair count at
+    s²/2 regardless of corpus size, which is the production-legitimate
+    estimate of the similarity distribution. Deciles of cosine (floor of
+    cosine·10) with counts and exact min/max cosine_e6 per bucket —
+    integer projections only, so the profile hash-compares.
+    """
+    from ..operators.sampling import hash_uniform
+    from ..operators.similarity import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(hash_uniform("vec_id", "simprof") < _SIMPROF_FRAC)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        _norm(F.col("v")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_e6",
+            F.floor(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1e6
+            ).cast("long"),
+        )
+    )
+    bucket = F.floor(F.col("cosine_e6") / 100_000).cast("long")
+    return pairs.groupBy(bucket.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("cosine_e6").alias("min_cosine_e6"),
+        F.max("cosine_e6").alias("max_cosine_e6"),
+    )
+
+
+SQL_EMB_SIMILARITY_PROFILE = f"""
+WITH sample AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+    WHERE {sql_hash_uniform('vec_id', 'simprof')} < {_SIMPROF_FRAC}
+),
+pairs AS (
+    SELECT CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS cosine_e6
+    FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+)
+SELECT CAST(floor(cosine_e6 / 100000.0) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(cosine_e6) AS min_cosine_e6,
+       max(cosine_e6) AS max_cosine_e6
+FROM pairs GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -878,6 +945,7 @@ LLMOPS_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "emb_decontaminate": (q_emb_decontaminate, SQL_EMB_DECONTAMINATE),
+    "emb_similarity_profile": (q_emb_similarity_profile, SQL_EMB_SIMILARITY_PROFILE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),

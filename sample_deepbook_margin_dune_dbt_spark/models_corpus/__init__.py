@@ -16,6 +16,11 @@ pipeline drives a training-data curation pipeline unchanged:
   index; each run shingles only new documents and joins them against the
   accumulated index (N incremental runs ≡ one full rebuild —
   ``tests/test_incremental_dedup.py``).
+- ``corpus_neardup_clusters_inc`` — incremental transitive clusters via
+  CONTRACTED-graph connected components (r6): new edges map through the
+  existing labels, CC runs on the tiny representative graph, and only
+  relabeled old rows re-MERGE (N growth steps ≡ one full CC rebuild,
+  including cluster-bridging batches).
 """
 
 from . import models  # noqa: F401
@@ -31,6 +36,7 @@ ALL_MODELS = [
     "corpus_neardup_clusters",
     "corpus_fingerprint_index",
     "corpus_neardup_pairs",
+    "corpus_neardup_clusters_inc",
     "corpus_packed_sequences",
     "corpus_index_centroids",
     "corpus_embedding_index",

@@ -313,6 +313,97 @@ def corpus_neardup_pairs(ctx: ModelContext) -> DataFrame:
 
 
 @model(
+    "corpus_neardup_clusters_inc",
+    unique_key=["doc_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_neardup_pairs"],
+    tags=["corpus"],
+    not_null=["doc_id", "cluster_id"],
+)
+def corpus_neardup_clusters_inc(ctx: ModelContext) -> DataFrame:
+    """Incremental transitive near-dup clusters via CONTRACTED-graph
+    connected components: re-running corpus-scale CC per batch is the
+    scale-killer this model removes.
+
+    One row per processed doc, ``cluster_id`` = min reachable doc id
+    (singletons label themselves, so the table doubles as the processed
+    watermark). Each run:
+
+    1. new pairs = ``corpus_neardup_pairs`` rows above the doc
+       watermark (a pair is produced by the batch that introduces its
+       LATER member, so this is exactly the new edge set);
+    2. endpoints map through the EXISTING labels (identity for new
+       docs) — edges between cluster representatives; the contracted
+       graph is orders of magnitude smaller than the corpus (≤ new-edge
+       endpoints' clusters);
+    3. ``duplicate_clusters`` runs on the contracted edges only;
+    4. MERGE writes the new docs' labels plus ONLY the old rows whose
+       cluster representative changed (label-keyed join against the
+       tiny resolve map — old docs in untouched clusters never rewrite).
+
+    N growth steps ≡ one full CC rebuild
+    (``tests/test_incremental_dedup.py``). The batch twin
+    ``corpus_neardup_clusters`` stays the full-rebuild authority.
+    """
+    from ..operators.dedup import duplicate_clusters
+
+    pairs = ctx.ref("corpus_neardup_pairs")
+    wm = -1
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+    new_pairs = pairs.filter(F.col("id_b") > wm)
+    new_docs = new_pairs.filter(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("doc_id")
+    )
+    real = new_pairs.filter(F.col("id_a") < F.col("id_b"))
+
+    if ctx.is_incremental():
+        labels_old = ctx.this().select("doc_id", "cluster_id")
+        lab_a = labels_old.select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_la")
+        )
+        lab_b = labels_old.select(
+            F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_lb")
+        )
+        contracted = (
+            real.join(lab_a, "id_a", "left")
+            .join(lab_b, "id_b", "left")
+            .select(
+                F.coalesce("_la", "id_a").alias("id_a"),
+                F.coalesce("_lb", "id_b").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+    else:
+        contracted = real.select("id_a", "id_b")
+
+    has_edges = contracted.limit(1).count() > 0
+    if has_edges:
+        # resolve: old/interim label → final (min-id) representative
+        resolve = duplicate_clusters(contracted).select(
+            F.col("id").alias("_old"), F.col("cluster_id").alias("_new")
+        )
+        new_rows = new_docs.join(
+            resolve, new_docs["doc_id"] == resolve["_old"], "left"
+        ).select(
+            "doc_id", F.coalesce("_new", "doc_id").alias("cluster_id")
+        )
+        if ctx.is_incremental():
+            changed_old = (
+                ctx.this()
+                .join(resolve, F.col("cluster_id") == F.col("_old"))
+                .filter(F.col("_new") != F.col("cluster_id"))
+                .select("doc_id", F.col("_new").alias("cluster_id"))
+            )
+            return new_rows.unionByName(changed_old)
+        return new_rows
+    return new_docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+
+@model(
     "corpus_packed_sequences",
     unique_key=["doc_id", "chunk_index"],
     materialized="table",

@@ -99,3 +99,87 @@ def test_incremental_scans_only_new_side(spark, doc_slices, tmp_path):
         assert ctx.is_incremental()
         plan = cfg.builder(ctx)._jdf.queryExecution().executedPlan().toString()
         assert "GreaterThan(doc_id," in plan, name
+
+
+def test_incremental_clusters_equal_full_cc(spark, doc_slices, tmp_path):
+    """Contracted-graph incremental CC ≡ full duplicate_clusters rebuild
+    across 3 growth steps (singletons label themselves in the
+    incremental table; the full twin omits them)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    store = TableStore(spark, str(tmp_path / "cc"))
+    for p in doc_slices:
+        Runner(spark, store, {"main.documents": p}).run(
+            "+corpus_neardup_clusters_inc"
+        )
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in store.read("corpus_neardup_clusters_inc").collect()
+    }
+    full_docs = spark.read.parquet(doc_slices[-1])
+    pairs = minhash_lsh_candidates(full_docs, "doc_id", "text")
+    want = {
+        r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    clustered_got = {d: c for d, c in got.items() if c != d or d in want}
+    # every clustered doc agrees with the full rebuild
+    assert clustered_got == want
+    assert want, "fixture corpus must contain near-dup clusters"
+    # and the incremental table covers every ingested doc exactly once
+    assert set(got) == {r["doc_id"] for r in full_docs.select("doc_id").collect()}
+
+
+def test_incremental_clusters_merge_across_steps(spark, tmp_path):
+    """A later batch that BRIDGES two existing clusters relabels the old
+    rows through the resolve map (the changed-old MERGE path)."""
+    import sample_deepbook_margin_dune_dbt_spark.models_corpus  # noqa: F401
+
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t_b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    steps = [
+        [(1, t_a), (2, t_a + " one"), (10, t_b), (11, t_b + " two")],
+        # doc 20 is near BOTH families: its text shares shingles with each
+        [(20, t_a + " " + t_b)],
+    ]
+    paths = []
+    for i, rows in enumerate(steps):
+        p = str(tmp_path / f"s{i}")
+        acc = [r for s in steps[: i + 1] for r in s]
+        spark.createDataFrame(acc, "doc_id long, text string").write.parquet(p)
+        paths.append(p)
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    Runner(spark, store, {"main.documents": paths[0]}).run(
+        "+corpus_neardup_clusters_inc"
+    )
+    first = {
+        r["doc_id"]: r["cluster_id"]
+        for r in store.read("corpus_neardup_clusters_inc").collect()
+    }
+    assert first[2] == 1 and first[11] == 10  # two separate families
+
+    Runner(spark, store, {"main.documents": paths[1]}).run(
+        "+corpus_neardup_clusters_inc"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in store.read("corpus_neardup_clusters_inc").collect()
+    }
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    all_docs = spark.createDataFrame(
+        [r for s in steps for r in s], "doc_id long, text string"
+    )
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            minhash_lsh_candidates(all_docs, "doc_id", "text")
+        ).collect()
+    }
+    for d, c in want.items():
+        assert got[d] == c, (d, got[d], c)

@@ -44,6 +44,7 @@ from ..engine.materialize import TableStore
 INDEX_SUFFIX = "_fingerprint_index"
 PAIRS_SUFFIX = "_neardup_pairs"
 DUPS_SUFFIX = "_dups"
+CLUSTERS_SUFFIX = "_neardup_clusters"
 
 
 def stream_dedup_ingest(
@@ -58,7 +59,9 @@ def stream_dedup_ingest(
     index_table: str | None = None,
     pairs_table: str | None = None,
     dups_table: str | None = None,
+    clusters_table: str | None = None,
     emit_pairs: bool = True,
+    emit_clusters: bool = False,
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
@@ -81,6 +84,9 @@ def stream_dedup_ingest(
     idx_table = index_table or corpus_table + INDEX_SUFFIX
     prs_table = pairs_table or corpus_table + PAIRS_SUFFIX
     dup_table = dups_table or corpus_table + DUPS_SUFFIX
+    clu_table = clusters_table or corpus_table + CLUSTERS_SUFFIX
+    if emit_clusters and not emit_pairs:
+        raise ValueError("emit_clusters requires emit_pairs")
 
     stream = (
         spark.readStream.schema(schema)
@@ -153,9 +159,64 @@ def stream_dedup_ingest(
                 )
                 if pairs.limit(1).count() > 0:
                     store.merge(pairs, prs_table, ["id_a", "id_b"])
+                if emit_clusters:
+                    _fold_clusters(
+                        store, clu_table, pairs,
+                        survivors.select(F.col(id_col).alias("doc_id")),
+                    )
             survivors.unpersist()
         finally:
             batch.unpersist()
+
+    def _fold_clusters(store, clu_table, new_pairs, new_docs) -> None:
+        """Contracted-graph CC fold (the streaming twin of the batch
+        ``corpus_neardup_clusters_inc`` model): the batch's new edges map
+        through the existing labels, CC runs on the tiny representative
+        graph, and the MERGE writes new docs' labels plus only the old
+        rows whose representative changed."""
+        from ..operators.dedup import duplicate_clusters
+
+        real = new_pairs.filter(F.col("id_a") < F.col("id_b"))
+        if store.exists(clu_table):
+            labels = store.read(clu_table)
+            lab_a = labels.select(
+                F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_la")
+            )
+            lab_b = labels.select(
+                F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_lb")
+            )
+            contracted = (
+                real.join(lab_a, "id_a", "left")
+                .join(lab_b, "id_b", "left")
+                .select(
+                    F.coalesce("_la", "id_a").alias("id_a"),
+                    F.coalesce("_lb", "id_b").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .distinct()
+            )
+        else:
+            labels = None
+            contracted = real.select("id_a", "id_b")
+        if contracted.limit(1).count() > 0:
+            resolve = duplicate_clusters(contracted).select(
+                F.col("id").alias("_old"), F.col("cluster_id").alias("_new")
+            )
+            new_rows = new_docs.join(
+                resolve, new_docs["doc_id"] == resolve["_old"], "left"
+            ).select("doc_id", F.coalesce("_new", "doc_id").alias("cluster_id"))
+            if labels is not None:
+                changed = (
+                    labels.join(resolve, F.col("cluster_id") == F.col("_old"))
+                    .filter(F.col("_new") != F.col("cluster_id"))
+                    .select("doc_id", F.col("_new").alias("cluster_id"))
+                )
+                new_rows = new_rows.unionByName(changed)
+        else:
+            new_rows = new_docs.select(
+                "doc_id", F.col("doc_id").alias("cluster_id")
+            )
+        store.merge(new_rows, clu_table, ["doc_id"])
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -33,7 +33,7 @@ def _drop(landing: str, name: str, docs: list[tuple[int, str]]) -> None:
 
 def _run(spark, landing, store, ckpt):
     q = stream_dedup_ingest(
-        spark, landing, SCHEMA, store, "corpus", ckpt
+        spark, landing, SCHEMA, store, "corpus", ckpt, emit_clusters=True
     )
     q.awaitTermination(120)
 
@@ -84,6 +84,26 @@ def test_stream_dedup_two_drops(spark, tmp_path):
         for r in minhash_lsh_candidates(corpus, "doc_id", "text").collect()
     }
     assert pairs == batch_pairs
+
+    # streaming clusters fold ≡ batch CC over the surviving corpus
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    got_clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in store.read("corpus_neardup_clusters").collect()
+    }
+    want_clusters = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            minhash_lsh_candidates(corpus, "doc_id", "text")
+        ).collect()
+    }
+    for d, c in want_clusters.items():
+        assert got_clusters[d] == c, (d, got_clusters[d], c)
+    # every surviving doc holds a label; singletons label themselves
+    assert set(got_clusters) == {1, 2, 5}
 
 
 def test_stream_dedup_rerun_is_idempotent(spark, tmp_path):

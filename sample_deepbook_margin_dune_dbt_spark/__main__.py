@@ -178,7 +178,15 @@ def main(argv: list[str] | None = None) -> int:
     show_p.add_argument("--inline", required=True, help="SQL to run")
     show_p.add_argument("--limit", type=int, default=20)
 
-    sub.add_parser("ls", help="list registered models")
+    ls_p = sub.add_parser("ls", help="list registered models")
+    ls_p.add_argument("--select", default=None, help="selector (same syntax as run)")
+    ls_p.add_argument("--exclude", action="append", default=None)
+
+    clean_p = sub.add_parser(
+        "clean", help="remove the warehouse _artifacts directory (dbt clean)"
+    )
+    clean_p.add_argument("--warehouse", required=True)
+    clean_p.add_argument("--schema-suffix", default="")
 
     fresh_p = sub.add_parser(
         "source-freshness",
@@ -225,8 +233,38 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "ls":
-        for name, cfg in sorted(all_models().items()):
+        registry = all_models()
+        names = sorted(registry)
+        if args.select or args.exclude:
+            # selector resolution is driver-side metadata: a store-less
+            # Runner resolves the closure without a Spark session
+            resolver = Runner(None, None, {})
+            wanted = set(resolver._resolve(args.select))
+            if args.exclude:
+                wanted -= resolver._resolve(args.exclude, strict=False)
+            names = [n for n in names if n in wanted]
+        for name in names:
+            cfg = registry[name]
             print(f"{name}  key={cfg.unique_key}  strategy={cfg.incremental_strategy}  deps={cfg.deps}")
+        return 0
+
+    if args.cmd == "clean":
+        # artifacts live at <warehouse>[/<schema_suffix>]/_artifacts —
+        # TableStore's path rules, reproduced without a Spark session
+        import os as _os
+        import shutil
+
+        base = (
+            _os.path.join(args.warehouse, args.schema_suffix)
+            if args.schema_suffix
+            else args.warehouse
+        )
+        path = _os.path.join(base, "_artifacts")
+        if _os.path.isdir(path):
+            shutil.rmtree(path)
+            print(f"cleaned {path}")
+        else:
+            print(f"nothing to clean at {path}")
         return 0
 
     spark = get_spark(app_name=f"engine-{args.cmd}")

@@ -74,6 +74,10 @@ class ModelConfig:
     # fails BEFORE materializing — downstream consumers never see a
     # drifted schema.
     contract: dict[str, str] | None = None
+    # dbt `description:` — surfaces in the manifest for docs/lineage;
+    # a description edit counts as modified for state:modified (the
+    # conservative CI behavior)
+    description: str = ""
     # SCD2 snapshot node config (materialized='snapshot'; dbt `dbt
     # snapshot`): change-detection strategy + its per-strategy column(s)
     snapshot_strategy: str = "check"  # 'check' | 'timestamp'
@@ -112,6 +116,7 @@ def model(
     zorder_by: list[str] | None = None,
     contract: dict[str, str] | None = None,
     incremental_predicates: list[str] | None = None,
+    description: str = "",
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
     if materialized not in ("incremental", "table"):
@@ -167,6 +172,7 @@ def model(
             zorder_by=zorder_by or [],
             contract=contract,
             incremental_predicates=incremental_predicates or [],
+            description=description,
         )
         return fn
 
@@ -183,6 +189,7 @@ def snapshot(
     deps: list[str] | None = None,
     tags: list[str] | None = None,
     post_hooks: list[str] | None = None,
+    description: str = "",
 ):
     """Register an SCD2 snapshot node (dbt ``{% snapshot %}`` / the
     ``dbt snapshot`` command; reference scaffold ``dbt_project.yml``
@@ -217,6 +224,7 @@ def snapshot(
             check_cols=check_cols or [],
             updated_at=updated_at,
             invalidate_hard_deletes=invalidate_hard_deletes,
+            description=description,
         )
         return fn
 

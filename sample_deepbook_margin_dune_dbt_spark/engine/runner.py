@@ -598,6 +598,7 @@ class Runner:
                 "incremental_predicates": cfg.incremental_predicates,
                 "depends_on": cfg.deps,
                 "tags": cfg.tags,
+                "description": cfg.description,
                 "tests": {
                     "not_null": cfg.not_null,
                     "unique": cfg.unique,

@@ -451,3 +451,23 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
     finally:
         for k, v in keys.items():
             spark.conf.set(k, v)
+
+
+def test_new_tpch_partsupp_queries_plan_shape(spark, sf_dir):
+    """The r6 partsupp-dependent TPC-H queries: dimension sides broadcast,
+    and no plan ever falls back to a cartesian product — the derived
+    partsupp expansion is a narrow 4-wide explode, not a join."""
+    from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES
+
+    for name in ("tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20"):
+        fn, _ = FULL_QUERIES[name]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name == "tpch_q11":
+            # q11's HAVING threshold is the deliberate ONE-ROW broadcast
+            # total (the bounded crossJoin idiom shared with skew/bloom);
+            # exactly one BNLJ, nothing data-scale
+            assert plan.count("BroadcastNestedLoopJoin") == 1, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"

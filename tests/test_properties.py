@@ -265,3 +265,19 @@ def test_property_funnel_matches_python_reference(spark, tmp_path_factory, event
         return  # no funnel entrants: the ppm projection is undefined
     r = q_events_funnel(spark, d).first()
     assert (r["n_step1"], r["n_step2"], r["n_step3"]) == (n1, n2, n3)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    s_cnt=st.integers(min_value=4, max_value=500),
+    partkey=st.integers(min_value=1, max_value=10_000),
+)
+def test_derived_partsupp_keys_distinct(s_cnt, partkey):
+    """The derived-partsupp assignment (queries/tpch.py) must give every
+    part 4 DISTINCT suppliers at any supplier count ≥ 4 — q16's distinct
+    counts and q2's min-cost join silently degrade on collisions. Pure
+    formula check, no Spark."""
+    step = max(1, s_cnt // 4)
+    supps = {(partkey + i * step) % s_cnt + 1 for i in range(4)}
+    assert len(supps) == 4
+    assert all(1 <= s <= s_cnt for s in supps)

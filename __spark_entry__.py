@@ -6,7 +6,12 @@
   the LLM-data-pipeline extensions (dedup / similarity / text / multimodal).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
-  structural contract; tolerance-boolean contract for sketch ops).
+  structural contract — DERIVED from k since r6, not hardcoded;
+  tolerance-boolean contract for sketch ops). The r6 window rotates in
+  the five last never-driver-verified exact-oracle families (semantic
+  decontamination, leakage-safe split, cohort LTV, hopping windows,
+  sequence packing); everything rotated out stays oracle-checked by
+  ``tests/test_oracle_parity.py`` over the full inventory.
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

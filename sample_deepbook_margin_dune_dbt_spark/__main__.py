@@ -127,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
     add_common(run_p)
     run_p.add_argument("--full-refresh", action="store_true")
     run_p.add_argument("--threads", type=int, default=1, help="parallel model builds")
+    run_p.add_argument(
+        "--keep-going",
+        action="store_true",
+        help="dbt keep-going walk: a failure marks downstream 'skipped' in "
+        "run-results and independent branches continue; one summary error "
+        "at the end (retry resumes the failed + skipped set)",
+    )
 
     test_p = sub.add_parser("test", help="run declared not_null assertions")
     add_common(test_p)
@@ -372,6 +379,7 @@ def main(argv: list[str] | None = None) -> int:
             full_refresh=args.full_refresh,
             threads=args.threads,
             exclude=args.exclude,
+            fail_fast=not args.keep_going,
         )
         for name in order:
             print(f"built {name}")

@@ -210,6 +210,7 @@ class Runner:
         full_refresh: bool = False,
         threads: int = 1,
         exclude: str | list[str] | None = None,
+        fail_fast: bool = True,
     ) -> list[str]:
         """Build the selected models in dependency order; returns the order.
 
@@ -218,6 +219,13 @@ class Runner:
         thread pool walks the DAG, submitting a model as soon as its deps
         complete. Spark schedules jobs from multiple threads fine; each
         model is still one job chain.
+
+        ``fail_fast=False`` is dbt's keep-going walk: a failing model
+        marks its DOWNSTREAM closure ``skipped`` in run-results and the
+        walk continues through independent branches, raising one summary
+        error at the end — ``retry`` then resumes exactly the failed +
+        skipped set. The default raises at the first failure (the
+        conservative CI behavior this engine has always had).
         """
         order = self._closure(select, exclude)
         registry = all_models()
@@ -225,13 +233,54 @@ class Runner:
         self._last_args = {
             "command": "run", "select": select, "exclude": exclude,
             "full_refresh": full_refresh, "threads": threads,
+            "fail_fast": fail_fast,
         }
         try:
-            if threads <= 1:
+            if threads > 1:
+                return self._run_threaded(order, registry, full_refresh, threads)
+            if fail_fast:
                 for name in order:
                     self._run_one(registry[name], full_refresh)
                 return order
-            return self._run_threaded(order, registry, full_refresh, threads)
+            # keep-going: compute the downstream map once, skip transitively
+            children: dict[str, list[str]] = {m: [] for m in registry}
+            for m, cfg in registry.items():
+                for d in cfg.deps:
+                    if d in children:
+                        children[d].append(m)
+            failed: list[str] = []
+            skipped: set[str] = set()
+            for name in order:
+                if name in skipped:
+                    self.last_run_results.append(
+                        {
+                            "model": name,
+                            "status": "skipped",
+                            "error": "upstream failure",
+                            "execution_time_s": 0.0,
+                            "strategy": registry[name].incremental_strategy,
+                            "materialized": registry[name].materialized,
+                        }
+                    )
+                    continue
+                try:
+                    self._run_one(registry[name], full_refresh)
+                except Exception:
+                    failed.append(name)
+                    stack = list(children[name])
+                    while stack:
+                        m = stack.pop()
+                        if m in skipped:
+                            continue
+                        skipped.add(m)
+                        stack.extend(children[m])
+            if failed:
+                raise RuntimeError(
+                    f"run completed with failures: {failed} "
+                    f"(skipped downstream: {sorted(skipped & set(order))}); "
+                    "see run_results.json; `retry` resumes them"
+                )
+            return order
         finally:
             self._write_run_results(full_refresh)
 
@@ -312,6 +361,7 @@ class Runner:
                 full_refresh=bool(args.get("full_refresh")),
                 threads=int(args.get("threads") or 1),
                 exclude=exclude,
+                fail_fast=bool(args.get("fail_fast", True)),
             )
         if cmd == "build":
             return self.build(

@@ -108,3 +108,55 @@ def test_retry_cli_drive(spark, tmp_path, chain):
     rc = main(["retry", "--warehouse", str(tmp_path / "wh")])
     assert rc == 0
     assert TableStore(spark, str(tmp_path / "wh")).exists("rt_c")
+
+
+def test_keep_going_skips_downstream_and_retries(spark, tmp_path):
+    """dbt keep-going: a failure marks downstream skipped, independent
+    branches still build, one summary error at the end — and retry
+    resumes exactly the failed + skipped set."""
+    calls = []
+    fail = {"b": True}
+
+    @model("kg_a", materialized="table")
+    def kg_a(ctx):
+        calls.append("kg_a")
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    @model("kg_b", materialized="table", deps=["kg_a"])
+    def kg_b(ctx):
+        calls.append("kg_b")
+        if fail["b"]:
+            raise RuntimeError("boom")
+        return ctx.ref("kg_a")
+
+    @model("kg_c", materialized="table", deps=["kg_b"])
+    def kg_c(ctx):
+        calls.append("kg_c")
+        return ctx.ref("kg_b")
+
+    @model("kg_side", materialized="table")
+    def kg_side(ctx):
+        calls.append("kg_side")
+        return ctx.spark.createDataFrame([(9,)], "id long")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        runner = Runner(spark, store, {})
+        with pytest.raises(RuntimeError, match="completed with failures"):
+            runner.run(["+kg_c", "kg_side"], fail_fast=False)
+        # the independent branch built despite the failure
+        assert "kg_side" in calls and store.exists("kg_side")
+        assert "kg_c" not in calls
+        status = {r["model"]: r["status"] for r in runner.last_run_results}
+        assert status["kg_b"] == "error" and status["kg_c"] == "skipped"
+        assert status["kg_a"] == status["kg_side"] == "success"
+
+        fail["b"] = False
+        calls.clear()
+        assert runner.retry() == ["kg_b", "kg_c"]
+        assert store.exists("kg_c")
+    finally:
+        from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY
+
+        for n in ("kg_a", "kg_b", "kg_c", "kg_side"):
+            _REGISTRY.pop(n, None)

@@ -12,6 +12,7 @@ from .common import PACKAGE  # noqa: F401
 from . import events  # noqa: F401
 from . import objects  # noqa: F401
 from . import daily  # noqa: F401
+from . import unit_tests  # noqa: F401  (registers dbt-style unit tests)
 
 ALL_MODELS = [
     "deepbook_margin_loan_borrowed",

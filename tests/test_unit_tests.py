@@ -82,3 +82,13 @@ def test_cli_drive(spark):
     from sample_deepbook_margin_dune_dbt_spark.__main__ import main
 
     assert main(["unit-test", "--select", "tag:corpus"]) == 0
+
+
+def test_registered_deepbook_unit_tests_pass(spark):
+    import sample_deepbook_margin_dune_dbt_spark.models_deepbook  # noqa: F401
+
+    assert run_unit_tests(spark, "tag:deepbook") == {}
+    assert {
+        "loan_borrowed_first_run_decode",
+        "loan_borrowed_incremental_watermark",
+    } <= set(all_unit_tests())

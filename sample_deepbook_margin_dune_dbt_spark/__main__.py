@@ -48,9 +48,17 @@ def _parse_vars(pairs: list[str]) -> dict[str, object]:
         if stripped.startswith("{"):
             try:
                 import yaml  # type: ignore
-
-                parsed = yaml.safe_load(stripped)
             except ImportError:
+                yaml = None
+            if yaml is not None:
+                try:
+                    parsed = yaml.safe_load(stripped)
+                except yaml.YAMLError as e:
+                    raise SystemExit(
+                        f"--vars mapping literal is not valid YAML ({e}); "
+                        "use '{k: v}' syntax or key=value pairs"
+                    )
+            else:
                 import json
 
                 try:
@@ -225,18 +233,19 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "unit-test":
-        from .engine import all_unit_tests, run_unit_tests
+        from .engine import run_unit_tests
+        from .engine.unittests import select_unit_tests
 
         spark = get_spark(app_name="engine-unit-test")
         spark.sparkContext.setLogLevel("ERROR")
+        n = len(select_unit_tests(args.select))
         failures = run_unit_tests(spark, args.select)
-        n = len(all_unit_tests())
         if failures:
             for name, probs in failures.items():
                 for p in probs:
                     print(f"FAIL {p}", file=sys.stderr)
             return 1
-        print(f"all {n} unit tests passed")
+        print(f"all {n} selected unit tests passed")
         return 0
 
     if args.cmd == "ls":

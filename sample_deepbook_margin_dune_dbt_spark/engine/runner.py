@@ -227,13 +227,21 @@ class Runner:
         skipped set. The default raises at the first failure (the
         conservative CI behavior this engine has always had).
         """
+        if not fail_fast and threads > 1:
+            # the threaded walk re-raises at the first failed future; a
+            # silently fail-fast "keep-going" run would also mis-record
+            # the invocation for retry
+            raise ValueError(
+                "fail_fast=False (--keep-going) requires threads=1; the "
+                "threaded DAG walk does not implement skip tracking"
+            )
         order = self._closure(select, exclude)
         registry = all_models()
         self.last_run_results = []  # reset per invocation
         self._last_args = {
             "command": "run", "select": select, "exclude": exclude,
             "full_refresh": full_refresh, "threads": threads,
-            "fail_fast": fail_fast,
+            "fail_fast": fail_fast, "vars": dict(self.vars),
         }
         try:
             if threads > 1:
@@ -302,6 +310,7 @@ class Runner:
         self.last_run_results = []
         self._last_args = {
             "command": "snapshot", "select": select, "exclude": exclude,
+            "vars": dict(self.vars),
         }
         try:
             for name in order:
@@ -355,23 +364,32 @@ class Runner:
         exclude = [exclude] if isinstance(exclude, str) else list(exclude or [])
         exclude += succeeded
         cmd = args["command"]
-        if cmd == "run":
-            return self.run(
-                args.get("select"),
-                full_refresh=bool(args.get("full_refresh")),
-                threads=int(args.get("threads") or 1),
-                exclude=exclude,
-                fail_fast=bool(args.get("fail_fast", True)),
-            )
-        if cmd == "build":
-            return self.build(
-                args.get("select"),
-                full_refresh=bool(args.get("full_refresh")),
-                exclude=exclude,
-            )
-        if cmd == "snapshot":
-            return self.snapshot(args.get("select"), exclude=exclude)
-        raise ValueError(f"retry: unknown recorded command {cmd!r}")
+        # replay with the ORIGINAL invocation's vars (dbt retry reuses the
+        # previous parameters) — a bare `retry` must not rebuild the failed
+        # model with default var values
+        prev_vars = self.vars
+        if args.get("vars") is not None:
+            self.vars = dict(args["vars"])
+        try:
+            if cmd == "run":
+                return self.run(
+                    args.get("select"),
+                    full_refresh=bool(args.get("full_refresh")),
+                    threads=int(args.get("threads") or 1),
+                    exclude=exclude,
+                    fail_fast=bool(args.get("fail_fast", True)),
+                )
+            if cmd == "build":
+                return self.build(
+                    args.get("select"),
+                    full_refresh=bool(args.get("full_refresh")),
+                    exclude=exclude,
+                )
+            if cmd == "snapshot":
+                return self.snapshot(args.get("select"), exclude=exclude)
+            raise ValueError(f"retry: unknown recorded command {cmd!r}")
+        finally:
+            self.vars = prev_vars
 
     def seed(self, seed_dir: str, delimiter: str = ",") -> list[str]:
         """dbt ``seed``: load every ``*.csv`` under ``seed_dir`` into the
@@ -531,7 +549,10 @@ class Runner:
             "results": self.last_run_results,
         }
         with open(os.path.join(art_dir, "run_results.json"), "w") as f:
-            json.dump(payload, f, indent=1)
+            # default=str: vars may carry non-JSON types (dates, paths);
+            # stringifying keeps the artifact writable — retry replays the
+            # recorded form
+            json.dump(payload, f, indent=1, default=str)
 
     def _build_one(self, cfg: ModelConfig, full_refresh: bool) -> None:
         ctx = ModelContext(
@@ -767,7 +788,7 @@ class Runner:
         self.last_run_results = []
         self._last_args = {
             "command": "build", "select": select, "exclude": exclude,
-            "full_refresh": full_refresh,
+            "full_refresh": full_refresh, "vars": dict(self.vars),
         }
         try:
             for name in order:

@@ -179,11 +179,9 @@ def run_unit_test(spark: SparkSession, ut: UnitTestConfig) -> list[str]:
     return problems
 
 
-def run_unit_tests(
-    spark: SparkSession, select: str | None = None
-) -> dict[str, list[str]]:
-    """Run registered unit tests (all, one by name, or ``model:<name>``
-    / ``tag:<tag>``); returns {test_name: failures} for failures only."""
+def select_unit_tests(select: str | None = None) -> dict[str, UnitTestConfig]:
+    """Resolve a unit-test selector (all, one by name, ``model:<name>``,
+    or ``tag:<tag>``) to the matching registered tests."""
     tests = all_unit_tests()
     if select:
         if select.startswith("model:"):
@@ -196,6 +194,15 @@ def run_unit_tests(
                     f"unknown unit test {select!r}; registered: {sorted(tests)}"
                 )
             tests = {select: tests[select]}
+    return tests
+
+
+def run_unit_tests(
+    spark: SparkSession, select: str | None = None
+) -> dict[str, list[str]]:
+    """Run registered unit tests (all, one by name, or ``model:<name>``
+    / ``tag:<tag>``); returns {test_name: failures} for failures only."""
+    tests = select_unit_tests(select)
     out = {}
     for name, ut in tests.items():
         failures = run_unit_test(spark, ut)

@@ -344,9 +344,11 @@ def corpus_neardup_clusters_inc(ctx: ModelContext) -> DataFrame:
 
     N growth steps ≡ one full CC rebuild
     (``tests/test_incremental_dedup.py``). The batch twin
-    ``corpus_neardup_clusters`` stays the full-rebuild authority.
+    ``corpus_neardup_clusters`` stays the full-rebuild authority. The
+    fold itself is the shared ``operators.dedup.incremental_cluster_fold``
+    (also the streaming twin's core).
     """
-    from ..operators.dedup import duplicate_clusters
+    from ..operators.dedup import incremental_cluster_fold
 
     pairs = ctx.ref("corpus_neardup_pairs")
     wm = -1
@@ -357,50 +359,12 @@ def corpus_neardup_clusters_inc(ctx: ModelContext) -> DataFrame:
     new_docs = new_pairs.filter(F.col("id_a") == F.col("id_b")).select(
         F.col("id_a").alias("doc_id")
     )
-    real = new_pairs.filter(F.col("id_a") < F.col("id_b"))
-
-    if ctx.is_incremental():
-        labels_old = ctx.this().select("doc_id", "cluster_id")
-        lab_a = labels_old.select(
-            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_la")
-        )
-        lab_b = labels_old.select(
-            F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_lb")
-        )
-        contracted = (
-            real.join(lab_a, "id_a", "left")
-            .join(lab_b, "id_b", "left")
-            .select(
-                F.coalesce("_la", "id_a").alias("id_a"),
-                F.coalesce("_lb", "id_b").alias("id_b"),
-            )
-            .filter(F.col("id_a") != F.col("id_b"))
-            .distinct()
-        )
-    else:
-        contracted = real.select("id_a", "id_b")
-
-    has_edges = contracted.limit(1).count() > 0
-    if has_edges:
-        # resolve: old/interim label → final (min-id) representative
-        resolve = duplicate_clusters(contracted).select(
-            F.col("id").alias("_old"), F.col("cluster_id").alias("_new")
-        )
-        new_rows = new_docs.join(
-            resolve, new_docs["doc_id"] == resolve["_old"], "left"
-        ).select(
-            "doc_id", F.coalesce("_new", "doc_id").alias("cluster_id")
-        )
-        if ctx.is_incremental():
-            changed_old = (
-                ctx.this()
-                .join(resolve, F.col("cluster_id") == F.col("_old"))
-                .filter(F.col("_new") != F.col("cluster_id"))
-                .select("doc_id", F.col("_new").alias("cluster_id"))
-            )
-            return new_rows.unionByName(changed_old)
-        return new_rows
-    return new_docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels_old = (
+        ctx.this().select("doc_id", "cluster_id")
+        if ctx.is_incremental()
+        else None
+    )
+    return incremental_cluster_fold(new_pairs, new_docs, labels_old)
 
 
 @model(

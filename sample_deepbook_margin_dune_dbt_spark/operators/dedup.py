@@ -679,6 +679,66 @@ def segment_boilerplate_dedup(
     )
 
 
+def incremental_cluster_fold(
+    new_pairs: DataFrame,
+    new_docs: DataFrame,
+    existing_labels: DataFrame | None = None,
+) -> DataFrame:
+    """One incremental step of transitive near-dup clustering via
+    CONTRACTED-graph connected components — the shared core of the batch
+    model (``models_corpus``'s ``corpus_neardup_clusters_inc``) and the
+    streaming fold (``streaming/dedup.py``), factored here so the two
+    twins cannot drift.
+
+    Inputs: ``new_pairs`` (id_a, id_b — this step's new edges; self
+    pairs ignored), ``new_docs`` (doc_id — this step's newly processed
+    docs), ``existing_labels`` (doc_id, cluster_id — the accumulated
+    labels table, or None on the first step). Returns the rows to MERGE
+    on doc_id: every new doc's label (min reachable doc id; singletons
+    label themselves) plus ONLY the existing rows whose cluster
+    representative changed. CC runs on the representative graph — new
+    edges mapped through the existing labels — which is orders of
+    magnitude smaller than the corpus graph.
+    """
+    real = new_pairs.filter(F.col("id_a") < F.col("id_b"))
+    if existing_labels is not None:
+        lab_a = existing_labels.select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_la")
+        )
+        lab_b = existing_labels.select(
+            F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_lb")
+        )
+        contracted = (
+            real.join(lab_a, "id_a", "left")
+            .join(lab_b, "id_b", "left")
+            .select(
+                F.coalesce("_la", "id_a").alias("id_a"),
+                F.coalesce("_lb", "id_b").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+    else:
+        contracted = real.select("id_a", "id_b")
+    if contracted.limit(1).count() > 0:
+        # resolve: old/interim label → final (min-id) representative
+        resolve = duplicate_clusters(contracted).select(
+            F.col("id").alias("_old"), F.col("cluster_id").alias("_new")
+        )
+        new_rows = new_docs.join(
+            resolve, new_docs["doc_id"] == resolve["_old"], "left"
+        ).select("doc_id", F.coalesce("_new", "doc_id").alias("cluster_id"))
+        if existing_labels is not None:
+            changed = (
+                existing_labels.join(resolve, F.col("cluster_id") == F.col("_old"))
+                .filter(F.col("_new") != F.col("cluster_id"))
+                .select("doc_id", F.col("_new").alias("cluster_id"))
+            )
+            new_rows = new_rows.unionByName(changed)
+        return new_rows
+    return new_docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+
 def dedup_by_clusters(
     df: DataFrame, id_col: str, clusters: DataFrame
 ) -> DataFrame:

@@ -64,10 +64,16 @@ def global_hash_rank(
     hashed = df.withColumn("_h60", h).withColumn(
         "_bkt", (F.col("_h60") / F.lit(width)).cast("long")
     )
-    counts = sorted(
+    raw_counts = [
         (r["_bkt"], r["n"])
         for r in hashed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
+    ]
+    if any(b is None for b, _ in raw_counts):
+        raise ValueError(
+            f"global_hash_rank: key column {key_col!r} contains NULLs — "
+            "a hash order over NULL keys is undefined; filter or coalesce first"
+        )
+    counts = sorted(raw_counts)
     offsets, running = [], 0
     for bkt, n in counts:
         offsets.append((bkt, running))
@@ -112,15 +118,27 @@ def global_hash_cumsum(
     hashed = df.withColumn(order_u_col, hash_uniform(key_col, salt)).withColumn(
         "_bkt",
         # u < 1 exactly, but u*n can round UP to n at the top of the range —
-        # clamp; floor∘clamp stays monotone so the total order is unchanged
-        F.least(
-            F.floor(F.col(order_u_col) * n_buckets), F.lit(n_buckets - 1)
+        # clamp; floor∘clamp stays monotone so the total order is unchanged.
+        # The isNotNull gate keeps the bucket NULL-propagating (F.least
+        # IGNORES nulls), so NULL keys hit the guard below instead of
+        # silently landing in the last bucket
+        F.when(
+            F.col(order_u_col).isNotNull(),
+            F.least(
+                F.floor(F.col(order_u_col) * n_buckets), F.lit(n_buckets - 1)
+            ),
         ).cast("long"),
     )
-    totals = sorted(
+    raw_totals = [
         (r["_bkt"], r["t"] or 0)
         for r in hashed.groupBy("_bkt").agg(F.sum(w_long).alias("t")).collect()
-    )
+    ]
+    if any(b is None for b, _ in raw_totals):
+        raise ValueError(
+            f"global_hash_cumsum: key column {key_col!r} contains NULLs — "
+            "a hash order over NULL keys is undefined; filter or coalesce first"
+        )
+    totals = sorted(raw_totals)
     offsets, running = [], 0
     for bkt, t in totals:
         offsets.append((bkt, running))

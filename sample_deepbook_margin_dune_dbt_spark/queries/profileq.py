@@ -214,10 +214,16 @@ def q_events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .common import event_ts_us, load
 
+    out_schema = (
+        "bucket long, n_a long, n_b long, share_a_ppm long, "
+        "share_b_ppm long, contrib_ppm long"
+    )
     ev = load(spark, sf_dir, "events").select(
         event_ts_us().alias("us"), F.col("value")
     )
     lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    if lo is None:  # empty events table: 0 rows, matching the oracle
+        return spark.createDataFrame([], out_schema)
     mid = (int(lo) + int(hi)) // 2  # exact integer midpoint, both engines
     width = (_TVD_HI - _TVD_LO) / _TVD_BINS
     bucket = (
@@ -238,8 +244,11 @@ def q_events_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.agg(
         F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
     )
-    share_a = F.expr("n_a * 1000000 div _ta")
-    share_b = F.expr("n_b * 1000000 div _tb")
+    # an all-one-half time range (min == max) leaves the other total 0:
+    # NULL shares on BOTH engines (DuckDB's // would raise; Spark's div
+    # would NULL — the explicit CASE makes them agree)
+    share_a = F.when(F.col("_ta") > 0, F.expr("n_a * 1000000 div _ta"))
+    share_b = F.when(F.col("_tb") > 0, F.expr("n_b * 1000000 div _tb"))
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(
@@ -279,9 +288,10 @@ tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts)
 SELECT bucket,
        CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
-       CAST(n_a * 1000000 // ta AS BIGINT) AS share_a_ppm,
-       CAST(n_b * 1000000 // tb AS BIGINT) AS share_b_ppm,
-       CAST(abs(n_a * 1000000 // ta - n_b * 1000000 // tb) AS BIGINT) AS contrib_ppm
+       CAST(CASE WHEN ta > 0 THEN n_a * 1000000 // ta END AS BIGINT) AS share_a_ppm,
+       CAST(CASE WHEN tb > 0 THEN n_b * 1000000 // tb END AS BIGINT) AS share_b_ppm,
+       CAST(abs(CASE WHEN ta > 0 THEN n_a * 1000000 // ta END
+              - CASE WHEN tb > 0 THEN n_b * 1000000 // tb END) AS BIGINT) AS contrib_ppm
 FROM counts, tot
 """
 

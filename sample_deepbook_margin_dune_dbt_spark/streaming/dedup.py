@@ -134,89 +134,59 @@ def stream_dedup_ingest(
                 audit = audit.unionByName(cross)
             audit = audit.withColumn("batch_id", F.lit(batch_id).cast("long"))
             if audit.limit(1).count() > 0:
-                store.append(audit, dup_table)
+                # MERGE, not append: a micro-batch replayed after a
+                # mid-batch crash (at-least-once foreachBatch) must not
+                # double-count dropped docs; (id, batch_id) keys make the
+                # audit idempotent while keeping per-batch provenance
+                store.merge(audit, dup_table, [id_col, "batch_id"])
 
             survivors = survivors.cache()
-            store.merge(survivors.drop("fingerprint"), corpus_table, [id_col])
-            bands = minhash_band_rows(
-                survivors, id_col, text_col, num_hashes, band_size, shingle_n
-            ).join(survivors.select(id_col, "fingerprint"), id_col)
-            store.merge(bands, idx_table, [id_col, "band"])
+            try:
+                store.merge(survivors.drop("fingerprint"), corpus_table, [id_col])
+                bands = minhash_band_rows(
+                    survivors, id_col, text_col, num_hashes, band_size, shingle_n
+                ).join(survivors.select(id_col, "fingerprint"), id_col)
+                store.merge(bands, idx_table, [id_col, "band"])
 
-            if emit_pairs:
-                idx = store.read(idx_table)
-                new_bands = bands.select(
-                    F.col(id_col).alias("_nid"), "band", "band_key"
-                )
-                pairs = (
-                    new_bands.join(idx, ["band", "band_key"])
-                    .filter(F.col("_nid") != F.col(id_col))
-                    .select(
-                        F.least("_nid", id_col).alias("id_a"),
-                        F.greatest("_nid", id_col).alias("id_b"),
+                if emit_pairs:
+                    idx = store.read(idx_table)
+                    new_bands = bands.select(
+                        F.col(id_col).alias("_nid"), "band", "band_key"
                     )
-                    .distinct()
-                )
-                if pairs.limit(1).count() > 0:
-                    store.merge(pairs, prs_table, ["id_a", "id_b"])
-                if emit_clusters:
-                    _fold_clusters(
-                        store, clu_table, pairs,
-                        survivors.select(F.col(id_col).alias("doc_id")),
+                    pairs = (
+                        new_bands.join(idx, ["band", "band_key"])
+                        .filter(F.col("_nid") != F.col(id_col))
+                        .select(
+                            F.least("_nid", id_col).alias("id_a"),
+                            F.greatest("_nid", id_col).alias("id_b"),
+                        )
+                        .distinct()
                     )
-            survivors.unpersist()
+                    if pairs.limit(1).count() > 0:
+                        store.merge(pairs, prs_table, ["id_a", "id_b"])
+                    if emit_clusters:
+                        _fold_clusters(
+                            store, clu_table, pairs,
+                            survivors.select(F.col(id_col).alias("doc_id")),
+                        )
+            finally:
+                survivors.unpersist()
         finally:
             batch.unpersist()
 
     def _fold_clusters(store, clu_table, new_pairs, new_docs) -> None:
-        """Contracted-graph CC fold (the streaming twin of the batch
-        ``corpus_neardup_clusters_inc`` model): the batch's new edges map
-        through the existing labels, CC runs on the tiny representative
-        graph, and the MERGE writes new docs' labels plus only the old
-        rows whose representative changed."""
-        from ..operators.dedup import duplicate_clusters
+        """One contracted-graph CC step per micro-batch — the SHARED
+        ``operators.dedup.incremental_cluster_fold`` (the batch model
+        ``corpus_neardup_clusters_inc`` runs the same core, so the twins
+        cannot drift)."""
+        from ..operators.dedup import incremental_cluster_fold
 
-        real = new_pairs.filter(F.col("id_a") < F.col("id_b"))
-        if store.exists(clu_table):
-            labels = store.read(clu_table)
-            lab_a = labels.select(
-                F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_la")
-            )
-            lab_b = labels.select(
-                F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_lb")
-            )
-            contracted = (
-                real.join(lab_a, "id_a", "left")
-                .join(lab_b, "id_b", "left")
-                .select(
-                    F.coalesce("_la", "id_a").alias("id_a"),
-                    F.coalesce("_lb", "id_b").alias("id_b"),
-                )
-                .filter(F.col("id_a") != F.col("id_b"))
-                .distinct()
-            )
-        else:
-            labels = None
-            contracted = real.select("id_a", "id_b")
-        if contracted.limit(1).count() > 0:
-            resolve = duplicate_clusters(contracted).select(
-                F.col("id").alias("_old"), F.col("cluster_id").alias("_new")
-            )
-            new_rows = new_docs.join(
-                resolve, new_docs["doc_id"] == resolve["_old"], "left"
-            ).select("doc_id", F.coalesce("_new", "doc_id").alias("cluster_id"))
-            if labels is not None:
-                changed = (
-                    labels.join(resolve, F.col("cluster_id") == F.col("_old"))
-                    .filter(F.col("_new") != F.col("cluster_id"))
-                    .select("doc_id", F.col("_new").alias("cluster_id"))
-                )
-                new_rows = new_rows.unionByName(changed)
-        else:
-            new_rows = new_docs.select(
-                "doc_id", F.col("doc_id").alias("cluster_id")
-            )
-        store.merge(new_rows, clu_table, ["doc_id"])
+        labels = store.read(clu_table) if store.exists(clu_table) else None
+        store.merge(
+            incremental_cluster_fold(new_pairs, new_docs, labels),
+            clu_table,
+            ["doc_id"],
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -155,3 +155,13 @@ def test_pack_sequences_no_single_partition_stage(docs):
 def test_hash_cumsum_validates_buckets(docs):
     with pytest.raises(ValueError):
         O.global_hash_cumsum(docs.select("doc_id"), "doc_id", "doc_id", n_buckets=0)
+
+
+def test_hash_ops_reject_null_keys(spark):
+    """NULL keys have no defined hash order — both bucketed operators
+    fail actionably instead of crashing in the driver sort."""
+    df = spark.createDataFrame([(1, 5), (None, 7)], "doc_id long, w long")
+    with pytest.raises(ValueError, match="contains NULLs"):
+        O.global_hash_rank(df, "doc_id")
+    with pytest.raises(ValueError, match="contains NULLs"):
+        O.global_hash_cumsum(df, "doc_id", "w")

@@ -160,3 +160,38 @@ def test_keep_going_skips_downstream_and_retries(spark, tmp_path):
 
         for n in ("kg_a", "kg_b", "kg_c", "kg_side"):
             _REGISTRY.pop(n, None)
+
+
+def test_keep_going_rejects_threads(spark, tmp_path, chain):
+    runner = Runner(spark, TableStore(spark, str(tmp_path / "wh")), {})
+    with pytest.raises(ValueError, match="requires threads=1"):
+        runner.run("+rt_c", threads=4, fail_fast=False)
+
+
+def test_retry_replays_original_vars(spark, tmp_path):
+    """A bare retry must rebuild with the ORIGINAL invocation's vars,
+    not the retrying runner's (dbt retry reuses previous parameters)."""
+    seen = {}
+    fail = {"on": True}
+
+    @model("rv_m", materialized="table")
+    def rv_m(ctx):
+        seen["cutoff"] = ctx.var("cutoff", "default")
+        if fail["on"]:
+            raise RuntimeError("transient")
+        return ctx.spark.createDataFrame([(1,)], "id long")
+
+    try:
+        store = TableStore(spark, str(tmp_path / "wh"))
+        with pytest.raises(RuntimeError):
+            Runner(spark, store, {}, vars={"cutoff": "7"}).run("rv_m")
+        # a fresh runner WITHOUT vars retries: recorded vars must win
+        fail["on"] = False
+        retry_runner = Runner(spark, store, {})
+        assert retry_runner.retry() == ["rv_m"]
+        assert seen["cutoff"] == "7"
+        assert retry_runner.vars == {}  # restored afterwards
+    finally:
+        from sample_deepbook_margin_dune_dbt_spark.engine.model import _REGISTRY
+
+        _REGISTRY.pop("rv_m", None)

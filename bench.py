@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "flagship_daily_user_fact",
     "dedup_exact",
     "dedup_boilerplate_segments",
+    "dedup_repeated_spans",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "sessionize",

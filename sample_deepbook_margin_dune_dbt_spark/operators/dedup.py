@@ -750,3 +750,86 @@ def dedup_by_clusters(
         keep.select(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+# ------------------------------------------------- repeated-span detection
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated-span detection over SLIDING k-word windows — the
+    fine-grained tier of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Where ``segment_boilerplate_dedup`` cuts documents into
+    NON-overlapping fixed segments (cheap, but a repeated passage that
+    straddles a segment boundary is invisible), this operator slides a
+    k-word window one token at a time, so every repeated passage of
+    ``>= k`` tokens is caught at its exact boundaries: any window whose
+    corpus-wide occurrence count reaches ``min_count`` (within-document
+    repeats included, matching suffix-array semantics) marks its k
+    tokens as duplicated, and runs of overlapping/adjacent duplicated
+    windows merge into maximal spans per document.
+
+    Returns one row per maximal span:
+    ``(id_col, n_tokens, span_start, span_end, span_tokens)`` with
+    0-based inclusive token indices. Documents shorter than ``k`` tokens
+    or containing no duplicated window produce no rows.
+
+    Scale shape: window construction is a codegen
+    ``transform``/``posexplode`` narrow map over md5-backed 64-bit
+    window fingerprints (engine-portable, and the shuffle carries 8-byte
+    keys instead of k-word strings); the occurrence count is a map-side
+    combined groupBy; marking duplicated windows is a fingerprint
+    equi-join (AQE-skew-splittable — deliberately NOT a count-over-window,
+    which would pin each hot template fingerprint to one task); the
+    island merge windows partition by document, so its state is bounded
+    by the longest document, never by corpus size. No driver-side
+    collection anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    n_tokens = F.size(toks)
+    win_fps = F.transform(
+        F.sequence(F.lit(0), n_tokens - k),
+        lambda i: fingerprint64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    wins = (
+        _spread(df, id_col)
+        .filter(n_tokens >= k)
+        .select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.posexplode(win_fps).alias("pos", "_fp"),
+        )
+    )
+    dup_fps = (
+        wins.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_count)
+        .select("_fp")
+    )
+    hits = wins.join(dup_fps, "_fp").select(id_col, "n_tokens", "pos")
+    # windows at pos p and q (p < q) overlap or adjoin iff q - p <= k;
+    # a larger gap starts a new island
+    order = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(order).isNull()
+        | (F.col("pos") - F.lag("pos").over(order) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn("_brk", brk).withColumn(
+        "_span_id",
+        F.sum("_brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "n_tokens", "_span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
+    ).select(id_col, "n_tokens", "span_start", "span_end", "span_tokens")

@@ -154,6 +154,15 @@ driver query moved to ``EXTRA_QUERIES``:
   ``tpch_q8`` (multi-join shape held by ``q13``/``q18``/
   ``j1_foj_volume_chain``; q21 keeps the semi/anti row).
 
+- r6 continuation: ``dedup_repeated_spans`` (NEW family this session:
+  sliding-window maximal repeated-span detection, the fine-boundary
+  ExactSubstr tier) rotates in, oracle-verified at sf0.001 + sf0.01
+  before declaring. Out (family stays represented):
+  ``dedup_boilerplate_segments`` (its non-overlapping coarse pass is
+  subsumed at the capability level by the sliding-window tier; the
+  dedup family keeps exact/clusters/minhash rows and the coarse pass
+  stays oracle-verified in EXTRA).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -201,7 +210,7 @@ DRIVER_QUERY_ORDER = [
     "text_normalize",
     "text_heavy_hitters",
     "text_tfidf_topterms",
-    "dedup_boilerplate_segments",
+    "dedup_repeated_spans",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

@@ -928,12 +928,70 @@ FROM scored
 """
 
 
+# ------------------------------------------- sliding-window repeated spans
+
+
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated spans over SLIDING 8-word windows — the
+    fine-boundary ExactSubstr tier (Lee et al. 2022) complementing the
+    coarse non-overlapping pass in ``dedup_boilerplate_segments``: a
+    repeated passage straddling a fixed-segment boundary is invisible to
+    the coarse pass but caught here at its exact token extent.
+
+    Output: one row per maximal duplicated span with 0-based inclusive
+    token indices — all integers, so the oracle hash is float-free.
+    """
+    spans = D.repeated_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2
+    )
+    return spans.orderBy("doc_id", "span_start")
+
+
+SQL_REPEATED_SPANS = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+wins AS (
+    SELECT doc_id, len(w) AS n_tokens, i AS pos,
+           array_to_string(w[(i+1):(i+8)], ' ') AS gram
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, len(w) - 8)) AS i
+    ) g
+    WHERE len(w) >= 8
+),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.n_tokens, w.pos FROM wins w JOIN dup USING (gram)),
+marks AS (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, n_tokens, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS span_id
+    FROM marks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_id, n_tokens, span_id
+"""
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_boilerplate_segments": (
         q_dedup_boilerplate_segments,
         SQL_BOILERPLATE_SEGMENTS,
     ),
+    "dedup_repeated_spans": (q_dedup_repeated_spans, SQL_REPEATED_SPANS),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_quality_model": (q_text_quality_model, SQL_QUALITY_MODEL),

@@ -838,3 +838,56 @@ def test_lsh_cap_loss_accounting_property(spark):
         assert survivors.count() == len(group_sizes) + 2
 
     check()
+
+
+def test_repeated_spans_planted(spark):
+    """Sliding-window repeated-span detection: a 5-token passage shared
+    by two documents must surface as ONE maximal span per document at its
+    exact token extent (overlapping duplicated windows merge); a
+    within-document repeat yields two separate islands; unique and
+    too-short documents yield no rows."""
+    docs = spark.createDataFrame(
+        [
+            (10, "a1 a2 a3 s1 s2 s3 s4 s5 a4 a5 a6"),   # shared span at 3..7
+            (11, "b1 s1 s2 s3 s4 s5 b2 b3 b4 b5"),      # shared span at 1..5
+            (12, "entirely original words never repeated anywhere else here"),
+            (13, "c1 c2 c3 c4 x c1 c2 c3 c4"),          # within-doc repeat
+            (14, "z1 z2"),                               # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_start"]): r
+        for r in D.repeated_spans(docs, "doc_id", "text", k=4, min_count=2).collect()
+    }
+    assert set(rows) == {(10, 3), (11, 1), (13, 0), (13, 5)}
+    a = rows[(10, 3)]
+    assert (a["span_end"], a["span_tokens"], a["n_tokens"]) == (7, 5, 11)
+    b = rows[(11, 1)]
+    assert (b["span_end"], b["span_tokens"], b["n_tokens"]) == (5, 5, 10)
+    # within-doc islands stay separate: gap (5) exceeds k (4)
+    assert rows[(13, 0)]["span_end"] == 3 and rows[(13, 5)]["span_end"] == 8
+    # raising min_count above the occurrence count disables detection
+    assert (
+        D.repeated_spans(docs, "doc_id", "text", k=4, min_count=3).count() == 0
+    )
+
+
+def test_repeated_spans_adjacent_windows_merge(spark):
+    """Duplicated windows exactly k apart adjoin (no token gap between
+    their covers) and must merge into one span."""
+    # "p1 p2 p3 p4" and "q1 q2 q3 q4" each repeat across docs; in doc 20
+    # they sit back-to-back at pos 0 and 4 → one 8-token span
+    docs = spark.createDataFrame(
+        [
+            (20, "p1 p2 p3 p4 q1 q2 q3 q4 t1"),
+            (21, "u1 p1 p2 p3 p4 u2 u3 u4 u5"),
+            (22, "v1 v2 q1 q2 q3 q4 v3 v4 v5"),
+        ],
+        "doc_id long, text string",
+    )
+    got = D.repeated_spans(docs, "doc_id", "text", k=4, min_count=2)
+    doc20 = [r for r in got.collect() if r["doc_id"] == 20]
+    assert len(doc20) == 1
+    assert (doc20[0]["span_start"], doc20[0]["span_end"]) == (0, 7)
+    assert doc20[0]["span_tokens"] == 8

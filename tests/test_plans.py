@@ -471,3 +471,15 @@ def test_new_tpch_partsupp_queries_plan_shape(spark, sf_dir):
         else:
             assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, f"{name}: dims must broadcast"
+
+
+def test_repeated_spans_dup_join_is_equijoin(spark, sf_dir):
+    """The duplicated-window probe must stay a fingerprint equi-join
+    (AQE-skew-splittable) — never a cartesian/nested-loop — and the
+    island merge must window per document, not globally."""
+    fn, _ = ALL_QUERIES["dedup_repeated_spans"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan, (
+        "island merge must partition by document, never globally"
+    )

@@ -928,6 +928,64 @@ FROM scored
 """
 
 
+# --------------------------------------------- corpus-trained bigram LM
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned n-gram LM quality filter (CCNet-style, integer-only):
+    bigram counts train on a reproducible hash split (``u(doc_id) < 0.5``),
+    every doc scores its average bigram familiarity + OOV rate against
+    them. ``is_train`` exposes the split so the oracle certifies the
+    cross-engine reproducibility of train/score membership too.
+    """
+    from ..operators import ngram_lm as NL
+    from ..operators.sampling import hash_uniform
+
+    docs = load(spark, sf_dir, "documents")
+    stats = NL.bigram_lm_stats(docs, "doc_id", "text", train_frac=0.5, salt="lm")
+    scored = NL.bigram_lm_score(docs, "doc_id", "text", stats)
+    flags = docs.select(
+        "doc_id", (hash_uniform("doc_id", "lm") < F.lit(0.5)).alias("is_train")
+    )
+    return scored.join(flags, "doc_id").orderBy("doc_id")
+
+
+def _bigram_lm_sql() -> str:
+    u = sql_hash_uniform("doc_id", "lm")
+    us = sql_hash_uniform("s.doc_id", "lm")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+bg AS (
+    SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+    ) g
+    WHERE len(w) >= 2
+),
+train AS (SELECT doc_id FROM documents WHERE {u} < 0.5),
+counts AS (
+    SELECT bigram, count(*) AS c FROM bg JOIN train USING (doc_id) GROUP BY bigram
+),
+scored AS (
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           sum(coalesce(c.c, 0)) AS familiar_sum,
+           sum(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END) AS oov
+    FROM bg b LEFT JOIN counts c USING (bigram)
+    GROUP BY b.doc_id
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(familiar_sum AS BIGINT) AS familiar_sum,
+       CAST(familiar_sum // n_bigrams AS BIGINT) AS avg_bigram_count,
+       CAST((oov * 1000000) // n_bigrams AS BIGINT) AS oov_ppm,
+       {us} < 0.5 AS is_train
+FROM scored s
+"""
+
+
 # ------------------------------------------- sliding-window repeated spans
 
 
@@ -992,6 +1050,7 @@ LLMOPS_QUERIES = {
         SQL_BOILERPLATE_SEGMENTS,
     ),
     "dedup_repeated_spans": (q_dedup_repeated_spans, SQL_REPEATED_SPANS),
+    "text_bigram_lm": (q_text_bigram_lm, _bigram_lm_sql()),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_quality_model": (q_text_quality_model, SQL_QUALITY_MODEL),

@@ -891,3 +891,35 @@ def test_repeated_spans_adjacent_windows_merge(spark):
     assert len(doc20) == 1
     assert (doc20[0]["span_start"], doc20[0]["span_end"]) == (0, 7)
     assert doc20[0]["span_tokens"] == 8
+
+
+def test_bigram_lm_familiarity_and_oov(spark):
+    """Docs built from trained bigrams score familiar with zero OOV; a
+    wholly novel doc is 100% OOV with zero familiarity; sub-bigram docs
+    produce no score row; the hash split at frac=1.0 trains on all."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import ngram_lm as NL
+
+    train_docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the rug")],
+        "doc_id long, text string",
+    )
+    stats = NL.bigram_lm_stats(train_docs, "doc_id", "text", train_frac=1.0)
+    all_docs = train_docs.union(
+        spark.createDataFrame(
+            [(100, "zq xv qn pl wk jr"), (101, "the cat sat on the mat"), (102, "solo")],
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        r["doc_id"]: r
+        for r in NL.bigram_lm_score(all_docs, "doc_id", "text", stats).collect()
+    }
+    assert 102 not in got  # no bigram → no row
+    novel = got[100]
+    assert novel["oov_ppm"] == 1_000_000 and novel["familiar_sum"] == 0
+    known = got[101]
+    assert known["oov_ppm"] == 0 and known["n_bigrams"] == 5
+    # "the cat"/"cat sat"/"sat on"/"on the" occur in both train docs → c=2
+    assert known["familiar_sum"] == 2 + 2 + 2 + 2 + 1
+    assert known["avg_bigram_count"] == 1  # 9 div 5
+    assert got[1]["oov_ppm"] == 0  # train doc scores against itself

@@ -483,3 +483,13 @@ def test_repeated_spans_dup_join_is_equijoin(spark, sf_dir):
     assert "SinglePartition" not in plan, (
         "island merge must partition by document, never globally"
     )
+
+
+def test_bigram_lm_scoring_join_is_equijoin(spark, sf_dir):
+    """The familiarity probe must stay a fingerprint equi-join (hot
+    stopword bigrams skew the probe side; an equi-join lets AQE split
+    them) and the count table must partial-aggregate map-side."""
+    fn, _ = ALL_QUERIES["text_bigram_lm"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan, "bigram counts must map-side combine"

@@ -928,6 +928,51 @@ FROM scored
 """
 
 
+# ------------------------------------------- semantic near-dup clusters
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS (SemDeDup shape — Abbas et al. 2023):
+    min-label connected components over the embedding-cosine near-dup
+    pair graph. Composes the two verified tiers: banded-LSH candidate
+    pairs + exact refine (no cross join) feed the same CC engine as the
+    jaccard clusters; the oracle recomputes the all-pairs cosine graph
+    and its full recursive closure, so a hash match proves BOTH that LSH
+    recalled every qualifying pair AND that the closure converged."""
+    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
+    pairs = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64)
+    return D.duplicate_clusters(pairs.select("id_a", "id_b"), algorithm="auto")
+
+
+SQL_EMB_CLUSTERS = """
+WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id < 25
+    UNION ALL
+    SELECT vec_id + 2000000, list_transform(v, x -> x + 0.05) FROM base WHERE vec_id < 25
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM aug a, aug b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.v, b.v) >= 0.9
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT a AS id, a AS lbl FROM edges
+    UNION
+    SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 # --------------------------------------------- corpus-trained bigram LM
 
 
@@ -1051,6 +1096,7 @@ LLMOPS_QUERIES = {
     ),
     "dedup_repeated_spans": (q_dedup_repeated_spans, SQL_REPEATED_SPANS),
     "text_bigram_lm": (q_text_bigram_lm, _bigram_lm_sql()),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_EMB_CLUSTERS),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_quality_model": (q_text_quality_model, SQL_QUALITY_MODEL),

@@ -923,3 +923,22 @@ def test_bigram_lm_familiarity_and_oov(spark):
     assert known["familiar_sum"] == 2 + 2 + 2 + 2 + 1
     assert known["avg_bigram_count"] == 1  # 9 div 5
     assert got[1]["oov_ppm"] == 0  # train doc scores against itself
+
+
+def test_embedding_clusters_planted_variants(spark, sf_dir):
+    """SemDeDup composition: every planted scaled/shifted variant must
+    land in its base vector's cluster (scaling preserves cosine exactly;
+    the shift stays above the 0.9 threshold on the fixture vectors)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.llmops import (
+        q_dedup_embedding_clusters,
+    )
+
+    rows = {
+        r["id"]: r["cluster_id"]
+        for r in q_dedup_embedding_clusters(spark, sf_dir).collect()
+    }
+    assert rows, "fixture corpus must produce semantic clusters"
+    base_ids = [i for i in rows if i < 1_000_000]
+    assert base_ids, "planted base vectors must appear"
+    for i in base_ids:
+        assert rows.get(i + 1_000_000) == rows[i], f"scaled twin of {i} split off"

@@ -281,3 +281,58 @@ def test_derived_partsupp_keys_distinct(s_cnt, partkey):
     supps = {(partkey + i * step) % s_cnt + 1 for i in range(4)}
     assert len(supps) == 4
     assert all(1 <= s <= s_cnt for s in supps)
+
+
+def _ref_repeated_spans(docs, k, min_count):
+    """Pure-Python reference for repeated_spans: window counts over the
+    whole corpus, per-doc island merge."""
+    from collections import Counter
+
+    wins = {}
+    counts = Counter()
+    for doc_id, text in docs:
+        toks = text.lower().strip().split(" ")
+        if len(toks) < k:
+            continue
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        wins[doc_id] = (len(toks), grams)
+        counts.update(grams)
+    out = []
+    for doc_id, (n_tokens, grams) in wins.items():
+        hits = [p for p, g in enumerate(grams) if counts[g] >= min_count]
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        for s, e in spans:
+            out.append((doc_id, n_tokens, s, e + k - 1, e - s + k))
+    return sorted(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 7), min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 4),
+)
+def test_repeated_spans_match_reference(spark, token_docs, k):
+    """repeated_spans over random tiny-vocabulary corpora (forcing both
+    cross-doc and within-doc repeats) must equal the brute-force
+    reference exactly: same spans, same boundaries, same accounting."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import repeated_spans
+
+    docs = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_docs)
+    ]
+    expected = _ref_repeated_spans(docs, k, 2)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in repeated_spans(df, "doc_id", "text", k=k, min_count=2).collect()
+    )
+    assert got == expected

@@ -792,15 +792,38 @@ def repeated_spans(
     by the longest document, never by corpus size. No driver-side
     collection anywhere.
     """
-    from pyspark.sql import Window
+    wins = _window_rows(df, id_col, text_col, k)
+    dup_fps = (
+        wins.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_count)
+        .select("_fp")
+    )
+    hits = wins.join(dup_fps, "_fp").select(id_col, "n_tokens", "pos")
+    spans = _merge_windows_to_spans(hits, id_col, k, carry=["n_tokens"])
+    return spans.select(
+        id_col,
+        "n_tokens",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+    )
 
+
+def _window_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Sliding k-word window fingerprints with 0-based positions:
+    ``(id_col, n_tokens, pos, _fp)``. Docs shorter than k produce none."""
+    if k < 2:
+        raise ValueError(f"window width k must be >= 2, got {k}")
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
     n_tokens = F.size(toks)
     win_fps = F.transform(
         F.sequence(F.lit(0), n_tokens - k),
         lambda i: fingerprint64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
-    wins = (
+    return (
         _spread(df, id_col)
         .filter(n_tokens >= k)
         .select(
@@ -809,15 +832,19 @@ def repeated_spans(
             F.posexplode(win_fps).alias("pos", "_fp"),
         )
     )
-    dup_fps = (
-        wins.groupBy("_fp")
-        .agg(F.count(F.lit(1)).alias("_occ"))
-        .filter(F.col("_occ") >= min_count)
-        .select("_fp")
-    )
-    hits = wins.join(dup_fps, "_fp").select(id_col, "n_tokens", "pos")
-    # windows at pos p and q (p < q) overlap or adjoin iff q - p <= k;
-    # a larger gap starts a new island
+
+
+def _merge_windows_to_spans(
+    hits: DataFrame, id_col: str, k: int, carry: list[str]
+) -> DataFrame:
+    """Merge marked window positions into maximal per-document spans.
+
+    Windows at pos p and q (p < q) overlap or adjoin iff ``q - p <= k``;
+    a larger gap starts a new island. The window partitions by document,
+    so state is bounded by the longest document, never corpus size.
+    """
+    from pyspark.sql import Window
+
     order = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.lag("pos").over(order).isNull()
@@ -828,8 +855,86 @@ def repeated_spans(
         "_span_id",
         F.sum("_brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return islands.groupBy(id_col, "n_tokens", "_span_id").agg(
+    return islands.groupBy(id_col, *carry, "_span_id").agg(
         F.min("pos").cast("long").alias("span_start"),
         (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-        (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
-    ).select(id_col, "n_tokens", "span_start", "span_end", "span_tokens")
+    ).drop("_span_id")
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """KEEP-FIRST repeated-span removal — the apply tier of ExactSubstr
+    dedup: every duplicated k-word window keeps its globally-first
+    occurrence (lexicographic min of ``(doc id, position)``) and every
+    LATER occurrence is stripped, so shared passages survive exactly once
+    in the corpus and within-document repeats keep their first copy.
+
+    A token is dropped when a REDUNDANT (non-first) duplicated window
+    covers it — the standard ExactSubstr cut, which may clip tokens
+    adjacent to a kept first occurrence when overlapping windows have
+    first occurrences in different documents.
+
+    Returns one row per input document in normalized token space
+    (lowercased, single-space — the space dedup operates in):
+    ``(id_col, text_clean, n_tokens, n_dropped)``.
+
+    Scale shape: on top of the detection plan, the first-occurrence pick
+    is a lexicographic struct-min folded into the SAME map-side combined
+    groupBy as the occurrence count (no window over the hot fingerprint);
+    per-doc span lists are bounded by document length; reassembly is one
+    narrow ``filter``/``array_join`` map over the token array.
+    """
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 marks every window duplicated), got {min_count}"
+        )
+    wins = _window_rows(df, id_col, text_col, k)
+    stats = (
+        wins.groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_first"
+            ),
+        )
+        .filter(F.col("_occ") >= min_count)
+        .select("_fp", "_first")
+    )
+    redundant = (
+        wins.join(stats, "_fp")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = _merge_windows_to_spans(redundant, id_col, k, carry=[])
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("_spans", F.coalesce("_spans", empty))
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
+        )
+    )

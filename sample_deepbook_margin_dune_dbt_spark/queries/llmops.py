@@ -928,6 +928,82 @@ FROM scored
 """
 
 
+# --------------------------------------------- keep-first span stripping
+
+
+def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY tier of ExactSubstr dedup: every duplicated 8-word
+    window keeps its globally-first occurrence; later occurrences are
+    cut and documents reassemble in normalized token space. The oracle
+    recomputes first-occurrence picks (lexicographic struct-min),
+    island merge, and reassembly — a hash match certifies the cleaned
+    corpus byte-for-byte."""
+    return D.strip_repeated_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_count=2
+    ).orderBy("doc_id")
+
+
+SQL_STRIP_SPANS = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos, array_to_string(w[(i+1):(i+8)], ' ') AS gram
+    FROM toks, LATERAL (SELECT unnest(generate_series(0, len(w) - 8)) AS i) g
+    WHERE len(w) >= 8
+),
+stats AS (
+    SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS f
+    FROM wins GROUP BY gram HAVING count(*) >= 2
+),
+red AS (
+    SELECT w.doc_id, w.pos
+    FROM wins w JOIN stats s USING (gram)
+    WHERE NOT (w.doc_id = s.f.d AND w.pos = s.f.p)
+),
+marks AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM red
+),
+islands AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS span_id
+    FROM marks
+),
+spans AS (
+    SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+    FROM islands GROUP BY doc_id, span_id
+),
+tok_idx AS (
+    SELECT doc_id, i, w[i+1] AS tok
+    FROM toks, LATERAL (SELECT unnest(generate_series(0, len(w) - 1)) AS i) g
+),
+kept AS (
+    SELECT t.doc_id, t.i, t.tok
+    FROM tok_idx t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e
+    )
+)
+SELECT d.doc_id,
+       coalesce(kc.text_clean, '') AS text_clean,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(len(d.w) - coalesce(kc.n_kept, 0) AS BIGINT) AS n_dropped
+FROM toks d
+LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+) kc USING (doc_id)
+"""
+
+
 # ------------------------------------------- semantic near-dup clusters
 
 
@@ -1097,6 +1173,7 @@ LLMOPS_QUERIES = {
     "dedup_repeated_spans": (q_dedup_repeated_spans, SQL_REPEATED_SPANS),
     "text_bigram_lm": (q_text_bigram_lm, _bigram_lm_sql()),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_EMB_CLUSTERS),
+    "dedup_strip_spans": (q_dedup_strip_spans, SQL_STRIP_SPANS),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_quality_model": (q_text_quality_model, SQL_QUALITY_MODEL),

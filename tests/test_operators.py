@@ -942,3 +942,28 @@ def test_embedding_clusters_planted_variants(spark, sf_dir):
     assert base_ids, "planted base vectors must appear"
     for i in base_ids:
         assert rows.get(i + 1_000_000) == rows[i], f"scaled twin of {i} split off"
+
+
+def test_strip_repeated_spans_keep_first(spark):
+    """Keep-first semantics: the globally-first occurrence of a shared
+    passage survives; later cross-doc and within-doc occurrences are cut;
+    non-duplicated docs pass through in normalized token space."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 s1 s2 s3 s4 a3 a4"),      # first occurrence → kept
+            (2, "b1 b2 b3 s1 s2 s3 s4 b4"),      # later → stripped
+            (3, "c1 c2 c3 c4 z c1 c2 c3 c4"),    # within-doc repeat
+            (4, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.strip_repeated_spans(docs, "doc_id", "text", k=4, min_count=2).collect()
+    }
+    assert got[1]["text_clean"] == "a1 a2 s1 s2 s3 s4 a3 a4"
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["text_clean"] == "b1 b2 b3 b4" and got[2]["n_dropped"] == 4
+    assert got[3]["text_clean"] == "c1 c2 c3 c4 z" and got[3]["n_dropped"] == 4
+    assert got[4]["text_clean"] == "unique words only here"
+    assert all(r["n_tokens"] >= r["n_dropped"] >= 0 for r in got.values())

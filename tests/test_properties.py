@@ -336,3 +336,63 @@ def test_repeated_spans_match_reference(spark, token_docs, k):
         for r in repeated_spans(df, "doc_id", "text", k=k, min_count=2).collect()
     )
     assert got == expected
+
+
+def _ref_strip_spans(docs, k, min_count):
+    """Pure-Python reference for strip_repeated_spans (keep-first)."""
+    from collections import Counter
+
+    counts = Counter()
+    toks = {}
+    first = {}
+    for doc_id, text in sorted(docs):
+        w = text.lower().strip().split(" ")
+        toks[doc_id] = w
+        for p in range(max(len(w) - k + 1, 0)):
+            g = " ".join(w[p : p + k])
+            counts[g] += 1
+            first.setdefault(g, (doc_id, p))
+    out = []
+    for doc_id, w in toks.items():
+        red = [
+            p
+            for p in range(max(len(w) - k + 1, 0))
+            if counts[" ".join(w[p : p + k])] >= min_count
+            and first[" ".join(w[p : p + k])] != (doc_id, p)
+        ]
+        dropped = set()
+        for p in red:
+            dropped.update(range(p, p + k))
+        kept = [t for i, t in enumerate(w) if i not in dropped]
+        out.append((doc_id, " ".join(kept), len(w), len(w) - len(kept)))
+    return sorted(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=20),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(2, 3),
+)
+def test_strip_spans_match_reference(spark, token_docs, k):
+    """strip_repeated_spans must equal the keep-first brute-force
+    reference exactly on random tiny-vocabulary corpora: same cleaned
+    text, same accounting. (Island merging over redundant windows must
+    not strip more or fewer tokens than the per-window union.)"""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        strip_repeated_spans,
+    )
+
+    docs = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(token_docs)
+    ]
+    expected = _ref_strip_spans(docs, k, 2)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_dropped"])
+        for r in strip_repeated_spans(df, "doc_id", "text", k=k, min_count=2).collect()
+    )
+    assert got == expected

@@ -616,3 +616,53 @@ def corpus_tokenized_documents(ctx: ModelContext) -> DataFrame:
         F.md5(F.concat_ws("", F.col("bpe_tokens"))).alias("tokens_md5"),
         ctx.now().alias("updated_at"),
     )
+
+
+@model(
+    "corpus_bigram_stats",
+    unique_key=["bigram_fp"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["bigram_fp", "c"],
+)
+def corpus_bigram_stats(ctx: ModelContext) -> DataFrame:
+    """Bigram LM counts — trained ONCE on the first run's corpus hash
+    split (the same train-once/frozen pattern as ``corpus_index_centroids``
+    and ``corpus_bpe_rules``): every later run returns zero rows so the
+    MERGE leaves the counts untouched. A language model that silently
+    retrained mid-stream would make scores from different incremental
+    runs incomparable; retraining is an explicit ``--full-refresh``.
+    """
+    from ..operators.ngram_lm import bigram_lm_stats
+
+    if ctx.is_incremental():
+        return ctx.spark.createDataFrame([], "bigram_fp bigint, c bigint")
+    docs = ctx.source("main", "documents")
+    return bigram_lm_stats(docs, "doc_id", "text", train_frac=0.5, salt="lm")
+
+
+@model(
+    "corpus_lm_scores",
+    unique_key=["doc_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_bigram_stats"],
+    tags=["corpus"],
+    not_null=["doc_id", "n_bigrams"],
+)
+def corpus_lm_scores(ctx: ModelContext) -> DataFrame:
+    """Per-document bigram familiarity + OOV rate against the FROZEN
+    counts; incremental on the doc_id watermark, so each run scores only
+    new documents — and because the counts are frozen, rows scored in
+    different runs are mutually consistent."""
+    from ..operators.ngram_lm import bigram_lm_score
+
+    docs = ctx.source("main", "documents")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        docs = docs.filter(F.col("doc_id") > wm)
+    stats = ctx.ref("corpus_bigram_stats")
+    scored = bigram_lm_score(docs, "doc_id", "text", stats)
+    return scored.withColumn("updated_at", ctx.now())

@@ -203,3 +203,45 @@ def test_refresh_audit_detects_watermark_blindspots(spark, sf_dir, tmp_path):
     assert audit.get("changed", 0) == n_changed
     assert audit.get("added", 0) == 0
     assert audit["unchanged"] == n_docs - n_removed - n_changed
+
+
+def test_bigram_lm_models_frozen_stats(spark, sf_dir, tmp_path):
+    """Bigram counts train once and stay frozen; scores merge in
+    incrementally: a second document batch scores only its new docs
+    against the SAME counts, and batch-1 rows do not change."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    src = tmp_path / "doc_src"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= mid).write.parquet(str(src))
+    sources = dict(testdata_sources(sf_dir))
+    sources["main.documents"] = str(src)
+    runner = Runner(spark, store, sources)
+
+    runner.run("+corpus_lm_scores")
+    stats1 = {r["bigram_fp"]: r["c"] for r in store.read("corpus_bigram_stats").collect()}
+    s1 = {r["doc_id"]: (r["familiar_sum"], r["oov_ppm"])
+          for r in store.read("corpus_lm_scores").collect()}
+    assert stats1 and s1
+    # scored docs = batch-1 docs with >= 1 bigram
+    assert set(s1) <= {r["doc_id"] for r in docs.filter(F.col("doc_id") <= mid).collect()}
+
+    docs.filter(F.col("doc_id") > mid).write.mode("append").parquet(str(src))
+    runner.run("+corpus_lm_scores")
+    stats2 = {r["bigram_fp"]: r["c"] for r in store.read("corpus_bigram_stats").collect()}
+    assert stats2 == stats1, "counts must stay frozen across incremental runs"
+    s2 = {r["doc_id"]: (r["familiar_sum"], r["oov_ppm"])
+          for r in store.read("corpus_lm_scores").collect()}
+    assert all(s2[k] == v for k, v in s1.items()), "batch-1 scores must not change"
+    assert len(s2) > len(s1)
+    # batch-2 docs were scored against the frozen (batch-1) counts
+    from sample_deepbook_margin_dune_dbt_spark.operators.ngram_lm import bigram_lm_score
+    frozen = store.read("corpus_bigram_stats")
+    expect = {
+        r["doc_id"]: (r["familiar_sum"], r["oov_ppm"])
+        for r in bigram_lm_score(
+            docs.filter(F.col("doc_id") > mid), "doc_id", "text", frozen
+        ).collect()
+    }
+    assert all(s2[k] == v for k, v in expect.items())
+    assert runner.test("+corpus_lm_scores") == {}

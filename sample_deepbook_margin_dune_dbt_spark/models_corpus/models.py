@@ -666,3 +666,28 @@ def corpus_lm_scores(ctx: ModelContext) -> DataFrame:
     stats = ctx.ref("corpus_bigram_stats")
     scored = bigram_lm_score(docs, "doc_id", "text", stats)
     return scored.withColumn("updated_at", ctx.now())
+
+
+@model(
+    "corpus_despanned_documents",
+    unique_key=["doc_id"],
+    materialized="table",
+    tags=["corpus"],
+    not_null=["doc_id", "text_clean"],
+)
+def corpus_despanned_documents(ctx: ModelContext) -> DataFrame:
+    """Cleaned corpus under keep-first ExactSubstr span stripping.
+
+    TABLE materialization by design, not an oversight: the keep-first
+    pick is corpus-GLOBAL — a newly arrived document can turn a
+    previously unique window into a duplicated one, retroactively
+    stripping occurrences in already-processed documents, so a watermark
+    MERGE would silently diverge from the full rebuild. (Contrast with
+    the frozen-stats models, where old rows are immutable by contract.)
+    """
+    from ..operators.dedup import strip_repeated_spans
+
+    docs = ctx.source("main", "documents")
+    return strip_repeated_spans(docs, "doc_id", "text", k=8, min_count=2).withColumn(
+        "updated_at", ctx.now()
+    )

@@ -245,3 +245,22 @@ def test_bigram_lm_models_frozen_stats(spark, sf_dir, tmp_path):
     }
     assert all(s2[k] == v for k, v in expect.items())
     assert runner.test("+corpus_lm_scores") == {}
+
+
+def test_despanned_documents_model(spark, sf_dir, tmp_path):
+    """One cleaned row per document; the fixture corpus's duplicated
+    passages actually shrink; accounting balances; idempotent rebuild."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner.run("+corpus_despanned_documents")
+    out = store.read("corpus_despanned_documents")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out.count() == docs.count()
+    dropped = out.agg(F.sum("n_dropped")).first()[0]
+    assert dropped > 0, "fixture corpus has duplicated passages to strip"
+    assert out.filter(F.col("n_dropped") > F.col("n_tokens")).count() == 0
+    before = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+    runner.run("+corpus_despanned_documents")
+    after = {r["doc_id"]: r["text_clean"] for r in store.read("corpus_despanned_documents").collect()}
+    assert after == before
+    assert runner.test("+corpus_despanned_documents") == {}

@@ -1065,10 +1065,11 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     stats = NL.bigram_lm_stats(docs, "doc_id", "text", train_frac=0.5, salt="lm")
     scored = NL.bigram_lm_score(docs, "doc_id", "text", stats)
-    flags = docs.select(
-        "doc_id", (hash_uniform("doc_id", "lm") < F.lit(0.5)).alias("is_train")
-    )
-    return scored.join(flags, "doc_id").orderBy("doc_id")
+    # is_train is functionally dependent on doc_id — a post-aggregation
+    # projection, NOT a join back to the corpus (one fewer shuffle)
+    return scored.withColumn(
+        "is_train", hash_uniform("doc_id", "lm") < F.lit(0.5)
+    ).orderBy("doc_id")
 
 
 def _bigram_lm_sql() -> str:

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_boilerplate_segments",
     "dedup_repeated_spans",
     "dedup_strip_spans",
+    "decontaminate_spans",
     "text_bigram_lm",
     "dedup_embedding_clusters",
     "dedup_minhash_lsh",

@@ -938,3 +938,50 @@ def strip_repeated_spans(
             (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination — ExactSubstr against a
+    held-out set: mark the exact token extents where corpus documents
+    reproduce k-word windows of a benchmark suite. Doc-level overlap
+    scores (``operators/contamination.py``) answer "is this document
+    contaminated?"; this answers "WHERE" — the spans a surgical scrub
+    would cut instead of dropping the whole document.
+
+    Returns one row per maximal contaminated span in the corpus frame:
+    ``(id_col, n_tokens, span_start, span_end, span_tokens)``.
+
+    Scale shape: the benchmark window-fingerprint set is bounded by
+    benchmark size (tiny by nature — thousands of documents), so it
+    BROADCASTS and the corpus never shuffles on content: one narrow
+    window map + broadcast semi-join + per-document island merge. If a
+    benchmark ever outgrew broadcast the same plan degrades to a
+    shuffled semi-join on the 8-byte fingerprint.
+    """
+    wins = _window_rows(df, id_col, text_col, k)
+    bench_fps = F.broadcast(
+        _window_rows(bench, bench_id_col, bench_text_col, k)
+        .select("_fp")
+        .distinct()
+    )
+    hits = wins.join(bench_fps, "_fp", "left_semi").select(
+        id_col, "n_tokens", "pos"
+    )
+    spans = _merge_windows_to_spans(hits, id_col, k, carry=["n_tokens"])
+    return spans.select(
+        id_col,
+        "n_tokens",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+    )

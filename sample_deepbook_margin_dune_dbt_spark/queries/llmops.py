@@ -928,6 +928,68 @@ FROM scored
 """
 
 
+# ------------------------------------------- span-level decontamination
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: the exact token extents
+    where corpus documents reproduce 8-word windows of the held-out
+    benchmark subset (doc_id % 7 == 0 — a wider slice than the doc-level
+    tier's % 97 so the span detector has non-trivial work at every SF:
+    8-word exact matches are much rarer than 3-gram overlap). The
+    benchmark window set broadcasts; the corpus never shuffles on
+    content."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    spans = D.contaminated_spans(
+        corpus, "doc_id", "text", bench, "doc_id", "text", k=8
+    )
+    return spans.orderBy("doc_id", "span_start")
+
+
+SQL_DECONTAMINATE_SPANS = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+wins AS (
+    SELECT doc_id, len(w) AS n_tokens, i AS pos,
+           array_to_string(w[(i+1):(i+8)], ' ') AS gram
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, len(w) - 8)) AS i
+    ) g
+    WHERE len(w) >= 8
+),
+bset AS (SELECT DISTINCT gram FROM wins WHERE doc_id % 7 = 0),
+hits AS (
+    SELECT w.doc_id, w.n_tokens, w.pos
+    FROM wins w JOIN bset USING (gram)
+    WHERE w.doc_id % 7 <> 0
+),
+marks AS (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, n_tokens, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS span_id
+    FROM marks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_id, n_tokens, span_id
+"""
+
+
 # --------------------------------------------- keep-first span stripping
 
 
@@ -1175,6 +1237,7 @@ LLMOPS_QUERIES = {
     "text_bigram_lm": (q_text_bigram_lm, _bigram_lm_sql()),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_EMB_CLUSTERS),
     "dedup_strip_spans": (q_dedup_strip_spans, SQL_STRIP_SPANS),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_QUALITY),
     "text_quality_model": (q_text_quality_model, SQL_QUALITY_MODEL),

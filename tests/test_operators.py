@@ -967,3 +967,23 @@ def test_strip_repeated_spans_keep_first(spark):
     assert got[3]["text_clean"] == "c1 c2 c3 c4 z" and got[3]["n_dropped"] == 4
     assert got[4]["text_clean"] == "unique words only here"
     assert all(r["n_tokens"] >= r["n_dropped"] >= 0 for r in got.values())
+
+
+def test_contaminated_spans_planted(spark):
+    """A benchmark passage pasted into a corpus doc must surface at its
+    exact token extent; corpus-internal duplication must NOT flag
+    (decontamination is against the benchmark only)."""
+    bench = spark.createDataFrame(
+        [(900, "q1 q2 q3 q4 q5 q6")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 q1 q2 q3 q4 q5 q6 x3"),   # contains the passage at 2..7
+            (2, "y1 y2 y3 y4 y5 y6 y7 y8 y9"),   # clean
+            (3, "z1 z2 z3 z4 z5 z1 z2 z3 z4 z5"),  # internal repeat only
+        ],
+        "doc_id long, text string",
+    )
+    got = D.contaminated_spans(corpus, "doc_id", "text", bench, "doc_id", "text", k=4)
+    rows = {(r["doc_id"], r["span_start"], r["span_end"]) for r in got.collect()}
+    assert rows == {(1, 2, 7)}

@@ -493,3 +493,12 @@ def test_bigram_lm_scoring_join_is_equijoin(spark, sf_dir):
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan, "bigram counts must map-side combine"
+
+
+def test_decontaminate_spans_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark window-fingerprint set must broadcast as a LEFT SEMI
+    probe — the corpus never shuffles on content for membership."""
+    fn, _ = ALL_QUERIES["decontaminate_spans"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

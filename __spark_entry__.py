@@ -10,7 +10,11 @@
   tolerance-boolean contract for sketch ops). The r6 window rotates in
   the five last never-driver-verified exact-oracle families (semantic
   decontamination, leakage-safe split, cohort LTV, hopping windows,
-  sequence packing); everything rotated out stays oracle-checked by
+  sequence packing) plus the NEW sliding-window repeated-span family
+  (``dedup_repeated_spans``, in for the coarse segment pass it
+  subsumes); everything rotated out — and the other four r6-new
+  families (keep-first span strip, span-level decontamination,
+  bigram-LM filter, semantic clusters) — stays oracle-checked by
   ``tests/test_oracle_parity.py`` over the full inventory.
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.

@@ -782,16 +782,22 @@ def repeated_spans(
     or containing no duplicated window produce no rows.
 
     Scale shape: window construction is a codegen
-    ``transform``/``posexplode`` narrow map over md5-backed 64-bit
-    window fingerprints (engine-portable, and the shuffle carries 8-byte
-    keys instead of k-word strings); the occurrence count is a map-side
-    combined groupBy; marking duplicated windows is a fingerprint
-    equi-join (AQE-skew-splittable — deliberately NOT a count-over-window,
-    which would pin each hot template fingerprint to one task); the
-    island merge windows partition by document, so its state is bounded
-    by the longest document, never by corpus size. No driver-side
-    collection anywhere.
+    ``transform``/``posexplode`` narrow map over FULL-WIDTH md5 window
+    fingerprints (engine-portable; 32-byte keys instead of k-word
+    strings — full width, not truncated, because the span tiers feed
+    DESTRUCTIVE consumers and a truncated-hash collision would mark
+    unique content as duplicated: at 2^128 the birthday bound never
+    bites); the occurrence count is a map-side combined groupBy; marking
+    duplicated windows is a fingerprint equi-join (AQE-skew-splittable —
+    deliberately NOT a count-over-window, which would pin each hot
+    template fingerprint to one task); the island merge windows
+    partition by document, so its state is bounded by the longest
+    document, never by corpus size. No driver-side collection anywhere.
     """
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 marks every window duplicated), got {min_count}"
+        )
     wins = _window_rows(df, id_col, text_col, k)
     dup_fps = (
         wins.groupBy("_fp")
@@ -812,16 +818,34 @@ def repeated_spans(
     )
 
 
+def ws_tokens_exact(text_col: F.Column | str) -> F.Column:
+    """Single-space tokenization in normalized (lower/trim) space — the
+    ORACLE-PARITY tokenizer shared by every span tier and the bigram LM.
+    The span tiers' reassembly must tokenize byte-identically to their
+    window construction or span indices cut the wrong tokens; this one
+    definition pins that invariant. (Contrast ``_tokens``, whose ``\\s+``
+    regex semantics the shingle tiers use.)"""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), " ")
+
+
 def _window_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Sliding k-word window fingerprints with 0-based positions:
-    ``(id_col, n_tokens, pos, _fp)``. Docs shorter than k produce none."""
+    ``(id_col, n_tokens, pos, _fp)``. Docs shorter than k produce none.
+
+    ``_fp`` is the FULL 128-bit md5 of the window (32-char hex): the
+    strip/decontaminate consumers delete or flag content keyed on it, so
+    a truncated-hash collision would silently corrupt unique documents —
+    at ~2^30 windows (a few GB of text) a 60-bit key already reaches
+    even collision odds, while 128 bits never do.
+    """
     if k < 2:
         raise ValueError(f"window width k must be >= 2, got {k}")
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    toks = ws_tokens_exact(text_col)
     n_tokens = F.size(toks)
     win_fps = F.transform(
         F.sequence(F.lit(0), n_tokens - k),
-        lambda i: fingerprint64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
     return (
         _spread(df, id_col)
@@ -919,7 +943,9 @@ def strip_repeated_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    # MUST tokenize byte-identically to _window_rows or the span indices
+    # cut the wrong tokens — hence the shared helper
+    toks = ws_tokens_exact(text_col)
     empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
     kept = F.filter(
         toks,
@@ -960,11 +986,14 @@ def contaminated_spans(
     ``(id_col, n_tokens, span_start, span_end, span_tokens)``.
 
     Scale shape: the benchmark window-fingerprint set is bounded by
-    benchmark size (tiny by nature — thousands of documents), so it
-    BROADCASTS and the corpus never shuffles on content: one narrow
-    window map + broadcast semi-join + per-document island merge. If a
-    benchmark ever outgrew broadcast the same plan degrades to a
-    shuffled semi-join on the 8-byte fingerprint.
+    benchmark size (tiny by nature — thousands of documents), so it is
+    PINNED to broadcast with an explicit hint and the corpus never
+    shuffles on content: one narrow window map + broadcast semi-join +
+    per-document island merge. The hint is mandatory, not advisory — a
+    benchmark too large for executor memory fails loudly at the
+    broadcast rather than degrading; remove the hint (one line) to let
+    Catalyst fall back to a shuffled semi-join on the fingerprint if a
+    benchmark ever genuinely outgrows broadcast.
     """
     wins = _window_rows(df, id_col, text_col, k)
     bench_fps = F.broadcast(

@@ -25,13 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64
+from .dedup import ws_tokens_exact
 from .sampling import hash_sample
 
 
 def _bigram_fps(text_col: str) -> F.Column:
     # guard: sequence(0, -1) is a DESCENDING sequence in Spark, so a
     # sub-bigram document must short-circuit to an empty array
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    toks = ws_tokens_exact(text_col)
     return F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -55,9 +56,10 @@ def bigram_lm_stats(
     reproduces the same table. Returns ``(bigram_fp, c)``.
     """
     train = hash_sample(df, id_col, train_frac, salt)
+    # no token-count pre-filter: _bigram_fps already yields an empty
+    # array for sub-bigram docs, which explode drops
     return (
-        train.filter(F.size(F.split(F.lower(F.trim(F.col(text_col))), " ")) >= 2)
-        .select(F.explode(_bigram_fps(text_col)).alias("bigram_fp"))
+        train.select(F.explode(_bigram_fps(text_col)).alias("bigram_fp"))
         .groupBy("bigram_fp")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

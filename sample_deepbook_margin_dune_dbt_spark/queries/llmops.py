@@ -1075,8 +1075,11 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph. Composes the two verified tiers: banded-LSH candidate
     pairs + exact refine (no cross join) feed the same CC engine as the
     jaccard clusters; the oracle recomputes the all-pairs cosine graph
-    and its full recursive closure, so a hash match proves BOTH that LSH
-    recalled every qualifying pair AND that the closure converged."""
+    and its full recursive closure, so a hash match certifies the CC
+    closure converged and LSH missed no COMPONENT-SPLITTING pair (an
+    edge missed inside a still-connected component is invisible at
+    cluster grain — pair-level recall is certified separately by
+    ``dedup_embedding_cosine``'s all-pairs oracle)."""
     emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
     pairs = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64)
     return D.duplicate_clusters(pairs.select("id_a", "id_b"), algorithm="auto")

@@ -7,15 +7,16 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
   structural contract — DERIVED from k since r6, not hardcoded;
-  tolerance-boolean contract for sketch ops). The r6 window rotates in
-  the five last never-driver-verified exact-oracle families (semantic
-  decontamination, leakage-safe split, cohort LTV, hopping windows,
-  sequence packing) plus the NEW sliding-window repeated-span family
-  (``dedup_repeated_spans``, in for the coarse segment pass it
-  subsumes); everything rotated out — and the other four r6-new
-  families (keep-first span strip, span-level decontamination,
-  bigram-LM filter, semantic clusters) — stays oracle-checked by
-  ``tests/test_oracle_parity.py`` over the full inventory.
+  tolerance-boolean contract for sketch ops). The r7 window rotates in
+  the r6-built never-driver-verified exact-oracle families (keep-first
+  span strip, span-level decontamination, bigram-LM filter, semantic
+  clusters, pack-efficiency report, pairwise-similarity profile,
+  day-over-day TVD drift) plus TPC-H q2/q9 (decorrelated grouped-min;
+  5-join exact-cents rollup); everything rotated out stays
+  oracle-checked by ``tests/test_oracle_parity.py`` over the full
+  inventory, now with a type-parity assertion (the r6
+  ``chunk_pack_sequences`` hash-red was a DuckDB HUGEINT window-sum
+  promotion the value-only local gate could not see).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

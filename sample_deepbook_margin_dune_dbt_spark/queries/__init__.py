@@ -163,6 +163,29 @@ driver query moved to ``EXTRA_QUERIES``:
   dedup family keeps exact/clusters/minhash rows and the coarse pass
   stays oracle-verified in EXTRA).
 
+- round 7 (per VERDICT r6 item 4): rotate driver evidence onto the
+  r6-built never-driver-verified exact-oracle families. In:
+  ``dedup_strip_spans`` (keep-first repeated-span strip),
+  ``decontaminate_spans`` (span-level benchmark decontamination),
+  ``text_bigram_lm`` (corpus-trained bigram-LM perplexity filter),
+  ``dedup_embedding_clusters`` (SemDeDup-shape semantic clusters),
+  ``chunk_pack_efficiency`` (padding-waste report),
+  ``emb_similarity_profile`` (sampled pairwise-cosine distribution),
+  ``events_drift_tvd`` (day-over-day total-variation drift),
+  ``tpch_q2`` (decorrelated grouped-min), ``tpch_q9`` (5-join
+  exact-cents profit rollup). Out (family stays represented):
+  ``tpch_q1``/``tpch_q6`` (agg/pushdown shapes held by
+  ``q13``/``q18``/``q21``), ``text_normalize`` +
+  ``text_heavy_hitters`` + ``text_repetition`` (curation family keeps
+  ``corpus_curation_report`` + ``text_tfidf_topterms`` + the new
+  bigram-LM row; text keeps pii/bloom/quality-model rows),
+  ``w_tumbling_agg`` (window family held by ``w_hopping_agg`` +
+  ``sessionize``), ``skew_hotness_report`` (skew family keeps
+  ``skew_salted_agg``), ``corpus_snapshot_diff`` (lake-audit family —
+  the TVD drift row covers the monitoring capability; diff mechanics
+  stay oracle-verified in EXTRA), ``corpus_curriculum`` (ordering
+  family keeps ``corpus_epoch_shuffle``).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -207,14 +230,17 @@ DRIVER_QUERY_ORDER = [
     # LLM-data-pipeline block
     "dedup_exact",
     "corpus_profile",
-    "text_normalize",
-    "text_heavy_hitters",
     "text_tfidf_topterms",
+    "text_bigram_lm",
     "dedup_repeated_spans",
+    "dedup_strip_spans",
+    "decontaminate_spans",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
+    "emb_similarity_profile",
     "multimodal_meta",
     "ann_lsh_bucketed",
     "ann_ivf_pq",
@@ -224,23 +250,20 @@ DRIVER_QUERY_ORDER = [
     "sample_split_leakage_safe",
     "chunk_token_windows",
     "chunk_pack_sequences",
-    "text_repetition",
+    "chunk_pack_efficiency",
     "text_pii_redact",
     "emb_quantize_int8",
     "text_bloom_decontaminate",
     # skew-mitigation family (plain-agg twin shares salted_agg's oracle,
-    # held in EXTRA; the mitigated paths keep driver rows)
+    # held in EXTRA; the mitigated path keeps the driver row)
     "skew_salted_agg",
-    "skew_hotness_report",
     "events_outlier_zscore",
-    # composed curation rollup + snapshot audit + curriculum ordering
+    "events_drift_tvd",
+    # composed curation rollup
     "corpus_curation_report",
-    "corpus_snapshot_diff",
-    "corpus_curriculum",
     # custom operators / window & join shapes
     "sessionize",
     "asof_join",
-    "w_tumbling_agg",
     "w_hopping_agg",
     "events_funnel",
     "events_retention",
@@ -256,8 +279,8 @@ DRIVER_QUERY_ORDER = [
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
     # TPC-H
-    "tpch_q1",
-    "tpch_q6",
+    "tpch_q2",
+    "tpch_q9",
     "tpch_q13",
     "tpch_q18",
     "tpch_q21",

@@ -70,11 +70,12 @@ laid AS (
     FROM nt
 )
 SELECT doc_id,
-       end_offset - t AS start_offset,
-       end_offset,
-       (end_offset - t) // {_SEQ_LEN} AS first_seq,
-       (end_offset - 1) // {_SEQ_LEN} AS last_seq,
-       (end_offset - 1) // {_SEQ_LEN} - (end_offset - t) // {_SEQ_LEN} + 1 AS n_seqs
+       CAST(end_offset - t AS BIGINT) AS start_offset,
+       CAST(end_offset AS BIGINT) AS end_offset,
+       CAST((end_offset - t) // {_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST((end_offset - 1) // {_SEQ_LEN} AS BIGINT) AS last_seq,
+       CAST((end_offset - 1) // {_SEQ_LEN}
+            - (end_offset - t) // {_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
 FROM laid WHERE t > 0
 """
 

@@ -48,20 +48,68 @@ def _sort_key(row):
     )
 
 
+# Spark simpleString dtype → acceptable DuckDB relation types. The driver's
+# hash is type-aware (DuckDB HUGEINT vs Spark LONG hashes differently even
+# when every value collates equal as a Python int — the r6
+# chunk_pack_sequences red row), so the local gate must reject type drift,
+# not just value drift.
+_TYPE_EQUIV = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def types_compatible(spark_dt: str, duck_dt: str) -> bool:
+    spark_dt = spark_dt.lower().strip()
+    duck_dt = duck_dt.upper().strip()
+    if spark_dt.startswith("decimal"):
+        # int128: only a Spark DECIMAL may face a DuckDB HUGEINT
+        return duck_dt.startswith("DECIMAL") or duck_dt == "HUGEINT"
+    if spark_dt.startswith("array<"):
+        return duck_dt.endswith("[]") and types_compatible(
+            spark_dt[6:-1], duck_dt[:-2]
+        )
+    if spark_dt.startswith("struct<"):
+        return duck_dt.startswith("STRUCT")
+    if spark_dt.startswith("map<"):
+        return duck_dt.startswith("MAP")
+    return duck_dt in _TYPE_EQUIV.get(spark_dt, set())
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> list[str]:
     """Returns a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r[c] for c in sorted(spark_cols)) for r in spark_df.collect()]
 
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_raw = res.fetchall()
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_types = {c: str(t) for c, t in zip(duck_cols, rel.types)}
+    duck_raw = rel.fetchall()
     col_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
     duck_rows = [tuple(r[i] for i in col_idx) for r in duck_raw]
 
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"{name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+
+    for c, spark_dt in spark_df.dtypes:
+        if not types_compatible(spark_dt, duck_types[c]):
+            problems.append(
+                f"{name}: column {c} type mismatch spark={spark_dt} "
+                f"duck={duck_types[c]} (driver hash is type-aware)"
+            )
+    if problems:
         return problems
     if len(spark_rows) != len(duck_rows):
         problems.append(f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")

@@ -761,6 +761,7 @@ def repeated_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Maximal repeated-span detection over SLIDING k-word windows — the
     fine-grained tier of ExactSubstr dedup (Lee et al. 2022,
@@ -782,23 +783,26 @@ def repeated_spans(
     or containing no duplicated window produce no rows.
 
     Scale shape: window construction is a codegen
-    ``transform``/``posexplode`` narrow map over FULL-WIDTH md5 window
-    fingerprints (engine-portable; 32-byte keys instead of k-word
-    strings — full width, not truncated, because the span tiers feed
-    DESTRUCTIVE consumers and a truncated-hash collision would mark
-    unique content as duplicated: at 2^128 the birthday bound never
-    bites); the occurrence count is a map-side combined groupBy; marking
-    duplicated windows is a fingerprint equi-join (AQE-skew-splittable —
-    deliberately NOT a count-over-window, which would pin each hot
-    template fingerprint to one task); the island merge windows
-    partition by document, so its state is bounded by the longest
-    document, never by corpus size. No driver-side collection anywhere.
+    ``transform``/``posexplode`` narrow map; with ``two_phase`` (default)
+    the only corpus-wide exchange carries an 8-byte ``xxhash64`` per
+    window — the FULL-WIDTH md5 the destructive consumers key on is
+    computed only for windows surviving the broadcast candidate filter
+    (see ``_survivor_windows`` for the correctness argument and the
+    fallback contract). The occurrence count is a map-side combined
+    groupBy; marking duplicated windows is a fingerprint equi-join
+    (AQE-skew-splittable — deliberately NOT a count-over-window, which
+    would pin each hot template fingerprint to one task); the island
+    merge windows partition by document, so its state is bounded by the
+    longest document, never by corpus size. No driver-side collection
+    anywhere.
     """
     if min_count < 2:
         raise ValueError(
             f"min_count must be >= 2 (1 marks every window duplicated), got {min_count}"
         )
-    wins = _window_rows(df, id_col, text_col, k)
+    wins = _survivor_windows(
+        _window_rows_text(df, id_col, text_col, k), min_count, two_phase
+    )
     dup_fps = (
         wins.groupBy("_fp")
         .agg(F.count(F.lit(1)).alias("_occ"))
@@ -829,6 +833,33 @@ def ws_tokens_exact(text_col: F.Column | str) -> F.Column:
     return F.split(F.lower(F.trim(c)), " ")
 
 
+def _window_rows_text(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Sliding k-word window TEXT with 0-based positions:
+    ``(id_col, n_tokens, pos, _w)``. Docs shorter than k produce none.
+    Narrow map; ``_w`` exists so callers can derive whichever fingerprint
+    their phase needs (8-byte xxhash64 candidate key, full md5 verify key)
+    without re-tokenizing — it must never reach an exchange."""
+    if k < 2:
+        raise ValueError(f"window width k must be >= 2, got {k}")
+    toks = ws_tokens_exact(text_col)
+    n_tokens = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(0), n_tokens - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        _spread(df, id_col)
+        .filter(n_tokens >= k)
+        .select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.posexplode(wins).alias("pos", "_w"),
+        )
+    )
+
+
 def _window_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Sliding k-word window fingerprints with 0-based positions:
     ``(id_col, n_tokens, pos, _fp)``. Docs shorter than k produce none.
@@ -839,22 +870,60 @@ def _window_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     at ~2^30 windows (a few GB of text) a 60-bit key already reaches
     even collision odds, while 128 bits never do.
     """
-    if k < 2:
-        raise ValueError(f"window width k must be >= 2, got {k}")
-    toks = ws_tokens_exact(text_col)
-    n_tokens = F.size(toks)
-    win_fps = F.transform(
-        F.sequence(F.lit(0), n_tokens - k),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    return (
+        _window_rows_text(df, id_col, text_col, k)
+        .withColumn("_fp", F.md5("_w"))
+        .drop("_w")
+    )
+
+
+def _survivor_windows(
+    wins_text: DataFrame, min_count: int, two_phase: bool
+) -> DataFrame:
+    """Windows carrying their full-width md5 ``_fp``, restricted (when
+    ``two_phase``) to fingerprint buckets that can still reach
+    ``min_count`` — the shuffle-width optimization of the span tiers
+    (VERDICT r6 item 5).
+
+    Single-phase ships a 32-char md5 hex per sliding window into the
+    occurrence-count exchange — ~32 bytes of shuffle per corpus token at
+    ExactSubstr granularity. Two-phase instead:
+
+    1. counts occurrences of the 8-byte ``xxhash64`` of each window
+       (map-side combined; the only corpus-wide exchange, ~4× narrower),
+    2. broadcasts the candidate fingerprints that reached ``min_count``,
+    3. filters windows map-side against the broadcast and computes the
+       full md5 ONLY for survivors — downstream exact counting and
+       first-occurrence picks shuffle dup-fraction-sized data.
+
+    Correctness is unchanged: every occurrence of identical window text
+    has an identical xxhash64, so an md5 group with ``occ >= min_count``
+    implies its (superset) xxhash64 group also reached ``min_count`` —
+    phase 1 never drops a true duplicate, and xx collisions only admit
+    extra windows that phase 2's exact md5 count then rejects. The
+    destructive consumers still key every decision on the 128-bit md5.
+
+    Tradeoffs, stated: two-phase reads the corpus once more (candidate
+    pass + the two downstream uses re-derive windows — narrow codegen
+    maps, no exchange) and requires the candidate set (DISTINCT
+    duplicated fingerprints, not dup occurrences) to fit a broadcast;
+    for a pathologically self-similar corpus set ``two_phase=False`` to
+    fall back to the single-exchange md5 plan.
+    """
+    if not two_phase:
+        return wins_text.withColumn("_fp", F.md5("_w")).drop("_w")
+    cand = (
+        wins_text.select(F.xxhash64("_w").alias("_fpx"))
+        .groupBy("_fpx")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_count)
+        .select("_fpx")
     )
     return (
-        _spread(df, id_col)
-        .filter(n_tokens >= k)
-        .select(
-            F.col(id_col),
-            n_tokens.cast("long").alias("n_tokens"),
-            F.posexplode(win_fps).alias("pos", "_fp"),
-        )
+        wins_text.withColumn("_fpx", F.xxhash64("_w"))
+        .join(F.broadcast(cand), "_fpx")
+        .withColumn("_fp", F.md5("_w"))
+        .drop("_w", "_fpx")
     )
 
 
@@ -891,6 +960,7 @@ def strip_repeated_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    two_phase: bool = True,
 ) -> DataFrame:
     """KEEP-FIRST repeated-span removal — the apply tier of ExactSubstr
     dedup: every duplicated k-word window keeps its globally-first
@@ -907,17 +977,21 @@ def strip_repeated_spans(
     (lowercased, single-space — the space dedup operates in):
     ``(id_col, text_clean, n_tokens, n_dropped)``.
 
-    Scale shape: on top of the detection plan, the first-occurrence pick
-    is a lexicographic struct-min folded into the SAME map-side combined
-    groupBy as the occurrence count (no window over the hot fingerprint);
-    per-doc span lists are bounded by document length; reassembly is one
-    narrow ``filter``/``array_join`` map over the token array.
+    Scale shape: on top of the detection plan (incl. the ``two_phase``
+    8-byte candidate exchange — see ``_survivor_windows``), the
+    first-occurrence pick is a lexicographic struct-min folded into the
+    SAME map-side combined groupBy as the occurrence count (no window
+    over the hot fingerprint); per-doc span lists are bounded by document
+    length; reassembly is one narrow ``filter``/``array_join`` map over
+    the token array.
     """
     if min_count < 2:
         raise ValueError(
             f"min_count must be >= 2 (1 marks every window duplicated), got {min_count}"
         )
-    wins = _window_rows(df, id_col, text_col, k)
+    wins = _survivor_windows(
+        _window_rows_text(df, id_col, text_col, k), min_count, two_phase
+    )
     stats = (
         wins.groupBy("_fp")
         .agg(

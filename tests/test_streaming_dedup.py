@@ -106,6 +106,76 @@ def test_stream_dedup_two_drops(spark, tmp_path):
     assert set(got_clusters) == {1, 2, 5}
 
 
+def test_stream_dedup_three_drop_bridge(spark, tmp_path):
+    """A later micro-batch whose doc is near BOTH existing clusters must
+    merge them through the fold — the streaming twin of the batch
+    contracted-graph relabel case
+    (``test_incremental_dedup.py::test_incremental_clusters_merge_across_steps``),
+    so stream and batch incremental CC stay provably equivalent on the
+    cross-cluster bridge path, not just on two-drop growth."""
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    t_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t_b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    # 16 hash functions (8 bands): with the default 4 bands the
+    # deterministic minhash of the union text happens to band with only
+    # ONE family — each of the bridge's hash slots takes whichever
+    # family's min is smaller, so a band links A only when both its
+    # slots fall to A (p=1/4/band); 8 bands make the chosen texts link
+    # BOTH families, verified against the batch LSH below
+    N_HASHES = 16
+
+    def _run16():
+        stream_dedup_ingest(
+            spark, landing, SCHEMA, store, "corpus", ckpt,
+            emit_clusters=True, num_hashes=N_HASHES,
+        ).awaitTermination(120)
+
+    # drop 1: family A; drop 2: family B — two separate clusters
+    _drop(landing, "a.jsonl", [(1, t_a), (2, t_a + " one")])
+    _run16()
+    _drop(landing, "b.jsonl", [(10, t_b), (11, t_b + " two")])
+    _run16()
+    mid = {
+        r["doc_id"]: r["cluster_id"]
+        for r in store.read("corpus_neardup_clusters").collect()
+    }
+    assert mid[2] == mid[1] and mid[11] == mid[10]
+    assert mid[1] != mid[10], "families must start as separate clusters"
+
+    # drop 3: doc 20 shares shingles with BOTH families → one cluster
+    _drop(landing, "c.jsonl", [(20, t_b + " " + t_a)])
+    _run16()
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in store.read("corpus_neardup_clusters").collect()
+    }
+    assert len({got[d] for d in (1, 2, 10, 11, 20)}) == 1, got
+    # OLD rows of both families were relabeled, not just the new doc
+    assert got[10] == got[1] and got[11] == got[1]
+
+    # fold ≡ batch CC over the full corpus
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    corpus = store.read("corpus")
+    batch_pairs = minhash_lsh_candidates(
+        corpus, "doc_id", "text", num_hashes=N_HASHES
+    )
+    bp = {(r["id_a"], r["id_b"]) for r in batch_pairs.collect()}
+    assert any(p in bp for p in [(1, 20), (2, 20)]), bp
+    assert any(p in bp for p in [(10, 20), (11, 20)]), bp
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(batch_pairs).collect()
+    }
+    for d, c in want.items():
+        assert got[d] == c, (d, got[d], c)
+
+
 def test_stream_dedup_rerun_is_idempotent(spark, tmp_path):
     landing = str(tmp_path / "landing")
     store = TableStore(spark, str(tmp_path / "wh"))

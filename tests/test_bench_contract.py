@@ -1,0 +1,72 @@
+"""Artifact-contract pins for bench.py's stdout line.
+
+The driver captures only the last 2000 chars of bench stdout and JSON-parses
+the final line; rounds 6 and 7 both shipped lines that overflowed the window
+and recorded ``parsed: null`` (VERDICT r7 item 1 — the only unmet directive
+two rounds running). These pins make any regression of that contract a local
+test failure instead of a silent driver-side truncation:
+
+- the rendered line stays under ``STDOUT_LINE_BUDGET`` (< 2000 with headroom)
+  even if every query's median hit 9.999 s (4-char ms values — no bench
+  query has ever exceeded 5 s at sf0.1);
+- the line is valid single-line JSON whose ``q`` dict carries every bench
+  query by its inventory name;
+- every bench name resolves in ``FULL_QUERIES`` (a renamed query breaks the
+  bench at import time, not at driver time);
+- every driver-window query (``DRIVER_QUERY_ORDER``) holds a bench row, so a
+  plan regression in any driver family is visible round-over-round (the
+  r6 alignment policy, now pinned instead of prose).
+
+No SparkSession is started: ``render_stdout_line`` is a pure function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from sample_deepbook_margin_dune_dbt_spark.queries import (  # noqa: E402
+    DRIVER_QUERY_ORDER,
+    FULL_QUERIES,
+)
+
+
+def test_stdout_line_fits_driver_capture_worst_case():
+    worst = {name: 9.999 for name in bench.BENCH_QUERIES}
+    line = bench.render_stdout_line(sum(worst.values()), worst)
+    assert "\n" not in line
+    assert len(line) < bench.STDOUT_LINE_BUDGET, (
+        f"bench stdout line is {len(line)} chars at 4-char worst-case values; "
+        f"budget {bench.STDOUT_LINE_BUDGET} (driver tail capture is 2000). "
+        "Trim BENCH_QUERIES or shrink the rendering before adding queries."
+    )
+    assert bench.STDOUT_LINE_BUDGET < 2000
+
+
+def test_stdout_line_is_flat_ms_integer_json():
+    timings = {name: 0.4567 for name in bench.BENCH_QUERIES}
+    parsed = json.loads(bench.render_stdout_line(12.3456, timings))
+    assert set(parsed) == {"total", "q"}
+    assert parsed["total"] == 12346
+    assert set(parsed["q"]) == set(bench.BENCH_QUERIES)
+    assert all(isinstance(v, int) for v in parsed["q"].values())
+    assert parsed["q"][bench.BENCH_QUERIES[0]] == 457
+
+
+def test_bench_names_resolve_and_are_unique():
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+    missing = [n for n in bench.BENCH_QUERIES + bench.DEMO_QUERIES if n not in FULL_QUERIES]
+    assert not missing, missing
+
+
+def test_every_driver_window_query_has_a_bench_row():
+    uncovered = [n for n in DRIVER_QUERY_ORDER if n not in bench.BENCH_QUERIES]
+    assert not uncovered, (
+        f"driver-window queries without a bench row: {uncovered} — the r6 "
+        "alignment policy requires each CORRECTNESS family to be timed "
+        "round-over-round"
+    )

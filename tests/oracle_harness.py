@@ -63,7 +63,11 @@ _TYPE_EQUIV = {
     "string": {"VARCHAR"},
     "boolean": {"BOOLEAN"},
     "date": {"DATE"},
-    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    # Spark session-local timestamp vs DuckDB TIMESTAMP (ntz) collate the
+    # same under the UTC-pinned session; TIMESTAMPTZ is deliberately NOT
+    # accepted — the driver's hash may render the offset (ADVICE r7) —
+    # oracles must CAST tz-producing expressions to TIMESTAMP.
+    "timestamp": {"TIMESTAMP"},
     "timestamp_ntz": {"TIMESTAMP"},
     "binary": {"BLOB"},
 }
@@ -73,8 +77,17 @@ def types_compatible(spark_dt: str, duck_dt: str) -> bool:
     spark_dt = spark_dt.lower().strip()
     duck_dt = duck_dt.upper().strip()
     if spark_dt.startswith("decimal"):
-        # int128: only a Spark DECIMAL may face a DuckDB HUGEINT
-        return duck_dt.startswith("DECIMAL") or duck_dt == "HUGEINT"
+        # precision/scale must agree exactly when both sides are DECIMAL —
+        # the driver's hash renders scale (DECIMAL(38,2) "1.50" vs
+        # DECIMAL(10,1) "1.5" differ), so accepting any (p,s) pair could
+        # pass locally and hash-red at the driver (ADVICE r7). HUGEINT
+        # (int128) is only ever produced where Spark would need
+        # DECIMAL(38,0).
+        if duck_dt == "HUGEINT":
+            return spark_dt == "decimal(38,0)"
+        return duck_dt.startswith("DECIMAL") and (
+            spark_dt.replace(" ", "").upper() == duck_dt.replace(" ", "")
+        )
     if spark_dt.startswith("array<"):
         return duck_dt.endswith("[]") and types_compatible(
             spark_dt[6:-1], duck_dt[:-2]

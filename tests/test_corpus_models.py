@@ -6,14 +6,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore
-from sample_deepbook_margin_dune_dbt_spark.sources import testdata_sources
+from sample_deepbook_margin_dune_dbt_spark.sources import testdata_sources as load_testdata_sources
 import sample_deepbook_margin_dune_dbt_spark.models_corpus as corpus  # noqa: F401
 
 
 @pytest.fixture(scope="module")
 def built(spark, sf_dir, tmp_path_factory):
     store = TableStore(spark, str(tmp_path_factory.mktemp("corpus_wh")))
-    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner = Runner(spark, store, load_testdata_sources(sf_dir))
     runner.run("+corpus_stats_by_lang")
     return runner, store
 
@@ -144,7 +144,7 @@ def test_embedding_index_models(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
     emb.filter(F.col("vec_id") <= mid).write.parquet(str(src))
-    sources = dict(testdata_sources(sf_dir))
+    sources = dict(load_testdata_sources(sf_dir))
     sources["main.embeddings"] = str(src)
     runner = Runner(spark, store, sources)
 
@@ -171,7 +171,7 @@ def test_refresh_audit_detects_watermark_blindspots(spark, sf_dir, tmp_path):
     watermark cannot ingest: rewritten text under existing ids ('changed')
     and source deletions ('removed')."""
     store = TableStore(spark, str(tmp_path / "wh"))
-    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner = Runner(spark, store, load_testdata_sources(sf_dir))
     runner.run("+corpus_refresh_audit")
     clean = {r["status"]: r["n"] for r in store.read("corpus_refresh_audit").collect()}
     assert set(clean) == {"unchanged"}
@@ -188,7 +188,7 @@ def test_refresh_audit_detects_watermark_blindspots(spark, sf_dir, tmp_path):
     )
     src_dir = str(tmp_path / "drifted")
     drifted.write.parquet(src_dir + "/documents.parquet")
-    sources = dict(testdata_sources(sf_dir))
+    sources = dict(load_testdata_sources(sf_dir))
     sources["main.documents"] = src_dir + "/documents.parquet"
 
     runner2 = Runner(spark, store, sources)
@@ -214,7 +214,7 @@ def test_bigram_lm_models_frozen_stats(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
     docs.filter(F.col("doc_id") <= mid).write.parquet(str(src))
-    sources = dict(testdata_sources(sf_dir))
+    sources = dict(load_testdata_sources(sf_dir))
     sources["main.documents"] = str(src)
     runner = Runner(spark, store, sources)
 
@@ -251,7 +251,7 @@ def test_despanned_documents_model(spark, sf_dir, tmp_path):
     """One cleaned row per document; the fixture corpus's duplicated
     passages actually shrink; accounting balances; idempotent rebuild."""
     store = TableStore(spark, str(tmp_path / "wh"))
-    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner = Runner(spark, store, load_testdata_sources(sf_dir))
     runner.run("+corpus_despanned_documents")
     out = store.read("corpus_despanned_documents")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

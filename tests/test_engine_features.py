@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore, get_spark
 from sample_deepbook_margin_dune_dbt_spark.models_deepbook import consumer
-from sample_deepbook_margin_dune_dbt_spark.sources import SourceCatalog, testdata_sources
+from sample_deepbook_margin_dune_dbt_spark.sources import SourceCatalog
+from sample_deepbook_margin_dune_dbt_spark.sources import testdata_sources as load_testdata_sources
 from sample_deepbook_margin_dune_dbt_spark.streaming import merge_stream
 import sample_deepbook_margin_dune_dbt_spark.models_deepbook  # noqa: F401
 from tests.fixtures import write_fixtures
@@ -134,7 +135,7 @@ def test_schema_suffix_isolation(spark, tmp_path):
 
 
 def test_source_catalog(spark, sf_dir):
-    cat = SourceCatalog(testdata_sources(sf_dir))
+    cat = SourceCatalog(load_testdata_sources(sf_dir))
     assert cat.read(spark, "main", "region").count() == 5
     cat.register_views(spark)
     assert spark.sql("select count(*) n from main_region").first()["n"] == 5

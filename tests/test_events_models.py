@@ -8,14 +8,14 @@ from pyspark.sql import functions as F
 from sample_deepbook_margin_dune_dbt_spark.engine import Runner, TableStore
 from sample_deepbook_margin_dune_dbt_spark.models_events.models import total_reach
 from sample_deepbook_margin_dune_dbt_spark.queries.common import load
-from sample_deepbook_margin_dune_dbt_spark.sources import testdata_sources
+from sample_deepbook_margin_dune_dbt_spark.sources import testdata_sources as load_testdata_sources
 import sample_deepbook_margin_dune_dbt_spark.models_events  # noqa: F401
 
 
 @pytest.fixture(scope="module")
 def built(spark, sf_dir, tmp_path_factory):
     store = TableStore(spark, str(tmp_path_factory.mktemp("events_wh")))
-    runner = Runner(spark, store, testdata_sources(sf_dir))
+    runner = Runner(spark, store, load_testdata_sources(sf_dir))
     runner.run("+events_user_reach_daily")
     return runner, store
 

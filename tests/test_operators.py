@@ -969,6 +969,37 @@ def test_strip_repeated_spans_keep_first(spark):
     assert all(r["n_tokens"] >= r["n_dropped"] >= 0 for r in got.values())
 
 
+def test_span_tiers_two_phase_parity(spark):
+    """The documented ``two_phase=False`` escape hatch (for corpora whose
+    distinct duplicated-fingerprint set would overflow a broadcast —
+    `operators/dedup.py:_survivor_windows`) must produce rows identical to
+    the default two-phase path on both span tiers; ADVICE r7 flagged the
+    fallback as untested. Fixture plants cross-doc AND within-doc repeats
+    plus adjacent-window merges so both the candidate exchange and the
+    merge logic are exercised on each path."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 s1 s2 s3 s4 s5 a3 a4"),
+            (2, "b1 s1 s2 s3 s4 s5 b2 b3"),
+            (3, "c1 c2 c3 c4 x c1 c2 c3 c4"),
+            (4, "p1 p2 p3 p4 q1 q2 q3 q4 t1"),
+            (5, "u1 p1 p2 p3 p4 u2 q1 q2 q3 q4"),
+            (6, "unique filler words only present here"),
+            (7, "z1 z2"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn, cols in (
+        (D.repeated_spans, ["doc_id", "span_start", "span_end", "span_tokens", "n_tokens"]),
+        (D.strip_repeated_spans, ["doc_id", "text_clean", "n_tokens", "n_dropped"]),
+    ):
+        two = fn(docs, "doc_id", "text", k=4, min_count=2, two_phase=True)
+        one = fn(docs, "doc_id", "text", k=4, min_count=2, two_phase=False)
+        assert sorted(two.columns) == sorted(one.columns)
+        key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+        assert sorted(map(key, two.collect())) == sorted(map(key, one.collect()))
+
+
 def test_contaminated_spans_planted(spark):
     """A benchmark passage pasted into a corpus doc must surface at its
     exact token extent; corpus-internal duplication must NOT flag

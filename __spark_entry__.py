@@ -7,16 +7,18 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
   structural contract — DERIVED from k since r6, not hardcoded;
-  tolerance-boolean contract for sketch ops). The r7 window rotates in
-  the r6-built never-driver-verified exact-oracle families (keep-first
-  span strip, span-level decontamination, bigram-LM filter, semantic
-  clusters, pack-efficiency report, pairwise-similarity profile,
-  day-over-day TVD drift) plus TPC-H q2/q9 (decorrelated grouped-min;
-  5-join exact-cents rollup); everything rotated out stays
-  oracle-checked by ``tests/test_oracle_parity.py`` over the full
-  inventory, now with a type-parity assertion (the r6
-  ``chunk_pack_sequences`` hash-red was a DuckDB HUGEINT window-sum
-  promotion the value-only local gate could not see).
+  tolerance-boolean contract for sketch ops). The r8 window rotates
+  driver evidence onto the stalest (r2-vintage) families — tpch_q4/q7/
+  q14, text_langid, j2_left_join, o4_union_all, a_percentiles — plus
+  the NEW ``chunk_pack_bestfit`` (length-bucketed best-fit-decreasing
+  remainder packing; structural-contract oracle per the ANN precedent),
+  rotating out r7-green rows whose families stay represented (tpch_q2/
+  q9, dedup_strip_spans, emb_similarity_profile, events_drift_tvd,
+  dedup_embedding_clusters, emb_decontaminate, chunk_pack_efficiency).
+  Everything rotated out stays oracle-checked by
+  ``tests/test_oracle_parity.py`` over the full inventory under the
+  r8-tightened type gate (no TIMESTAMPTZ leniency; exact decimal
+  precision/scale).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

@@ -136,6 +136,18 @@ BENCH_QUERIES = [
     "events_drift_tvd",
     "tpch_q2",
     "tpch_q9",
+    # r8: driver-rotation families (VERDICT r7 item 3 — the r2-vintage
+    # queries back in the window) + the new best-fit packing family.
+    # Every driver-window query keeps a bench row; rotated-out queries
+    # keep theirs for round-over-round continuity.
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q14",
+    "text_langid",
+    "j2_left_join",
+    "o4_union_all",
+    "a_percentiles",
+    "chunk_pack_bestfit",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

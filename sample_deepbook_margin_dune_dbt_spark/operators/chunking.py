@@ -117,6 +117,129 @@ def pack_sequences(
     )
 
 
+def pack_bestfit(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    n_partitions: int = 64,
+    salt: str = "bestfit",
+) -> DataFrame:
+    """Best-fit-decreasing bin packing for PADDED fine-tuning layouts
+    (documents must not straddle sequence boundaries, unlike
+    :func:`pack_sequences`' concat-and-cut stream).
+
+    Each document of ``t`` tokens contributes ``floor(t / seq_len)``
+    exactly-full sequences (zero waste — they never need packing; account
+    for them with ``full_bins_expr``) plus, when ``t % seq_len > 0``, one
+    REMAINDER piece of ``t % seq_len`` tokens. This operator packs the
+    remainder pieces into shared ``seq_len``-capacity bins so the padded
+    waste drops from the naive one-bin-per-remainder layout (whose cost
+    :func:`..queries.chunkingq.q_pack_efficiency` reports) toward the
+    ``ceil(Σ rem / seq_len)`` lower bound.
+
+    Distributed shape: pieces are hash-assigned to ``n_partitions``
+    deterministic groups (``xxhash64(salt ‖ id)`` — stable across runs,
+    engines and input partitioning) and ONE ``applyInPandas`` runs
+    best-fit-decreasing independently inside each group: sort pieces by
+    (tokens desc, id asc), place each into the fitting open bin of
+    maximal fill (ties → highest bin id, the rightmost-bisect rule),
+    else open a new bin. Bin state is a bisect-sorted fill list —
+    O(n log n) per group, group size ~N/``n_partitions`` (raise
+    ``n_partitions`` so a group's pieces fit one task at corpus scale;
+    the packing quality cost of partitioning is bounded: any-fit leaves
+    at most ONE bin at ≤ half capacity per group, so total bins ≤
+    ⌊2·Σrem/seq_len⌋ + ``n_partitions`` — the structural contract the
+    driver oracle checks). Python-in-the-loop is justified: best-fit's
+    data-dependent sequential state is not expressible in Catalyst, and
+    the UDF is Arrow-batched per group, never per row.
+
+    Output: one row per remainder piece — id, ``rem_tokens``,
+    ``part_id``, ``bin_idx`` (dense per group), ``bin_id`` (global =
+    part_id·2³² + bin_idx) and ``bin_fill`` (final fill of the piece's
+    bin). Deterministic for a fixed (seq_len, n_partitions, salt).
+    """
+    import bisect
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_partitions <= 0:
+        raise ValueError(f"n_partitions must be positive, got {n_partitions}")
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("rem_tokens", T.LongType()),
+            T.StructField("part_id", T.IntegerType()),
+            T.StructField("bin_idx", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
+    )
+
+    cap = seq_len
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rem_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        part = int(pdf["part_id"].iloc[0])
+        fills: list[tuple[int, int]] = []  # sorted (fill, bin_idx)
+        n_bins = 0
+        assigned = []
+        for r in pdf["rem_tokens"].astype("int64"):
+            r = int(r)
+            # rightmost open bin with fill ≤ cap - r: max fill that fits
+            i = bisect.bisect_right(fills, (cap - r, 1 << 62)) - 1
+            if i >= 0:
+                fill, b = fills.pop(i)
+            else:
+                fill, b = 0, n_bins
+                n_bins += 1
+            fill += r
+            bisect.insort(fills, (fill, b))
+            assigned.append(b)
+        final = {b: f for f, b in fills}
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "rem_tokens": pdf["rem_tokens"].astype("int64").values,
+                "part_id": part,
+                "bin_idx": assigned,
+                "bin_id": [(part << 32) | b for b in assigned],
+                "bin_fill": [final[b] for b in assigned],
+            }
+        )
+
+    t = F.col(n_tokens_col).cast("long")
+    rem = t % F.lit(cap)
+    pieces = (
+        df.select(
+            F.col(id_col),
+            rem.alias("rem_tokens"),
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                F.lit(n_partitions),
+            )
+            .cast("int")
+            .alias("part_id"),
+        )
+        .filter(F.col("rem_tokens") > 0)
+    )
+    return pieces.groupBy("part_id").applyInPandas(_pack, out_schema)
+
+
+def full_bins_expr(n_tokens_col: str, seq_len: int):
+    """Exactly-full sequences a document contributes before remainder
+    packing: ``floor(t / seq_len)`` — pair with :func:`pack_bestfit`."""
+    return F.floor(F.col(n_tokens_col).cast("long") / F.lit(seq_len))
+
+
 def chunk_content_defined(
     df: DataFrame,
     id_col: str,

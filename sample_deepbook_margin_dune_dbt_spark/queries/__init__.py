@@ -186,6 +186,28 @@ driver query moved to ``EXTRA_QUERIES``:
   stay oracle-verified in EXTRA), ``corpus_curriculum`` (ordering
   family keeps ``corpus_epoch_shuffle``).
 
+- round 8 (per VERDICT r7 item 3): rotate driver evidence onto the
+  stalest families — the r2-vintage queries that had gone 5-6 rounds
+  without a driver row. In: ``tpch_q4`` (EXISTS semi-join),
+  ``tpch_q7`` (6-join shipping-volume shape), ``tpch_q14``
+  (conditional-agg promo share), ``text_langid`` (n-gram heuristic
+  language ID), ``j2_left_join`` (LEFT fact→agg), ``o4_union_all``
+  (UNION ALL seed), ``a_percentiles`` (exact percentile_cont/disc).
+  Out (all r7-green, family stays represented): ``tpch_q2``/``tpch_q9``
+  (scalar-subquery shape held by ``p4_watermark``, multi-join rollup by
+  the incoming ``q7`` + ``q21``), ``dedup_strip_spans`` (span family
+  keeps ``dedup_repeated_spans`` + ``decontaminate_spans``),
+  ``emb_similarity_profile`` + ``dedup_embedding_clusters`` (embedding
+  family keeps cosine/ANN ×4 + quantize rows; the CC closure mechanics
+  keep the ``dedup_clusters`` row), ``events_drift_tvd`` (monitoring
+  held by ``corpus_profile`` + ``events_outlier_zscore``),
+  ``emb_decontaminate`` (decontamination keeps the bloom + span rows).
+  Also in: ``chunk_pack_bestfit`` (NEW family this round —
+  length-bucketed best-fit-decreasing bin packing for padded layouts,
+  structural-contract oracle per the ANN-tier precedent) replacing
+  ``chunk_pack_efficiency`` (its waste report is recomputed inside the
+  bestfit contract; chunking keeps token_windows + pack_sequences rows).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -233,24 +255,20 @@ DRIVER_QUERY_ORDER = [
     "text_tfidf_topterms",
     "text_bigram_lm",
     "dedup_repeated_spans",
-    "dedup_strip_spans",
     "decontaminate_spans",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
-    "dedup_embedding_clusters",
-    "emb_similarity_profile",
     "multimodal_meta",
     "ann_lsh_bucketed",
     "ann_ivf_pq",
     "a_approx_tier",
-    "emb_decontaminate",
     "sample_hash_bernoulli",
     "sample_split_leakage_safe",
     "chunk_token_windows",
     "chunk_pack_sequences",
-    "chunk_pack_efficiency",
+    "chunk_pack_bestfit",
     "text_pii_redact",
     "emb_quantize_int8",
     "text_bloom_decontaminate",
@@ -258,7 +276,6 @@ DRIVER_QUERY_ORDER = [
     # held in EXTRA; the mitigated path keeps the driver row)
     "skew_salted_agg",
     "events_outlier_zscore",
-    "events_drift_tvd",
     # composed curation rollup
     "corpus_curation_report",
     # custom operators / window & join shapes
@@ -269,19 +286,24 @@ DRIVER_QUERY_ORDER = [
     "events_retention",
     "events_cohort_value",
     "text_quality_model",
+    "text_langid",
     "j1_foj_volume_chain",
+    "j2_left_join",
     "j4_seed_ci_join",
     "p4_watermark",
     "p10_case_trycast",
     "a5_rollup",
+    "a_percentiles",
+    "o4_union_all",
     # data-mixing family (r3): plan + exact greedy tier in one query
     "corpus_mixture_select",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
     # TPC-H
-    "tpch_q2",
-    "tpch_q9",
+    "tpch_q4",
+    "tpch_q7",
     "tpch_q13",
+    "tpch_q14",
     "tpch_q18",
     "tpch_q21",
 ]

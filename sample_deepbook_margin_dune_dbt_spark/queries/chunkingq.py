@@ -155,6 +155,185 @@ FROM agg
 """
 
 
+_BF_PARTS = 8
+
+
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing remainder packing for padded layouts, one row
+    per candidate ``seq_len`` — acts on the waste that
+    ``chunk_pack_efficiency`` reports (VERDICT r7 item 6).
+
+    Driver-oracle shape (the ANN-tier structural-contract precedent):
+    the numeric columns are SQL-recomputable corpus aggregates (docs,
+    tokens, full bins, remainder pieces/tokens, the ⌈Σrem/L⌉ bin lower
+    bound); the packing itself — inherently sequential per group, not
+    SQL-expressible — is projected as provable invariants that must all
+    be TRUE: every bin within capacity, per-bin fill accounting exact,
+    every remainder piece assigned exactly once, bin count between the
+    lower bound and the any-fit guarantee ⌊2·Σrem/L⌋ + n_groups, and
+    never worse than the naive one-bin-per-remainder padded layout. The
+    exact bin assignment is pinned against a pure-Python best-fit
+    reference in ``tests/test_chunking.py``; per-L bin counts and waste
+    live in ``chunk_pack_bestfit_detail`` (EXTRA, pytest-verified).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+    from ..operators.chunking import pack_bestfit
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("t"))
+        .filter(F.col("t") > 0)
+    )
+
+    packed = None
+    for length in _PACK_LENGTHS:
+        a = pack_bestfit(docs, "doc_id", "t", length, n_partitions=_BF_PARTS)
+        bins = a.groupBy("bin_id").agg(
+            F.sum("rem_tokens").alias("s"),
+            F.max("bin_fill").alias("f"),
+        )
+        # single-row × single-row crossJoin: two scalar aggregates
+        row = (
+            bins.agg(
+                F.count(F.lit(1)).cast("long").alias("n_bins"),
+                F.max("f").alias("max_fill"),
+                F.min((F.col("s") == F.col("f")).cast("int")).alias("acct_ok"),
+            )
+            .crossJoin(
+                a.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_assigned"),
+                    F.countDistinct("doc_id").cast("long").alias("n_assigned_ids"),
+                )
+            )
+            .withColumn("seq_len", F.lit(length).cast("long"))
+        )
+        packed = row if packed is None else packed.unionByName(row)
+
+    lens = F.array(*[F.lit(length) for length in _PACK_LENGTHS])
+    base = (
+        docs.select(F.explode(lens).alias("_sl"), "t")
+        .select(F.col("_sl").cast("long").alias("seq_len"), "t")
+        .groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum(F.expr("t div seq_len")).cast("long").alias("n_full_bins"),
+            F.sum((F.col("t") % F.col("seq_len") > 0).cast("long"))
+            .cast("long")
+            .alias("n_remainders"),
+            F.sum(F.col("t") % F.col("seq_len")).cast("long").alias("remainder_tokens"),
+        )
+        .withColumn(
+            "bins_lower_bound",
+            F.expr("(remainder_tokens + seq_len - 1) div seq_len").cast("long"),
+        )
+    )
+
+    return (
+        base.join(packed, "seq_len")
+        .select(
+            "seq_len",
+            "n_docs",
+            "total_tokens",
+            "n_full_bins",
+            "n_remainders",
+            "remainder_tokens",
+            "bins_lower_bound",
+            F.coalesce(F.col("max_fill") <= F.col("seq_len"), F.lit(True)).alias(
+                "fills_within_cap"
+            ),
+            F.coalesce(F.col("acct_ok") == 1, F.lit(True)).alias("accounting_exact"),
+            (
+                (F.col("n_assigned") == F.col("n_remainders"))
+                & (F.col("n_assigned_ids") == F.col("n_remainders"))
+            ).alias("assigned_once"),
+            (F.col("n_bins") >= F.col("bins_lower_bound")).alias("bins_ge_lower_bound"),
+            (
+                F.col("n_bins")
+                <= F.expr("2 * remainder_tokens div seq_len") + F.lit(_BF_PARTS)
+            ).alias("bins_within_anyfit_bound"),
+            (F.col("n_bins") <= F.col("n_remainders")).alias("beats_padded_layout"),
+        )
+    )
+
+
+_SQL_PACK_BESTFIT = f"""
+WITH toks AS (
+    SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t
+    FROM documents
+    WHERE len(string_split(trim(text), ' ')) > 0
+),
+per_len AS (
+    SELECT CAST(l.seq_len AS BIGINT) AS seq_len, t, t % l.seq_len AS r
+    FROM toks, (SELECT unnest({list(_PACK_LENGTHS)}) AS seq_len) l
+)
+SELECT seq_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(sum(t // seq_len) AS BIGINT) AS n_full_bins,
+       CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_remainders,
+       CAST(sum(r) AS BIGINT) AS remainder_tokens,
+       CAST((sum(r) + seq_len - 1) // seq_len AS BIGINT) AS bins_lower_bound,
+       TRUE AS fills_within_cap,
+       TRUE AS accounting_exact,
+       TRUE AS assigned_once,
+       TRUE AS bins_ge_lower_bound,
+       TRUE AS bins_within_anyfit_bound,
+       TRUE AS beats_padded_layout
+FROM per_len GROUP BY 1
+"""
+
+
+def q_pack_bestfit_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-``seq_len`` packed-layout outcome: bin count, packed waste,
+    and the naive padded-layout waste it improves on. No SQL oracle (the
+    bin count is the sequential packing's output); pytest pins the exact
+    assignment against a pure-Python best-fit reference and the waste
+    inequality vs ``chunk_pack_efficiency``."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+    from ..operators.chunking import pack_bestfit
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", token_count(F.col("text")).cast("long").alias("t"))
+        .filter(F.col("t") > 0)
+    )
+    out = None
+    for length in _PACK_LENGTHS:
+        a = pack_bestfit(docs, "doc_id", "t", length, n_partitions=_BF_PARTS)
+        bins = a.groupBy("bin_id").agg(F.max("bin_fill").alias("f"))
+        row = (
+            bins.agg(
+                F.count(F.lit(1)).cast("long").alias("n_packed_bins"),
+                F.sum("f").cast("long").alias("packed_tokens"),
+            )
+            .crossJoin(
+                a.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_remainders"),
+                    F.sum("rem_tokens").cast("long").alias("remainder_tokens"),
+                )
+            )
+            .withColumn("seq_len", F.lit(length).cast("long"))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "seq_len",
+        "n_packed_bins",
+        "n_remainders",
+        "remainder_tokens",
+        (F.col("n_packed_bins") * F.col("seq_len") - F.col("remainder_tokens")).alias(
+            "packed_waste_tokens"
+        ),
+        (F.col("n_remainders") * F.col("seq_len") - F.col("remainder_tokens")).alias(
+            "padded_waste_tokens"
+        ),
+    )
+
+
 _CDC_WINDOW, _CDC_DIVISOR = 4, 16
 
 
@@ -216,6 +395,8 @@ CHUNKING_QUERIES = {
     "chunk_token_windows": (q_chunk_windows, _SQL_CHUNKS),
     "chunk_pack_sequences": (q_pack_sequences, _pack_sql()),
     "chunk_pack_efficiency": (q_pack_efficiency, _SQL_PACK_EFFICIENCY),
+    "chunk_pack_bestfit": (q_pack_bestfit, _SQL_PACK_BESTFIT),
+    "chunk_pack_bestfit_detail": (q_pack_bestfit_detail, None),
     "chunk_content_defined": (q_chunk_content_defined, _SQL_CDC),
     "corpus_bpe_merges": (q_bpe_merges, None),
 }

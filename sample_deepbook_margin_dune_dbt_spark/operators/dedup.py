@@ -1014,6 +1014,20 @@ def strip_repeated_spans(
         .select(id_col, "pos")
     )
     spans = _merge_windows_to_spans(redundant, id_col, k, carry=[])
+    return _cut_spans_from_docs(df, spans, id_col, text_col)
+
+
+def _cut_spans_from_docs(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Remove the token extents in ``spans`` (``span_start``/``span_end``
+    per ``id_col``) from each document — the shared apply tail of
+    :func:`strip_repeated_spans` and :func:`scrub_contaminated_spans`.
+
+    One narrow map after a per-doc span collect (span lists bounded by
+    document length); documents with no spans pass through in normalized
+    token space. Output: ``(id_col, text_clean, n_tokens, n_dropped)``.
+    """
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
@@ -1088,3 +1102,30 @@ def contaminated_spans(
         .cast("long")
         .alias("span_tokens"),
     )
+
+
+def scrub_contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Apply tier of span-level decontamination: cut every token extent
+    where a corpus document reproduces a k-word window of the benchmark
+    (:func:`contaminated_spans`), keeping the rest of the document — the
+    surgical alternative to dropping contaminated documents wholesale.
+
+    Same plan as detection (narrow window map + broadcast semi probe —
+    the corpus never shuffles on content) plus the shared span-cut tail:
+    one per-doc span collect and one narrow reassembly map. Output:
+    ``(id_col, text_clean, n_tokens, n_dropped)`` per input document in
+    normalized token space; clean documents pass through with
+    ``n_dropped = 0``.
+    """
+    spans = contaminated_spans(
+        df, id_col, text_col, bench, bench_id_col, bench_text_col, k
+    ).select(id_col, "span_start", "span_end")
+    return _cut_spans_from_docs(df, spans, id_col, text_col)

@@ -196,3 +196,79 @@ def stream_dedup_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    store: TableStore,
+    bench: DataFrame,
+    clean_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+    spans_table: str | None = None,
+    reader_options: dict[str, str] | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming twin of the span-level decontamination tier
+    (``decontaminate_spans`` detection + ``scrub_contaminated_spans``
+    apply — the batch queries are the authority, mirroring how
+    ``streaming/funnel.py`` twins ``events_funnel``): producers drop
+    JSONL documents into a landing directory; each micro-batch is probed
+    against the STATIC benchmark suite, detected spans land in
+    ``spans_table`` and the scrubbed documents MERGE into
+    ``clean_table``.
+
+    This tier needs NO cross-batch state: the benchmark fingerprint set
+    is fixed for the stream's lifetime and spans are a pure per-document
+    function of (document, benchmark), so streamed results are exactly
+    the batch results over the union of drops (pinned by
+    ``tests/test_streaming_dedup.py``). Per micro-batch the corpus side
+    never shuffles on content — the benchmark window fingerprints are a
+    pinned broadcast (see ``operators.dedup.contaminated_spans``) and
+    the scrub adds one narrow reassembly map. MERGE keys — (id, start)
+    for spans, id for clean docs — keep an at-least-once foreachBatch
+    replay idempotent.
+    """
+    from ..operators.dedup import contaminated_spans, scrub_contaminated_spans
+
+    spn_table = spans_table or clean_table + "_contaminated_spans"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .options(**(reader_options or {}))
+        .json(landing_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col]).cache()
+        try:
+            spans = contaminated_spans(
+                batch, id_col, text_col, bench, bench_id_col, bench_text_col, k
+            ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+            if spans.limit(1).count() > 0:
+                store.merge(spans, spn_table, [id_col, "span_start"])
+            store.merge(
+                scrub_contaminated_spans(
+                    batch, id_col, text_col, bench, bench_id_col, bench_text_col, k
+                ),
+                clean_table,
+                [id_col],
+            )
+        finally:
+            batch.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1018,3 +1018,29 @@ def test_contaminated_spans_planted(spark):
     got = D.contaminated_spans(corpus, "doc_id", "text", bench, "doc_id", "text", k=4)
     rows = {(r["doc_id"], r["span_start"], r["span_end"]) for r in got.collect()}
     assert rows == {(1, 2, 7)}
+
+
+def test_scrub_contaminated_spans_planted(spark):
+    """Apply tier of span decontamination: the contaminated extent is cut
+    at exact token boundaries, clean docs pass through (normalized token
+    space), corpus-internal repeats are NOT touched (benchmark-only)."""
+    bench = spark.createDataFrame(
+        [(900, "q1 q2 q3 q4 q5 q6")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x1 x2 q1 q2 q3 q4 q5 q6 x3"),
+            (2, "y1 y2 y3 y4 y5"),
+            (3, "z1 z2 z3 z4 z5 z1 z2 z3 z4 z5"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_dropped"])
+        for r in D.scrub_contaminated_spans(
+            corpus, "doc_id", "text", bench, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert got[1] == ("x1 x2 x3", 9, 6)
+    assert got[2] == ("y1 y2 y3 y4 y5", 5, 0)
+    assert got[3] == ("z1 z2 z3 z4 z5 z1 z2 z3 z4 z5", 10, 0)

@@ -188,3 +188,80 @@ def test_stream_dedup_rerun_is_idempotent(spark, tmp_path):
     _run(spark, landing, store, ckpt)
     assert store.read("corpus").count() == n_corpus
     assert store.read("corpus_fingerprint_index").count() == n_idx
+
+
+def test_stream_decontaminate_three_drops_matches_batch(spark, tmp_path):
+    """Span-tier decontamination twin (VERDICT r7 item 8): three drops
+    through ``stream_decontaminate`` must reproduce EXACTLY the batch
+    authority — ``contaminated_spans`` for the spans table and
+    ``scrub_contaminated_spans`` for the clean table — over the union of
+    all dropped documents, and a full re-run from a fresh checkpoint must
+    be idempotent (MERGE keys, at-least-once replay)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        contaminated_spans,
+        scrub_contaminated_spans,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.streaming import stream_decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "q1 q2 q3 q4 q5 q6"), (901, "r1 r2 r3 r4 r5")],
+        "doc_id long, text string",
+    )
+    drops = [
+        [(1, "x1 x2 q1 q2 q3 q4 q5 q6 x3"), (2, "clean words nothing shared here at all")],
+        [(3, "r1 r2 r3 r4 r5 y1 y2 y3"), (4, "z1 z2 z3 z4 z5 z1 z2 z3 z4 z5")],
+        [(5, "a1 q1 q2 q3 q4 a2 r2 r3 r4 r5 a3"), (6, "b1 b2")],
+    ]
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    for i, docs in enumerate(drops):
+        _drop(landing, f"d{i}.jsonl", docs)
+        q = stream_decontaminate(
+            spark, landing, SCHEMA, store, bench, "clean", ckpt, k=4
+        )
+        q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [d for batch in drops for d in batch], "doc_id long, text string"
+    )
+    want_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in contaminated_spans(
+            all_docs, "doc_id", "text", bench, "doc_id", "text", k=4
+        ).collect()
+    )
+    got_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in store.read("clean_contaminated_spans").collect()
+    )
+    assert got_spans == want_spans and len(want_spans) >= 3
+
+    want_clean = sorted(
+        (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_dropped"])
+        for r in scrub_contaminated_spans(
+            all_docs, "doc_id", "text", bench, "doc_id", "text", k=4
+        ).collect()
+    )
+    got_clean = sorted(
+        (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_dropped"])
+        for r in store.read("clean").collect()
+    )
+    assert got_clean == want_clean
+    # every document is represented; contaminated extents are gone
+    assert {d for d, *_ in got_clean} == {1, 2, 3, 4, 5, 6}
+    assert dict((d, nd) for d, _, _, nd in got_clean)[2] == 0
+
+    # replay from a fresh checkpoint: MERGE keys make it a no-op
+    q = stream_decontaminate(
+        spark, landing, SCHEMA, store, bench, "clean", str(tmp_path / "ckpt2"), k=4
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in store.read("clean_contaminated_spans").collect()
+    ) == want_spans
+    assert sorted(
+        (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_dropped"])
+        for r in store.read("clean").collect()
+    ) == want_clean

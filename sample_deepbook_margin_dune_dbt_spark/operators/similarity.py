@@ -27,13 +27,20 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# deterministic pseudo-random hyperplanes: plane p, dim d weight =
-# sin(1 + (p * 7919 + d * 104729) mod 10007) — engine-portable (no RNG)
-_LSH_MOD = 10007
-
-
 def _plane_weights(dim: int, planes: int, plane_offset: int = 0) -> list[list[float]]:
     """Hyperplane weight matrix (planes × dim), computed once driver-side.
+
+    Each plane is an independent standard-normal direction drawn from a
+    PCG64 stream seeded by the ABSOLUTE plane index, so plane p is the
+    same vector for every (planes, plane_offset) window and every dim
+    prefix — callers can band, window, or widen without changing existing
+    planes. Gaussian components make directions uniform on the sphere
+    AND planes mutually independent; the r1–r7 sin-lattice family
+    (``sin(1 + (p·7919 + d·104729) mod M)``) was neither — adjacent
+    planes correlated as cos(7919 mod 2π)/2 ≈ −0.39, so a k-plane band
+    had far fewer than k effective bits and band-collision rates ran
+    ~11× the independence model (measured r8 on the 10× embeddings
+    fixture: 95M observed bucket pairs vs 8.7M modeled; PERF.md).
 
     Both signature paths (Catalyst expression and vectorized pandas_udf)
     consume these exact float64 literals, so their projections differ only
@@ -42,10 +49,9 @@ def _plane_weights(dim: int, planes: int, plane_offset: int = 0) -> list[list[fl
     parity test rules out empirically.
     """
     return [
-        [
-            math.sin(1.0 + ((p + plane_offset) * 7919 + d * 104729) % _LSH_MOD)
-            for d in range(dim)
-        ]
+        np.random.Generator(np.random.PCG64(1_000_003 * (p + plane_offset) + 17))
+        .standard_normal(dim)
+        .tolist()
         for p in range(planes)
     ]
 
@@ -348,15 +354,54 @@ def band_signatures(
     return _sigs(vec_col)
 
 
+def lsh_autotune(
+    n: int,
+    threshold: float,
+    target_bucket: int = 32,
+    miss_prob: float = 3e-4,
+) -> tuple[int, int]:
+    """Size (band_planes, bands) for ``cosine_pairs_lsh`` from corpus
+    size and threshold — the LSH S-curve made explicit.
+
+    Bucket-pair work is the quadratic axis: with ``p`` planes a band has
+    ``2^p`` keys, so random-bucket occupancy is ~``n / 2^p`` and
+    within-bucket pair expansion grows with its SQUARE. Fixed planes
+    therefore scale quadratically in n — measured r8 on a 10× embeddings
+    fixture: the fixed (6, 16) defaults went from 4.8 s to >20 min
+    (PERF.md). Holding ``n / 2^p ≈ target_bucket`` (planes =
+    ⌈log2(n / target_bucket)⌉) makes candidate volume ~linear in n.
+
+    More planes cut per-band recall, so bands must rise to compensate —
+    the linear axis: a true pair at cosine = ``threshold`` collides in
+    one band with p_band = (1 − acos(threshold)/π)^planes, and bands are
+    chosen so missing ALL of them has probability ≤ ``miss_prob``
+    (bands = ⌈ln miss_prob / ln(1 − p_band)⌉). Bands multiply the
+    exploded id rows and signature matmul width only — cheap versus
+    quadratic buckets.
+
+    Clamps: planes ∈ [4, 24] (2^24 keys ≈ 16M buckets serves ~500M
+    vectors at the default target; beyond that raise target_bucket),
+    bands ∈ [8, 64].
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / target_bucket))))
+    p_plane = 1.0 - math.acos(threshold) / math.pi
+    p_band = p_plane**planes
+    bands = min(64, max(8, math.ceil(math.log(miss_prob) / math.log1p(-p_band))))
+    return planes, bands
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
     dim: int,
-    band_planes: int = 6,
-    bands: int = 16,
+    band_planes: int | None = None,
+    bands: int | None = None,
     max_bucket_size: int = 10_000,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: banded-LSH candidates + exact refine.
 
@@ -374,14 +419,24 @@ def cosine_pairs_lsh(
     3. Candidates join back to the vectors by id (two hash joins) and the
        exact cosine refine applies ``threshold``.
 
-    Recall: a pair at cosine c collides in one band with prob
-    (1 - θ/π)^band_planes, θ = acos(c); missing all ``bands`` independent
-    bands at the defaults and c = 0.9 happens with p ≈ 3e-4, and the
-    planted-pair test pins the observed recall at 1.0 (deterministic
-    weights → a fixed corpus either passes forever or never).
+    ``band_planes``/``bands`` default to :func:`lsh_autotune` — planes
+    track log2(n) so bucket occupancy (the quadratic axis) stays constant
+    and candidate volume scales ~linearly, bands rise with planes so the
+    all-bands miss probability for a pair AT the threshold stays ≤ 3e-4
+    (r8: the previous fixed (6, 16) defaults were quadratic in n —
+    4.8 s → >20 min on a 10× corpus, PERF.md). Auto-sizing costs one
+    ``df.count()`` job unless the caller passes ``n_vectors`` (or pins
+    both knobs explicitly). Deterministic weights → for a fixed corpus
+    and parameters the recall outcome is fixed, and the planted-pair test
+    pins it at 1.0.
     Shuffles: one groupBy on (band, key), two id equi-joins — no cross
     join, no BNLJ (asserted in tests/test_plans.py).
     """
+    if band_planes is None or bands is None:
+        n = n_vectors if n_vectors is not None else df.count()
+        auto_planes, auto_bands = lsh_autotune(n, threshold)
+        band_planes = band_planes if band_planes is not None else auto_planes
+        bands = bands if bands is not None else auto_bands
     ids = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(band_signatures(F.col(vec_col), dim, band_planes, bands)).alias(

@@ -516,9 +516,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalled every qualifying pair).
 
     Recall contract: LSH candidates are probabilistic (miss-all-bands
-    p ≈ 1.3e-4 per pair at the worst planted cosine 0.917 with the default
-    6-plane × 16-band family), but the weights are a fixed deterministic
-    family, so on a fixed corpus the outcome is fixed — the guard test
+    p ≲ 1e-4 per pair at the worst planted cosine 0.917 under the
+    ``lsh_autotune`` sizing — planes track log2(n) so bucket pair-work
+    stays linear in n, bands rise to hold the miss bound; r8, PERF.md),
+    but the weights are a fixed deterministic family, so on a fixed
+    corpus the outcome is fixed — the guard test
     ``tests/test_operators.py::test_lsh_pairs_equal_exact_on_fixtures``
     recomputes exact-vs-LSH pair sets on the actual sf fixtures and must
     be re-run whenever testdata or sf changes (per ADVICE r2)."""

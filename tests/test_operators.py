@@ -1044,3 +1044,33 @@ def test_scrub_contaminated_spans_planted(spark):
     assert got[1] == ("x1 x2 x3", 9, 6)
     assert got[2] == ("y1 y2 y3 y4 y5", 5, 0)
     assert got[3] == ("z1 z2 z3 z4 z5 z1 z2 z3 z4 z5", 10, 0)
+
+
+def test_lsh_autotune_scaling_properties():
+    """The S-curve sizing that keeps cosine LSH linear in corpus size
+    (r8: fixed (6,16) was measured quadratic — 4.8 s → 402 s on a 10×
+    corpus): expected bucket occupancy n/2^planes stays bounded by the
+    target, bands rise with planes to hold the miss bound, both knobs
+    are clamped, and the all-bands miss probability at the threshold
+    stays under the design bound wherever the clamps aren't binding."""
+    import math
+
+    from sample_deepbook_margin_dune_dbt_spark.operators.similarity import lsh_autotune
+
+    prev_planes = 0
+    for n in (10, 100, 500, 2_000, 20_000, 10**6, 10**9):
+        planes, bands = lsh_autotune(n, 0.9)
+        assert 4 <= planes <= 24 and 8 <= bands <= 64
+        assert planes >= prev_planes  # monotone in n
+        prev_planes = planes
+        if planes not in (4, 24):
+            assert n / 2**planes <= 32  # bucket occupancy at target
+        p_band = (1 - math.acos(0.9) / math.pi) ** planes
+        if bands not in (8, 64):
+            assert (1 - p_band) ** bands <= 3e-4  # miss bound holds
+    # tighter thresholds need fewer bands (steeper S-curve)
+    assert lsh_autotune(20_000, 0.99)[1] <= lsh_autotune(20_000, 0.9)[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_autotune(1000, 1.5)

@@ -1,0 +1,67 @@
+"""Build the N× embeddings scale fixture used for the r8 scaling study.
+
+Takes the sf0.1 embeddings table and emits ``copies`` rotated replicas:
+each copy is multiplied by an independent random orthogonal matrix (QR of
+a seeded Gaussian), which preserves EVERY within-copy pairwise cosine —
+near-dup pairs, similarity-tail mass — while decorrelating copies, so the
+result is "N× the data with identical per-unit structure". Sibling tables
+are symlinked so the fixture directory drop-replaces an sf dir for any
+query. Output is written under ``.scale_fixtures/`` (gitignored; ~6 MB at
+10×). Measurements over it live in PERF.md (r8 section).
+
+Usage: python tools/make_scale_fixture.py [copies=10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+SIBLINGS = "region nation customer supplier part orders lineitem events documents".split()
+
+
+def main(copies: int = 10) -> str:
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    e = np.array([np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()])
+    lab = np.asarray(t["label"].to_pylist(), dtype=np.int32)
+    vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    rng = np.random.RandomState(7)
+    es, ls, ids = [e], [lab], [vid]
+    for c in range(1, copies):
+        q, _ = np.linalg.qr(rng.standard_normal((e.shape[1], e.shape[1])))
+        es.append((e @ q).astype(np.float32))
+        ls.append(lab)
+        # NOTE: offset chosen clear of the query-level augmentation ids
+        # (q_dedup_embedding_cosine adds +1e6/+2e6 planted variants)
+        ids.append(vid + c * 10_000_000)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in np.concatenate(es)], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(ls), pa.int32()),
+        }
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_fixtures",
+        f"sf0.1x{copies}",
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    for name in SIBLINGS:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.islink(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"{out}: {tbl.num_rows} vectors")
+    return out
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -178,6 +178,27 @@ def render_stdout_line(total_sec: float, timings_sec: dict[str, float]) -> str:
     )
 
 
+def force_full(df) -> int:
+    """Evaluate EVERY output column of a query, JVM-side.
+
+    ``count()`` lets Catalyst prune projected columns (and, behind an
+    aggregated-right left join, most of a plan's real work): measured r8,
+    ``dedup_strip_spans``'s count() plan ran 1.4 s where full evaluation
+    costs 9.8 s on a 10× corpus — the bench was timing a pruned plan for
+    every narrow-map/left-join query whose cost lives in computed columns
+    (strip, PII redact, normalize…). Summing a 64-bit hash of the full
+    row struct forces all columns through whole-stage codegen with ~zero
+    collection cost (one long back to the driver) and no Python row path.
+    """
+    from pyspark.sql import functions as F
+
+    row = F.struct(*[F.col(c) for c in df.columns])
+    n = df.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64(row)).alias("h")
+    ).collect()[0]["n"]
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -215,7 +236,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in BENCH_QUERIES + DEMO_QUERIES:
             fn, _ = FULL_QUERIES[name]
-            fn(spark, warm_dir).count()
+            force_full(fn(spark, warm_dir))
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
@@ -225,7 +246,7 @@ def main() -> None:
             for name in names:
                 fn, _ = FULL_QUERIES[name]
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                n = force_full(fn(spark, sf_dir))
                 samples[name].append(time.perf_counter() - t0)
                 assert n >= 0
             # drain garbage between rounds, not mid-round. Python gc FIRST:

@@ -195,21 +195,44 @@ def dup_line_frac(col: Column | str) -> Column:
 def dup_line_char_frac(col: Column | str) -> Column:
     """Fraction of characters sitting in lines that occur more than once.
 
-    The per-line occurrence count is an in-array ``filter`` — O(lines²) per
-    document, fine for the bounded line counts of chunked corpora (document
-    chunking caps length upstream); for pathological documents use an
-    explode + two-level groupBy instead.
+    Counts duplicated-line characters by RUN-LENGTH over the sorted line
+    array: one ``array_sort`` + one ``aggregate`` whose state carries
+    (previous line, current run length, accumulated dup chars) and
+    flushes a run's ``run·length(line)`` contribution when the line
+    changes (runs ≥ 2 only). O(n log n) per document, still a narrow map.
+    The r1 version counted each line's occurrences with an in-array
+    ``filter`` — O(lines²) of nested-HOF evaluation, which the r8
+    full-evaluation bench exposed as a 6-minute scan at sf0.1 (the
+    sibling ``top_bigram_frac`` dominated; PERF.md r8).
     """
     c = F.col(col) if isinstance(col, str) else col
     lines = F.split(c, "\n")
     total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    sorted_lines = F.array_sort(lines)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("dup"),
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        is_same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(is_same, acc["run"] + 1).otherwise(F.lit(1))
+        # flush the previous run when the value changes (runs of ≥ 2 lines
+        # contribute run·len chars); the final run flushes in the finisher
+        flushed = F.when(
+            is_same | acc["prev"].isNull() | (acc["run"] < 2),
+            acc["dup"],
+        ).otherwise(acc["dup"] + acc["run"] * F.length(acc["prev"]))
+        return F.struct(x.alias("prev"), run.alias("run"), flushed.alias("dup"))
+
     dup = F.aggregate(
-        lines,
-        F.lit(0),
-        lambda acc, x: acc
-        + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(0),
+        sorted_lines,
+        zero,
+        _step,
+        lambda acc: F.when(
+            acc["run"] >= 2, acc["dup"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dup"]),
     )
     return F.when(total > 0, dup / total).otherwise(F.lit(0.0))
 
@@ -219,9 +242,14 @@ def top_bigram_frac(col: Column | str) -> Column:
 
     High values indicate template/boilerplate text. Space-tokenizes the
     lowercased text, forms adjacent-pair bigrams with a ``sequence`` +
-    ``transform`` (no explode), and counts the modal bigram in-array.
-    O(distinct_bigrams × bigrams) per document — bounded by chunked doc
-    length; same explode+groupBy escape hatch as ``dup_line_char_frac``.
+    ``transform`` (no explode), and takes the modal count as the LONGEST
+    RUN of the sorted bigram array — one ``array_sort`` + one
+    ``aggregate`` carrying (prev, run, best). O(n log n) per document,
+    still a narrow map. The r3 version counted every distinct bigram
+    with an in-array ``filter`` — O(distinct × bigrams) nested-HOF
+    evaluation measured at ~72 ms/doc once the r8 bench started forcing
+    full column evaluation (360 s for the sf0.1 scan; count()-pruned
+    plans had hidden it — PERF.md r8).
     """
     c = F.col(col) if isinstance(col, str) else col
     w = F.split(F.lower(F.trim(c)), r"\s+")
@@ -232,12 +260,21 @@ def top_bigram_frac(col: Column | str) -> Column:
         F.sequence(F.lit(0), F.greatest(nb - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
     )
-    max_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda x: F.size(F.filter(bg, lambda y: y == x)),
-        )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_cnt = F.aggregate(F.array_sort(bg), zero, _step, lambda acc: acc["best"])
     return F.when(nb >= 1, max_cnt / nb).otherwise(F.lit(0.0))
 
 

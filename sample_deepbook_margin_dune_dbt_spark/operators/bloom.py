@@ -10,11 +10,18 @@ explode, no join, no shuffle; each document tests its shingle array
 against the bits inside whole-stage codegen. False-positive rate is the
 classic (1 - e^{-kn/m})^k; false negatives are impossible.
 
-Engine-portability contract (same as the rest of the repo): the k hash
-functions are md5-slices — ``H_i(x) = int(md5(i || ':' || x)[:15 hex])
-mod n_bits`` — so the DuckDB oracle reproduces the exact bit positions
+Engine-portability contract (same as the rest of the repo): ONE md5 per
+value, k positions by Kirsch–Mitzenmacher double hashing over two
+disjoint 60-bit slices of the digest — ``h1 = digest[0:15 hex] mod m``,
+``step = 2·(digest[16:31 hex] mod m) + 1``, ``pos_i = (h1 + i·step)
+mod m`` — so the DuckDB oracle reproduces the exact bit positions
 (including any false positive) via the equivalent position-set
-formulation, no bit arrays needed on the oracle side.
+formulation, no bit arrays needed on the oracle side. Double hashing
+keeps the classic fp-rate bound (Kirsch & Mitzenmacher 2006) at a third
+of the md5 cost of k independent hashes (md5 dominated the probe: the
+r8 full-evaluation bench measured the k-md5 probe at 8.1 s for the
+sf0.1 scan); the odd step makes a value's k positions DISTINCT when
+``m`` is a power of two (the step generates the cyclic group mod 2^b).
 
 Spark-specific notes:
 - ``F.shiftleft``/``shiftright`` take only literal shift amounts, so bit
@@ -42,10 +49,17 @@ def _powers() -> Column:
     return F.array(*[F.lit(v).cast("long") for v in vals])
 
 
-def _hash_pos(i: Column, value: Column, n_bits: int) -> Column:
-    """H_i(value) in [0, n_bits): md5-slice of 'i:value' mod n_bits."""
-    h = F.md5(F.concat(i.cast("string"), F.lit(":"), value))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_bits
+def _hash_positions(value: Column, n_bits: int, k: int) -> Column:
+    """Array of k bit positions in [0, n_bits) for ``value`` — one md5,
+    double-hashed (see module docstring)."""
+    digest = F.md5(value)
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % n_bits
+    step = (
+        F.conv(F.substring(digest, 17, 15), 16, 10).cast("bigint") % n_bits
+    ) * 2 + 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)), lambda i: (h1 + i * step) % n_bits
+    )
 
 
 def bloom_build(
@@ -63,9 +77,8 @@ def bloom_build(
     assert n_bits % 64 == 0, "n_bits must pack into 64-bit words"
     n_words = n_bits // 64
     pos = values.select(
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
-        F.col(value_col).alias("_v"),
-    ).select(_hash_pos(F.col("_i"), F.col("_v"), n_bits).alias("_p"))
+        F.explode(_hash_positions(F.col(value_col), n_bits, k)).alias("_p")
+    )
     words = pos.select(
         F.floor(F.col("_p") / 64).cast("int").alias("_w"),
         F.element_at(_powers(), (F.col("_p") % 64).cast("int") + 1).alias("_m"),
@@ -88,9 +101,7 @@ def bloom_might_contain(
 ) -> Column:
     """True iff all k bit positions for ``value`` are set (may false-positive)."""
     pw = _powers()
-    positions = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)), lambda i: _hash_pos(i, value, n_bits)
-    )
+    positions = _hash_positions(value, n_bits, k)
     return F.forall(
         positions,
         lambda p: (
@@ -125,15 +136,24 @@ def bloom_decontaminate(
         .distinct()
     )
     bf = F.broadcast(bloom_build(bench_sh, "_s", n_bits, k))
-    sh = shingles(F.col(text_col), n)
+    # project the shingle array ONCE: referencing the shingles() expression
+    # from both size() and filter() re-built it per reference (HOF trees
+    # are not CSE'd) — the array build, not the md5, dominated the r8
+    # full-evaluation probe measurement
+    shingled = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
+    )
     hits = F.size(
-        F.filter(sh, lambda s: bloom_might_contain(F.col("bloom"), s, n_bits, k))
+        F.filter(
+            F.col("_sh"),
+            lambda s: bloom_might_contain(F.col("bloom"), s, n_bits, k),
+        )
     )
     return (
-        df.crossJoin(bf)
+        shingled.crossJoin(bf)
         .select(
             F.col(id_col),
-            F.size(sh).cast("long").alias("n_shingles"),
+            F.size(F.col("_sh")).cast("long").alias("n_shingles"),
             hits.cast("long").alias("n_hits_bloom"),
         )
         .withColumn("flagged", F.col("n_hits_bloom") > 0)

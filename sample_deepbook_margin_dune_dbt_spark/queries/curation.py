@@ -267,10 +267,13 @@ def q_text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BLOOM_POS = (
-    "CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', s)), 1, 15)) "
-    f"AS BIGINT) % {_BLOOM_BITS}"
+# Kirsch–Mitzenmacher double hashing, mirroring operators/bloom.py:
+# one md5 per shingle, h1/step from disjoint 60-bit digest slices
+_SQL_BLOOM_H1 = f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_BLOOM_BITS})"
+_SQL_BLOOM_STEP = (
+    f"((CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % {_BLOOM_BITS}) * 2 + 1)"
 )
+_SQL_BLOOM_POS = f"(({_SQL_BLOOM_H1} + i * {_SQL_BLOOM_STEP}) % {_BLOOM_BITS})"
 
 SQL_BLOOM_DECONTAMINATE = f"""
 WITH {_SQL_SHINGLES.strip()},

@@ -125,7 +125,12 @@ def test_bloom_no_false_negatives_and_exact_hash_family(spark):
     }
 
     def pos(i, v):
-        return int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16) % n_bits
+        # Kirsch–Mitzenmacher double hashing over disjoint digest slices
+        # (r8 family — one md5 per value; see operators/bloom.py)
+        d = hashlib.md5(v.encode()).hexdigest()
+        h1 = int(d[:15], 16) % n_bits
+        step = (int(d[16:31], 16) % n_bits) * 2 + 1
+        return (h1 + i * step) % n_bits
 
     bits = {pos(i, v) for v in held for i in range(k)}
     expect = {v: all(pos(i, v) in bits for i in range(k)) for v in probes}

@@ -23,6 +23,47 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 SIBLINGS = "region nation customer supplier part orders lineitem events documents".split()
+DOC_SIBLINGS = [s for s in SIBLINGS if s != "documents"]
+
+
+def make_documents(copies: int = 10) -> str:
+    """N× documents fixture for the text/span dedup scale study: copy c
+    prefixes every whitespace token with ``c{c}·`` — within-copy window/
+    shingle/fingerprint structure (planted repeats, near-dups, benchmark
+    contamination) is preserved EXACTLY while no window ever matches
+    across copies, so duplicate/candidate counts scale linearly by
+    construction and any superlinear wall-time is the plan's fault."""
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    rows = t.to_pylist()
+    out_rows = []
+    for c in range(copies):
+        for r in rows:
+            txt = r["text"]
+            if c > 0:
+                txt = " ".join(f"c{c}_{w}" for w in txt.split())
+            out_rows.append(
+                {
+                    "doc_id": r["doc_id"] + c * 10_000_000,
+                    "text": txt,
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_chars": len(txt),
+                }
+            )
+    tbl = pa.Table.from_pylist(out_rows, schema=t.schema)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_fixtures",
+        f"docs0.1x{copies}",
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, f"{out}/documents.parquet")
+    for name in DOC_SIBLINGS + ["embeddings"]:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.islink(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"{out}: {tbl.num_rows} documents")
+    return out
 
 
 def main(copies: int = 10) -> str:
@@ -64,4 +105,7 @@ def main(copies: int = 10) -> str:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    if len(sys.argv) > 1 and sys.argv[1] == "documents":
+        make_documents(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -67,20 +67,24 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition rules: dup-line fraction, dup-line char
     fraction (over planted-line text), top-bigram fraction (over raw text).
 
-    Narrow map, no shuffle — per-document metrics stay inside whole-stage
-    codegen at 100 TB (`functions/text.py` documents the per-doc O(n²)
-    in-array counting bound and the explode+groupBy escape hatch).
+    Narrow map, no shuffle — per-document metrics in one Arrow-batched
+    pass (the r8 production twins of the Catalyst rules; ~10× on the
+    sf0.1 scan, value-identical and parity-pinned — PERF.md r8).
     """
     docs = _augment_dup_lines(load(spark, sf_dir, "documents"))
+    # Arrow production twins of the Catalyst rules (value-identical,
+    # parity-pinned; the interpreted-HOF expressions cost ~1 ms/doc —
+    # PERF.md r8). The Catalyst pair remains the oracle-shape reference.
+    line_stats = T.dup_line_stats_vectorized(F.col("t2"))
     return docs.select(
         "doc_id",
-        F.floor(T.dup_line_frac(F.col("t2")) * 10000)
+        F.floor(line_stats["dup_line_frac"] * 10000)
         .cast("long")
         .alias("dup_line_frac_e4"),
-        F.floor(T.dup_line_char_frac(F.col("t2")) * 10000)
+        F.floor(line_stats["dup_char_frac"] * 10000)
         .cast("long")
         .alias("dup_char_frac_e4"),
-        F.floor(T.top_bigram_frac(F.col("text")) * 10000)
+        F.floor(T.top_bigram_frac_vectorized(F.col("text")) * 10000)
         .cast("long")
         .alias("top_bigram_frac_e4"),
     )
@@ -450,7 +454,7 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (counts["n_email"] + counts["n_ipv4"] + counts["n_phone"])
         .cast("long")
         .alias("pii_hits"),
-        (T.top_bigram_frac(F.col("text")) > 0.1).cast("int").alias("rep_fail"),
+        (T.top_bigram_frac_vectorized(F.col("text")) > 0.1).cast("int").alias("rep_fail"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -148,3 +148,50 @@ def test_clean_text_composes_strips_collapses(spark):
     )
     got = df.select(clean_text("t").alias("c")).first()["c"]
     assert got == "a b caf\u00e9 ok"  # NFC-composed é, controls gone, ws collapsed
+
+
+def test_vectorized_repetition_twins_match_catalyst(spark):
+    """The Arrow production twins (r8: interpreted-HOF lambdas cost
+    ~1 ms/doc — PERF.md) must reproduce the Catalyst expressions' doubles
+    BIT-FOR-BIT, including the whitespace edge semantics: Spark trim()
+    strips spaces only, Java regex \\s is ASCII-only, split keeps
+    leading/trailing empty tokens."""
+    from sample_deepbook_margin_dune_dbt_spark.functions import text as T
+
+    rows = [
+        (1, "a b a b a b c"),                      # modal bigram 'a b'
+        (2, "x"),                                   # single token → 0.0
+        (3, ""),                                    # empty
+        (4, "  padded   with\tspaces  "),           # mixed ws, tab kept by trim
+        (5, "l1\nl2\nl1\nl3\nl1"),                  # duplicated lines
+        (6, "same\nsame\nsame"),
+        (7, "\tleading tab"),                       # trim() keeps the tab → empty token
+        (8, "trail space \t"),
+        (9, "UPPER upper UPPER upper"),             # case folding
+        (10, "solo\n"),                             # trailing empty line
+        (11, "a  b  a  b"),                         # multi-space runs
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = df.select(
+        "id",
+        T.top_bigram_frac("t").alias("bg_expr"),
+        T.top_bigram_frac_vectorized("t").alias("bg_vec"),
+        T.dup_line_frac("t").alias("dl_expr"),
+        T.dup_line_char_frac("t").alias("dc_expr"),
+        T.dup_line_stats_vectorized("t").alias("dl_vec"),
+    ).collect()
+    for r in got:
+        assert r["bg_expr"] == r["bg_vec"], (r["id"], r["bg_expr"], r["bg_vec"])
+        assert r["dl_expr"] == r["dl_vec"]["dup_line_frac"], r["id"]
+        assert r["dc_expr"] == r["dl_vec"]["dup_char_frac"], r["id"]
+    # and on the real fixture corpus (planted dup lines), floor(1e4) exact
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from sample_deepbook_margin_dune_dbt_spark.queries.curation import _augment_dup_lines
+
+    aug = _augment_dup_lines(docs)
+    mism = aug.select(
+        (T.top_bigram_frac("text") != T.top_bigram_frac_vectorized("text")).alias("a"),
+        (T.dup_line_frac("t2") != T.dup_line_stats_vectorized("t2")["dup_line_frac"]).alias("b"),
+        (T.dup_line_char_frac("t2") != T.dup_line_stats_vectorized("t2")["dup_char_frac"]).alias("c"),
+    ).agg(F.sum(F.col("a").cast("int") + F.col("b").cast("int") + F.col("c").cast("int"))).collect()[0][0]
+    assert mism == 0

@@ -66,6 +66,47 @@ def make_documents(copies: int = 10) -> str:
     return out
 
 
+def make_events(copies: int = 10) -> str:
+    """N× events fixture for the event-analytics scale study: copy c
+    offsets user_id (and event_id) by c·10⁷, keeping timestamps, types,
+    values and props byte-identical — per-user session/funnel/cohort
+    structure is preserved exactly while the user population grows N×,
+    so per-user analytics scale linearly by construction."""
+    t = pq.read_table(f"{SRC}/events.parquet")
+    cols = {name: t[name] for name in t.schema.names}
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in range(copies):
+        off = c * 10_000_000
+        parts.append(
+            pa.table(
+                {
+                    "event_id": pc.add(cols["event_id"], off),
+                    "ts": cols["ts"],
+                    "user_id": pc.add(cols["user_id"], off),
+                    "event_type": cols["event_type"],
+                    "value": cols["value"],
+                    "props": cols["props"],
+                }
+            )
+        )
+    tbl = pa.concat_tables(parts)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_fixtures",
+        f"events0.1x{copies}",
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, f"{out}/events.parquet")
+    for name in [s for s in SIBLINGS if s != "events"] + ["embeddings"]:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.islink(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"{out}: {tbl.num_rows} events")
+    return out
+
+
 def main(copies: int = 10) -> str:
     t = pq.read_table(f"{SRC}/embeddings.parquet")
     e = np.array([np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()])
@@ -107,5 +148,7 @@ def main(copies: int = 10) -> str:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "documents":
         make_documents(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif len(sys.argv) > 1 and sys.argv[1] == "events":
+        make_events(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
         main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

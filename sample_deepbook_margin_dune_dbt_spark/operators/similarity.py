@@ -489,13 +489,30 @@ def cosine_pairs_lsh(
 
 
 def lsh_bucket_stats(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, band_planes: int = 6, bands: int = 16
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    band_planes: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.9,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Bucket-size distribution per band — the monitoring companion to
     ``cosine_pairs_lsh``'s ``max_bucket_size`` cap: run it on a corpus
     sample to see what a cap would drop before committing to one.
 
+    Defaults mirror the production pipeline: ``band_planes``/``bands``
+    come from :func:`lsh_autotune` at the same ``threshold`` so the
+    reported distribution is the one ``cosine_pairs_lsh`` will actually
+    bucket with (pass both explicitly to probe an alternative geometry).
+
     Output: (band, bucket_size, n_buckets)."""
+    if band_planes is None or bands is None:
+        n = n_vectors if n_vectors is not None else df.count()
+        auto_planes, auto_bands = lsh_autotune(n, threshold)
+        band_planes = band_planes if band_planes is not None else auto_planes
+        bands = bands if bands is not None else auto_bands
     ids = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(band_signatures(F.col(vec_col), dim, band_planes, bands)).alias(

@@ -74,7 +74,11 @@ def bloom_build(
     only shuffles are over the (small) build side: one k-way position
     explode and one ``bit_or`` groupBy on the word index.
     """
-    assert n_bits % 64 == 0, "n_bits must pack into 64-bit words"
+    assert n_bits >= 64 and n_bits & (n_bits - 1) == 0, (
+        "n_bits must be a power of two >= 64: double hashing's k-distinct-"
+        "position guarantee (odd step generates the cyclic group mod 2^b) "
+        "and the documented fp bound both require power-of-two m"
+    )
     n_words = n_bits // 64
     pos = values.select(
         F.explode(_hash_positions(F.col(value_col), n_bits, k)).alias("_p")
@@ -100,6 +104,9 @@ def bloom_might_contain(
     bloom: Column, value: Column, n_bits: int = DEFAULT_N_BITS, k: int = DEFAULT_K
 ) -> Column:
     """True iff all k bit positions for ``value`` are set (may false-positive)."""
+    assert n_bits >= 64 and n_bits & (n_bits - 1) == 0, (
+        "n_bits must be a power of two >= 64 (see bloom_build)"
+    )
     pw = _powers()
     positions = _hash_positions(value, n_bits, k)
     return F.forall(

@@ -154,6 +154,19 @@ BENCH_QUERIES = [
     "o4_union_all",
     "a_percentiles",
     "chunk_pack_bestfit",
+    # r9: driver-rotation families (VERDICT r8 item 2 — the r1-vintage
+    # queries back in the window, plus the never-driver pivot/unpivot
+    # pair). Rotated-out queries keep their bench rows for continuity.
+    "a5_cube",
+    "a5_grouping_sets",
+    "j_semi_anti",
+    "o5_set_ops",
+    "p_scalar_subquery",
+    "a_pivot",
+    "a_unpivot",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -37,10 +37,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from .dedup import py_shingles, shingles
 
 DEFAULT_N_BITS = 1 << 15
 DEFAULT_K = 3
+
+
+def bloom_probe_vectorized(
+    text_col: Column | str,
+    bloom_words: list[int],
+    n: int = 3,
+    n_bits: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+) -> Column:
+    """Arrow twin of the Catalyst probe, fused shingle+probe in ONE batch
+    UDF: ``struct<n_shingles:bigint, n_hits_bloom:bigint>``.
+
+    The filter travels in the UDF task closure (``n_bits/8`` bytes —
+    4 KiB at the default geometry), serialized once per task, NOT per row
+    and NOT through Arrow — at 100 TB the corpus side is a pure narrow
+    map with zero joins and zero per-row filter transfer. Hash parity
+    with :func:`_hash_positions` / the DuckDB oracle: one md5 per
+    shingle over UTF-8 bytes, h1/step from the same disjoint 60-bit hex
+    slices, k double-hashed positions. The r8 bench measured the
+    Catalyst probe's floor at ~20 µs/shingle of CodegenFallback HOF
+    evaluation (5.1–5.5 s for the sf0.1 scan); this path replaces it
+    with ~1 µs/shingle of Python md5 + bit tests per Arrow batch.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # two's-complement view: Spark longs with bit 63 set arrive negative
+    uwords = tuple(w & 0xFFFFFFFFFFFFFFFF for w in bloom_words)
+    assert len(uwords) * 64 == n_bits, (len(uwords), n_bits)
+
+    @pandas_udf("struct<n_shingles:bigint, n_hits_bloom:bigint>")
+    def _f(s):  # type: ignore[no-untyped-def]
+        ns, nh = [], []
+        for t in s:
+            sh = py_shingles(t, n)
+            hits = 0
+            for g in sh:
+                d = hashlib.md5(g.encode("utf-8")).hexdigest()
+                p = int(d[0:15], 16) % n_bits
+                step = (int(d[16:31], 16) % n_bits) * 2 + 1
+                ok = True
+                for _ in range(k):
+                    if not (uwords[p >> 6] >> (p & 63)) & 1:
+                        ok = False
+                        break
+                    p = (p + step) % n_bits
+                hits += ok
+            ns.append(len(sh))
+            nh.append(hits)
+        return pd.DataFrame({"n_shingles": ns, "n_hits_bloom": nh})
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _f(c)
 
 
 def _powers() -> Column:
@@ -129,19 +184,53 @@ def bloom_decontaminate(
     n: int = 3,
     n_bits: int = DEFAULT_N_BITS,
     k: int = DEFAULT_K,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Flag documents sharing ANY word n-gram with the benchmark Bloom set.
 
     Output: (id, n_shingles, n_hits_bloom, flagged). The corpus side never
     explodes or shuffles — each document's distinct-shingle array is
-    tested in-array against the broadcast filter. Compare
-    ``contamination.ngram_overlap`` for the exact (semi-join) tier.
+    tested against the filter. Compare ``contamination.ngram_overlap``
+    for the exact (semi-join) tier.
+
+    ``vectorized=True`` (production default): the filter is materialized
+    with ONE bounded job over the BENCHMARK side only (a single
+    ``n_bits/64``-long row — the held-out set is small by definition;
+    this is not the lazy-transform-recomputes-corpus-lineage pattern),
+    then the corpus side runs the fused Arrow probe
+    (:func:`bloom_probe_vectorized`): zero joins, zero exchanges, filter
+    in the 4 KiB task closure. ``vectorized=False`` keeps the pure-lazy
+    Catalyst plan (scan → BroadcastNestedLoopJoin vs ONE row → project)
+    as the engine-portable oracle-shape reference; value parity between
+    the two is pinned by tests and both hash-match the DuckDB oracle.
     """
     bench_col = bench_text_col or text_col
+    from .dedup import shingles_vectorized
+
+    _sh = shingles_vectorized if vectorized else shingles
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(bench_col), n)).alias("_s"))
+        benchmark.select(F.explode(_sh(F.col(bench_col), n)).alias("_s"))
         .distinct()
     )
+    if vectorized:
+        from .dedup import _spread
+
+        words = list(bloom_build(bench_sh, "_s", n_bits, k).collect()[0]["bloom"])
+        probe = bloom_probe_vectorized(F.col(text_col), words, n, n_bits, k)
+        # _spread: hash-repartition the (id, text) projection before the
+        # CPU-heavy probe — a small local corpus arrives as one file → one
+        # partition, serializing the batch UDF on a single core; at
+        # cluster scale the same repartition balances executors
+        return (
+            _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+            .select(F.col(id_col), probe.alias("_p"))
+            .select(
+                F.col(id_col),
+                F.col("_p.n_shingles").alias("n_shingles"),
+                F.col("_p.n_hits_bloom").alias("n_hits_bloom"),
+            )
+            .withColumn("flagged", F.col("n_hits_bloom") > 0)
+        )
     bf = F.broadcast(bloom_build(bench_sh, "_s", n_bits, k))
     # project the shingle array ONCE: referencing the shingles() expression
     # from both size() and filter() re-built it per reference (HOF trees

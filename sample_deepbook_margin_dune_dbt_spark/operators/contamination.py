@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _spread, shingles
+from .dedup import _spread, shingles, shingles_vectorized
 
 
 def ngram_overlap(
@@ -36,6 +36,7 @@ def ngram_overlap(
     bench_text_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Per-document overlap with the benchmark's n-gram shingle set.
 
@@ -47,13 +48,14 @@ def ngram_overlap(
     ``round`` diverges between Spark and DuckDB.)
     """
     bench_col = bench_text_col or text_col
+    _sh_fn = shingles_vectorized if vectorized else shingles
     # repartition before the CPU-heavy shingle explode: small corpora
     # arrive as one file → one task (same guard as the dedup pipeline)
     doc_sh = _spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s")
+        F.col(id_col), F.explode(_sh_fn(F.col(text_col), n)).alias("_s")
     )
     bench_sh = F.broadcast(
-        benchmark.select(F.explode(shingles(F.col(bench_col), n)).alias("_s"))
+        benchmark.select(F.explode(_sh_fn(F.col(bench_col), n)).alias("_s"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )

@@ -208,6 +208,31 @@ driver query moved to ``EXTRA_QUERIES``:
   ``chunk_pack_efficiency`` (its waste report is recomputed inside the
   bestfit contract; chunking keeps token_windows + pack_sequences rows).
 
+- round 9 (per VERDICT r8 item 2): rotate driver evidence onto the
+  r1-vintage families that had gone 7 rounds without a driver row plus
+  the never-driver-verified rows. In: ``a5_cube`` + ``a5_grouping_sets``
+  (multi-dimensional aggregation), ``j_semi_anti`` (LEFT SEMI/ANTI
+  drill), ``o5_set_ops`` (INTERSECT/EXCEPT), ``p_scalar_subquery``
+  (scalar subqueries in SELECT and WHERE), ``a_pivot`` + ``a_unpivot``
+  (conditional-agg pivot / stack unpivot — never driver-verified
+  before), ``tpch_q11`` (group-HAVING vs global scalar threshold),
+  ``tpch_q16`` (anti-join + count-distinct), ``tpch_q20`` (nested
+  IN-subquery chain; ``q15``/``q17``'s scalar-agg-join shape stays held
+  by ``p4_watermark`` + the incoming ``q11``). Out (all
+  r8-green, family stays represented): ``a5_rollup`` (A5 held by the
+  incoming cube/grouping-sets pair), ``a_percentiles`` (exact
+  percentiles recomputed inside ``a_approx_tier``'s oracle),
+  ``o4_union_all`` (set-op family held by incoming ``o5_set_ops``; the
+  UNION ALL seed mechanics stay oracle-verified in EXTRA), ``tpch_q4``
+  (semi/anti held by incoming ``j_semi_anti`` + staying ``tpch_q21``),
+  ``tpch_q7`` (multi-join shape held by ``q21``/``q18``), ``tpch_q14``
+  (conditional-agg shape held by incoming ``a_pivot``), ``text_langid``
+  (text family keeps quality-model/pii/bloom/tfidf/bigram-LM rows),
+  ``j2_left_join`` (LEFT fact→agg held by ``tpch_q13``),
+  ``events_retention`` (events family keeps funnel + cohort-value +
+  outlier rows), ``w_hopping_agg`` (window family held by
+  ``sessionize``; the hopping twin stays oracle-verified in EXTRA).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -281,30 +306,30 @@ DRIVER_QUERY_ORDER = [
     # custom operators / window & join shapes
     "sessionize",
     "asof_join",
-    "w_hopping_agg",
     "events_funnel",
-    "events_retention",
     "events_cohort_value",
     "text_quality_model",
-    "text_langid",
     "j1_foj_volume_chain",
-    "j2_left_join",
+    "j_semi_anti",
     "j4_seed_ci_join",
     "p4_watermark",
     "p10_case_trycast",
-    "a5_rollup",
-    "a_percentiles",
-    "o4_union_all",
+    "p_scalar_subquery",
+    "a5_cube",
+    "a5_grouping_sets",
+    "a_pivot",
+    "a_unpivot",
+    "o5_set_ops",
     # data-mixing family (r3): plan + exact greedy tier in one query
     "corpus_mixture_select",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
     # TPC-H
-    "tpch_q4",
-    "tpch_q7",
+    "tpch_q11",
     "tpch_q13",
-    "tpch_q14",
+    "tpch_q16",
     "tpch_q18",
+    "tpch_q20",
     "tpch_q21",
 ]
 

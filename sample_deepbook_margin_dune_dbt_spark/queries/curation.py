@@ -321,10 +321,10 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     already scales: the reduce side carries one row per DISTINCT shingle,
     not per occurrence.
     """
-    from ..operators.dedup import _spread, shingles
+    from ..operators.dedup import _spread, shingles_vectorized
 
     docs = _spread(load(spark, sf_dir, "documents"), "doc_id")
-    sh = docs.select(F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+    sh = docs.select(F.explode(shingles_vectorized(F.col("text"), 3)).alias("shingle"))
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))

@@ -170,6 +170,11 @@ def test_vectorized_repetition_twins_match_catalyst(spark):
         (9, "UPPER upper UPPER upper"),             # case folding
         (10, "solo\n"),                             # trailing empty line
         (11, "a  b  a  b"),                         # multi-space runs
+        # exotic-locale case mappings (ADVICE r8): Python str.lower() vs
+        # JVM lower() divergences would surface here, not at driver time
+        (12, "Straße GROSS ẞ Straße GROSS ẞ"),      # ẞ (U+1E9E) → ß
+        (13, "İstanbul İ İstanbul İ"),               # İ (U+0130) → i + combining dot
+        (14, "ΑΣ ΒΣ ΑΣ ΒΣ κΣλ"),                    # final-sigma context rule
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     got = df.select(
@@ -195,3 +200,78 @@ def test_vectorized_repetition_twins_match_catalyst(spark):
         (T.dup_line_char_frac("t2") != T.dup_line_stats_vectorized("t2")["dup_char_frac"]).alias("c"),
     ).agg(F.sum(F.col("a").cast("int") + F.col("b").cast("int") + F.col("c").cast("int"))).collect()[0][0]
     assert mism == 0
+
+
+def test_vectorized_shingles_match_catalyst(spark):
+    """The Arrow shingle twin (r9: ~20 µs/shingle of CodegenFallback HOF
+    evaluation was the measured floor of every shingle consumer — VERDICT
+    r8 item 1) must reproduce the Catalyst ``shingles()`` arrays
+    ELEMENT- AND ORDER-identically: same tokenization (trim strips
+    U+0020 only; Java ASCII ``\\s``; split keeps empty tokens), same
+    keep-first ``array_distinct`` order, same short-text/NULL fallback,
+    same case folding on exotic-locale characters."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import dedup as D
+
+    rows = [
+        (1, "one two three four five"),
+        (2, "one two"),                           # shorter than n → single joined shingle
+        (3, ""),                                  # empty → [""]
+        (4, "   "),                               # spaces only → trim → [""]
+        (5, "\ta b"),                             # tab survives trim → leading empty token
+        (6, "a a a a a a"),                       # heavy dup → distinct order matters
+        (7, None),                                # NULL → [""]
+        (8, "Straße GROSS ẞ test İstanbul ΑΣ ΒΣ κΣλ x y"),  # exotic case folding
+        (9, "w1  w2   w3 w1 w2 w3 w1 w2 w3"),     # multi-space + repeated trigrams
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    for n in (2, 3):
+        got = df.select(
+            "id",
+            D.shingles(F.col("t"), n).alias("cat"),
+            D.shingles_vectorized(F.col("t"), n).alias("vec"),
+        ).collect()
+        for r in got:
+            assert r["cat"] == r["vec"], (n, r["id"], r["cat"], r["vec"])
+    # and over the real fixture corpus: zero mismatching arrays
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mism = docs.select(
+        (D.shingles(F.col("text"), 3) != D.shingles_vectorized(F.col("text"), 3))
+        .cast("int").alias("m")
+    ).agg(F.sum("m")).collect()[0][0]
+    assert mism == 0
+
+
+def test_bloom_vectorized_probe_matches_catalyst(spark):
+    """The fused Arrow probe (closure-captured 4 KiB filter, one md5 +
+    double hashing per shingle in Python) must agree ROW-FOR-ROW with the
+    Catalyst BroadcastNestedLoopJoin form — same counts, same hits
+    (including false positives: both probe the identical bit positions)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import bloom as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cat = B.bloom_decontaminate(
+        docs, "doc_id", "text", bench, vectorized=False
+    ).orderBy("doc_id").collect()
+    vec = B.bloom_decontaminate(
+        docs, "doc_id", "text", bench, vectorized=True
+    ).orderBy("doc_id").collect()
+    assert cat == vec
+    assert any(r["flagged"] for r in cat)  # the planted benchmark rows hit
+
+
+def test_bloom_vectorized_probe_plan_is_pure_narrow_map(spark):
+    """vectorized=True removes even the broadcast join: the corpus plan is
+    scan → one repartition spread → ArrowEvalPython → project. No
+    broadcast, no sort-merge, no shuffle beyond the single _spread."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import bloom as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = (
+        B.bloom_decontaminate(docs, "doc_id", "text", bench, vectorized=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan
+    for marker in ("SortMergeJoin", "BroadcastNestedLoopJoin", "BroadcastHashJoin"):
+        assert marker not in plan, marker

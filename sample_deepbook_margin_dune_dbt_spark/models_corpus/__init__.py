@@ -21,6 +21,11 @@ pipeline drives a training-data curation pipeline unchanged:
   existing labels, CC runs on the tiny representative graph, and only
   relabeled old rows re-MERGE (N growth steps ≡ one full CC rebuild,
   including cluster-bridging batches).
+- ``corpus_decontaminated_documents`` — benchmark-versioned CROSS-RUN
+  span decontamination (r9): watermark-incremental scrub of new docs
+  while the registered benchmark's content fingerprint is stable; a
+  benchmark bump forces a retrain-equivalent full re-scrub
+  (``tests/test_decontam_model.py``).
 """
 
 from . import models  # noqa: F401
@@ -43,4 +48,5 @@ ALL_MODELS = [
     "corpus_refresh_audit",
     "corpus_bpe_rules",
     "corpus_tokenized_documents",
+    "corpus_decontaminated_documents",
 ]

@@ -691,3 +691,91 @@ def corpus_despanned_documents(ctx: ModelContext) -> DataFrame:
     return strip_repeated_spans(docs, "doc_id", "text", k=8, min_count=2).withColumn(
         "updated_at", ctx.now()
     )
+
+
+@model(
+    "corpus_decontaminated_documents",
+    unique_key=["doc_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["doc_id", "text_clean", "benchmark_fp"],
+)
+def corpus_decontaminated_documents(ctx: ModelContext) -> DataFrame:
+    """Benchmark-versioned CROSS-RUN span decontamination (r9).
+
+    The batch (``decontaminate_spans``/``scrub_contaminated_spans``) and
+    streaming (``stream_decontaminate``) tiers scrub one frame; this is
+    the DAG node that keeps an ACCUMULATING corpus scrubbed across runs:
+
+    - **Same benchmark** → scrub ONLY new documents past the doc_id
+      watermark. Unlike the keep-first strip (``corpus_despanned_documents``,
+      where a new document can retroactively change old rows), span
+      decontamination is per-document against the BENCHMARK only, so the
+      watermark MERGE is semantically exact: N incremental runs ≡ one
+      full rebuild (pinned by tests).
+    - **Benchmark bump** → every run stamps rows with the benchmark's
+      content fingerprint (order-independent ``bit_xor`` of per-document
+      md5-64 fingerprints + count — the frozen-model discipline of
+      ``corpus_bpe_rules``, applied to an external input). When the
+      registered ``main.benchmark_documents`` content no longer matches
+      the stamp on the existing table, the run re-scrubs the WHOLE
+      corpus (retrain-equivalent rebuild: MERGE upserts every row under
+      the new fingerprint) — stale scrubs cannot silently survive a
+      benchmark version change.
+    - **No benchmark registered** → decontamination against an empty
+      held-out set is the identity: documents pass through with
+      ``n_dropped = 0`` and a sentinel fingerprint.
+
+    Scale shape: the benchmark fingerprint is one bounded aggregate over
+    the (tiny) benchmark table; the scrub is the shared narrow window
+    map + broadcast semi probe + span-cut tail — the corpus never
+    shuffles on content, and incremental runs touch only the new slice.
+    """
+    from ..functions.text import fingerprint64
+    from ..operators.dedup import scrub_contaminated_spans
+
+    docs = ctx.source("main", "documents")
+    try:
+        bench = ctx.source("main", "benchmark_documents")
+    except KeyError:
+        bench = None
+
+    if bench is not None:
+        row = bench.agg(
+            F.bit_xor(fingerprint64(F.col("text"))).alias("x"),
+            F.count(F.lit(1)).alias("c"),
+        ).first()
+        bench_fp = f"{row['x']}_{row['c']}"
+    else:
+        bench_fp = "none_0"
+
+    if ctx.is_incremental():
+        prev = ctx.this().select("benchmark_fp").first()
+        if prev is not None and prev["benchmark_fp"] == bench_fp:
+            wm_row = ctx.this().agg(F.max("doc_id").alias("wm")).first()
+            wm = wm_row["wm"] if wm_row["wm"] is not None else -1
+            docs = docs.filter(F.col("doc_id") > wm)
+        # else: benchmark content changed → re-scrub everything (the
+        # MERGE on doc_id upserts every row under the new fingerprint)
+
+    if bench is None:
+        # identity scrub, emitted in the SAME normalized token space as
+        # _cut_spans_from_docs so later runs with a real benchmark merge
+        # consistently shaped rows
+        from ..operators.dedup import ws_tokens_exact
+
+        toks = ws_tokens_exact("text")
+        scrubbed = docs.select(
+            "doc_id",
+            F.array_join(toks, " ").alias("text_clean"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_dropped"),
+        )
+    else:
+        scrubbed = scrub_contaminated_spans(
+            docs, "doc_id", "text", bench, "doc_id", "text", k=8
+        )
+    return scrubbed.withColumn("benchmark_fp", F.lit(bench_fp)).withColumn(
+        "updated_at", ctx.now()
+    )

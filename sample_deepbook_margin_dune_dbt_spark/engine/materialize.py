@@ -246,6 +246,47 @@ class TableStore:
             shutil.rmtree(final)
             os.replace(staging, final)
 
+    def replace_scope(
+        self,
+        updates: DataFrame,
+        name: str,
+        scope_keys: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Delete-then-insert within a key scope, in ONE rewrite: drop every
+        existing row whose ``key_cols`` tuple appears in ``scope_keys``,
+        then insert ``updates`` (whose rows must lie inside the scope).
+
+        This is the sink primitive for derived per-key DETAIL tables whose
+        row COUNT per key can shrink: a plain MERGE keyed on (id, detail)
+        upserts matching rows but cannot remove superseded ones — e.g. a
+        re-dropped document whose new text has fewer contaminated spans
+        would keep stale span rows forever (ADVICE r8,
+        ``streaming/dedup.py::stream_decontaminate``). Scoped
+        delete+insert keeps the table exactly equal to "recompute the
+        detail for these keys", which is what makes an at-least-once
+        foreachBatch replay idempotent.
+        """
+        if not self.exists(name):
+            self.write_full(updates, name, partition_by)
+            return
+        old = self.read(name)
+        kept = old.join(
+            scope_keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        result = kept.unionByName(updates.select(*old.columns))
+        # full rewrite via staging swap (same constraint as merge: cannot
+        # stream onto the directory being read)
+        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
+        writer = result.write.mode("overwrite")
+        if partition_by and not result.isEmpty():
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        final = self.path(name)
+        shutil.rmtree(final)
+        os.replace(staging, final)
+
     def insert_overwrite(
         self,
         updates: DataFrame,

@@ -20,6 +20,7 @@ external engine (DuckDB oracle) reproduces values bit-for-bit.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -381,14 +382,35 @@ def lsh_autotune(
 
     Clamps: planes ∈ [4, 24] (2^24 keys ≈ 16M buckets serves ~500M
     vectors at the default target; beyond that raise target_bucket),
-    bands ∈ [8, 64].
+    bands ∈ [8, 64]. A BINDING clamp is warned about (ADVICE r8): a
+    planes clamp at 24 means bucket occupancy — and so pair work — grows
+    linearly past ~500M vectors at the default target; a bands clamp at
+    64 means the documented ≤ ``miss_prob`` all-bands miss bound no
+    longer holds (the warning reports the achievable bound).
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
-    planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / target_bucket))))
+    want_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    planes = min(24, want_planes)
+    if want_planes > planes:
+        warnings.warn(
+            f"lsh_autotune: planes clamped {want_planes}->{planes}; bucket "
+            f"occupancy ~{max(n, 1) / 2**planes:.0f} exceeds target_bucket="
+            f"{target_bucket} — raise target_bucket or shard the corpus",
+            stacklevel=2,
+        )
     p_plane = 1.0 - math.acos(threshold) / math.pi
     p_band = p_plane**planes
-    bands = min(64, max(8, math.ceil(math.log(miss_prob) / math.log1p(-p_band))))
+    want_bands = max(8, math.ceil(math.log(miss_prob) / math.log1p(-p_band)))
+    bands = min(64, want_bands)
+    if want_bands > bands:
+        achievable = (1.0 - p_band) ** bands
+        warnings.warn(
+            f"lsh_autotune: bands clamped {want_bands}->{bands}; the "
+            f"documented miss bound {miss_prob:g} is void at threshold="
+            f"{threshold} (achievable all-bands miss ≈ {achievable:.2g})",
+            stacklevel=2,
+        )
     return planes, bands
 
 

@@ -509,6 +509,18 @@ def _augment_near_dups(emb: DataFrame) -> DataFrame:
     return base.unionByName(scaled).unionByName(shifted)
 
 
+def _augmented_count(emb: DataFrame) -> int:
+    """Exact row count of ``_augment_near_dups(emb)`` from ONE cheap
+    aggregate over the RAW scan (n + 2·|vec_id < 25|) — passed to
+    ``cosine_pairs_lsh(n_vectors=...)`` so autotune never re-evaluates
+    the augmentation union's lineage at call time (ADVICE r8)."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("vec_id") < 25).alias("k"),
+    ).first()
+    return int(row["n"]) + 2 * int(row["k"])
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at cosine ≥ 0.9, via banded-LSH
     candidates + exact within-candidate refine (no cross join — the oracle
@@ -524,8 +536,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_operators.py::test_lsh_pairs_equal_exact_on_fixtures``
     recomputes exact-vs-LSH pair sets on the actual sf fixtures and must
     be re-run whenever testdata or sf changes (per ADVICE r2)."""
-    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
-    pairs = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64)
+    raw = load(spark, sf_dir, "embeddings")
+    emb = _augment_near_dups(raw)
+    pairs = S.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=_augmented_count(raw)
+    )
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6")
     )
@@ -1082,8 +1097,11 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge missed inside a still-connected component is invisible at
     cluster grain — pair-level recall is certified separately by
     ``dedup_embedding_cosine``'s all-pairs oracle)."""
-    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
-    pairs = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64)
+    raw = load(spark, sf_dir, "embeddings")
+    emb = _augment_near_dups(raw)
+    pairs = S.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=_augmented_count(raw)
+    )
     return D.duplicate_clusters(pairs.select("id_a", "id_b"), algorithm="auto")
 
 

@@ -231,11 +231,20 @@ def stream_decontaminate(
     ``tests/test_streaming_dedup.py``). Per micro-batch the corpus side
     never shuffles on content — the benchmark window fingerprints are a
     pinned broadcast (see ``operators.dedup.contaminated_spans``) and
-    the scrub adds one narrow reassembly map. MERGE keys — (id, start)
-    for spans, id for clean docs — keep an at-least-once foreachBatch
-    replay idempotent.
+    the scrub adds one narrow reassembly map.
+
+    Sink discipline (reworked per ADVICE r8): the span probe runs ONCE
+    per micro-batch — the scrub is derived from the detected spans via
+    the shared span-cut tail instead of a second probe — and the span
+    table is written with a scoped delete+insert
+    (``TableStore.replace_scope`` over the batch's ids) rather than a
+    (id, start)-keyed MERGE, so a re-dropped document whose changed text
+    now has fewer (or zero) spans cannot leave stale span rows behind;
+    the table always equals the batch authority recomputed over the
+    latest drop of each document, and an at-least-once replay is
+    idempotent. The clean table keeps its id-keyed MERGE.
     """
-    from ..operators.dedup import contaminated_spans, scrub_contaminated_spans
+    from ..operators.dedup import _cut_spans_from_docs, contaminated_spans
 
     spn_table = spans_table or clean_table + "_contaminated_spans"
 
@@ -248,20 +257,25 @@ def stream_decontaminate(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col]).cache()
+        spans = contaminated_spans(
+            batch, id_col, text_col, bench, bench_id_col, bench_text_col, k
+        ).withColumn("batch_id", F.lit(batch_id).cast("long")).cache()
         try:
-            spans = contaminated_spans(
-                batch, id_col, text_col, bench, bench_id_col, bench_text_col, k
-            ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-            if spans.limit(1).count() > 0:
-                store.merge(spans, spn_table, [id_col, "span_start"])
+            store.replace_scope(
+                spans, spn_table, batch.select(id_col), [id_col]
+            )
             store.merge(
-                scrub_contaminated_spans(
-                    batch, id_col, text_col, bench, bench_id_col, bench_text_col, k
+                _cut_spans_from_docs(
+                    batch,
+                    spans.select(id_col, "span_start", "span_end"),
+                    id_col,
+                    text_col,
                 ),
                 clean_table,
                 [id_col],
             )
         finally:
+            spans.unpersist()
             batch.unpersist()
 
     writer = (

@@ -265,3 +265,68 @@ def test_stream_decontaminate_three_drops_matches_batch(spark, tmp_path):
         (r["doc_id"], r["text_clean"], r["n_tokens"], r["n_dropped"])
         for r in store.read("clean").collect()
     ) == want_clean
+
+
+def test_stream_decontaminate_redrop_supersedes_stale_spans(spark, tmp_path):
+    """A re-dropped document with CHANGED text must fully supersede its
+    earlier span rows (ADVICE r8): the old (id, start)-keyed MERGE left
+    stale spans behind when the new text had fewer (or shifted) spans;
+    the scoped delete+insert keeps the spans table equal to the batch
+    authority over each document's LATEST drop."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        contaminated_spans,
+        scrub_contaminated_spans,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.streaming import stream_decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "q1 q2 q3 q4 q5 q6"), (901, "r1 r2 r3 r4 r5")],
+        "doc_id long, text string",
+    )
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop 1: doc 1 contaminated by BOTH benchmark docs (two spans),
+    # doc 2 contaminated by one
+    _drop(landing, "d0.jsonl", [
+        (1, "x1 q1 q2 q3 q4 x2 r1 r2 r3 r4 r5 x3"),
+        (2, "r1 r2 r3 r4 r5 y1"),
+    ])
+    q = stream_decontaminate(spark, landing, SCHEMA, store, bench, "clean", ckpt, k=4)
+    q.awaitTermination(120)
+    assert store.read("clean_contaminated_spans").filter(F.col("doc_id") == 1).count() == 2
+
+    # drop 2: doc 1 re-dropped with text that now has ONE shifted span;
+    # doc 2 re-dropped fully clean (zero spans)
+    redrop = [(1, "z1 z2 z3 q1 q2 q3 q4 z4"), (2, "all clean now nothing shared")]
+    _drop(landing, "d1.jsonl", redrop)
+    q = stream_decontaminate(spark, landing, SCHEMA, store, bench, "clean", ckpt, k=4)
+    q.awaitTermination(120)
+
+    latest = spark.createDataFrame(redrop, "doc_id long, text string")
+    want_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in contaminated_spans(
+            latest, "doc_id", "text", bench, "doc_id", "text", k=4
+        ).collect()
+    )
+    got_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in store.read("clean_contaminated_spans").collect()
+    )
+    assert got_spans == want_spans, "stale span rows survived the re-drop"
+    assert [d for d, *_ in got_spans] == [1], "doc 2 must have zero span rows now"
+
+    # and the clean table reflects the latest drop too
+    want_clean = sorted(
+        (r["doc_id"], r["text_clean"], r["n_dropped"])
+        for r in scrub_contaminated_spans(
+            latest, "doc_id", "text", bench, "doc_id", "text", k=4
+        ).collect()
+    )
+    got_clean = sorted(
+        (r["doc_id"], r["text_clean"], r["n_dropped"])
+        for r in store.read("clean").collect()
+    )
+    assert got_clean == want_clean

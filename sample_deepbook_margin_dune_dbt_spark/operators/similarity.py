@@ -438,8 +438,18 @@ def cosine_pairs_lsh(
        ``max_bucket_size`` are dropped (a degenerate bucket means the band
        hashes collapsed, e.g. all-zero vectors — exact dedup's job, not
        LSH's); ``lsh_bucket_stats`` reports what a cap would drop.
-    3. Candidates join back to the vectors by id (two hash joins) and the
-       exact cosine refine applies ``threshold``.
+    3. Candidates join back to the vectors by id (two SHUFFLE-HASH
+       joins, hinted) and the exact cosine refine applies ``threshold``.
+       The hint is load-bearing at scale (r9, measured at 100×/200k
+       vectors): unhinted, Catalyst plans sort-merge joins, and the
+       SECOND join sorts the candidate×vector intermediate — ~10⁸
+       candidate rows each carrying a dim-wide double array — which
+       spilled ~80 GB of sort runs and filled the disk. A shuffle-hash
+       join partitions both sides by id and builds a hash map from the
+       (narrow, n·dim-bounded) vector side only: the fat candidate
+       stream is never sorted. The build side per partition is
+       |vectors| / shuffle-partitions — bounded by construction at any
+       corpus size by raising partitions, which is exactly what AQE does.
 
     ``band_planes``/``bands`` default to :func:`lsh_autotune` — planes
     track log2(n) so bucket occupancy (the quadratic axis) stays constant
@@ -502,8 +512,8 @@ def cosine_pairs_lsh(
         _norm(F.col(vec_col)).alias("_nb"),
     )
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

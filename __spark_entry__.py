@@ -7,18 +7,18 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
   structural contract — DERIVED from k since r6, not hardcoded;
-  tolerance-boolean contract for sketch ops). The r8 window rotates
-  driver evidence onto the stalest (r2-vintage) families — tpch_q4/q7/
-  q14, text_langid, j2_left_join, o4_union_all, a_percentiles — plus
-  the NEW ``chunk_pack_bestfit`` (length-bucketed best-fit-decreasing
-  remainder packing; structural-contract oracle per the ANN precedent),
-  rotating out r7-green rows whose families stay represented (tpch_q2/
-  q9, dedup_strip_spans, emb_similarity_profile, events_drift_tvd,
-  dedup_embedding_clusters, emb_decontaminate, chunk_pack_efficiency).
-  Everything rotated out stays oracle-checked by
-  ``tests/test_oracle_parity.py`` over the full inventory under the
-  r8-tightened type gate (no TIMESTAMPTZ leniency; exact decimal
-  precision/scale).
+  tolerance-boolean contract for sketch ops). The r9 window rotates
+  driver evidence onto the r1-vintage families that had gone 7 rounds
+  without a driver row plus the never-driver rows — a5_cube,
+  a5_grouping_sets, j_semi_anti, o5_set_ops, p_scalar_subquery,
+  a_pivot, a_unpivot, tpch_q11/q16/q20 — rotating out r8-green rows
+  whose families stay represented (a5_rollup, a_percentiles,
+  o4_union_all, tpch_q4/q7/q14, text_langid, j2_left_join,
+  events_retention, w_hopping_agg; the full rationale is in
+  ``queries/__init__.py``). Everything rotated out stays oracle-checked
+  by ``tests/test_oracle_parity.py`` over the full 126-query inventory
+  under the r8-tightened type gate (no TIMESTAMPTZ leniency; exact
+  decimal precision/scale).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

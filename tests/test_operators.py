@@ -1057,9 +1057,21 @@ def test_lsh_autotune_scaling_properties():
 
     from sample_deepbook_margin_dune_dbt_spark.operators.similarity import lsh_autotune
 
+    import warnings as _warnings
+
     prev_planes = 0
     for n in (10, 100, 500, 2_000, 20_000, 10**6, 10**9):
-        planes, bands = lsh_autotune(n, 0.9)
+        # the largest n probe the CLAMPED regimes on purpose; since r9 a
+        # binding clamp WARNS (ADVICE r8) — capture and assert it here so
+        # the suite stays warning-clean while the signal is pinned
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            planes, bands = lsh_autotune(n, 0.9)
+        want_planes = max(4, math.ceil(math.log2(max(n, 1) / 32)))
+        p_band_c = (1 - math.acos(0.9) / math.pi) ** min(24, want_planes)
+        want_bands = max(8, math.ceil(math.log(3e-4) / math.log1p(-p_band_c)))
+        clamped = want_planes > 24 or want_bands > 64
+        assert bool(caught) == clamped, (n, [str(w.message) for w in caught])
         assert 4 <= planes <= 24 and 8 <= bands <= 64
         assert planes >= prev_planes  # monotone in n
         prev_planes = planes

@@ -42,12 +42,50 @@ def _bigram_fps(text_col: str) -> F.Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def py_bigram_fps(text: str | None) -> list[int]:
+    """Pure-Python twin of :func:`_bigram_fps` — element- and
+    order-identical. Tokenization parity with ``ws_tokens_exact``
+    (``split(lower(trim(x)), ' ')``: trim strips U+0020 only; the
+    single-space split keeps empty tokens from space runs on both
+    engines); fingerprint parity with ``fingerprint64``
+    (``int(md5_hex[:15], 16)`` ≤ 60 bits, positive). A Catalyst NULL
+    flows to the empty-array guard; ``None`` maps the same here."""
+    import hashlib
+
+    toks = (text if text is not None else "").strip(" ").lower().split(" ")
+    if len(toks) < 2:
+        return []
+    return [
+        int(hashlib.md5((a + " " + b).encode("utf-8")).hexdigest()[:15], 16)
+        for a, b in zip(toks, toks[1:])
+    ]
+
+
+def bigram_fps_vectorized(text_col: str) -> F.Column:
+    """Arrow twin of :func:`_bigram_fps` — identical ``array<bigint>``
+    values and order, following the r9 ``shingles_vectorized`` precedent:
+    the Catalyst form's per-bigram ``slice``/``concat_ws``/md5 HOF chain
+    is CodegenFallback (~the same interpreted floor the shingle consumers
+    paid); the Arrow batch computes md5 fingerprints in Python at
+    ~1 µs/bigram. The Catalyst form stays the engine-portable
+    oracle-shape reference; bit-parity is pinned by tests."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _f(s):  # type: ignore[no-untyped-def]
+        return pd.Series([py_bigram_fps(t) for t in s])
+
+    return _f(F.col(text_col))
+
+
 def bigram_lm_stats(
     df: DataFrame,
     id_col: str,
     text_col: str,
     train_frac: float = 0.5,
     salt: str = "lm",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Bigram occurrence counts over a reproducible hash split.
 
@@ -55,11 +93,18 @@ def bigram_lm_stats(
     engines, and repartitioning, so retraining on the same corpus always
     reproduces the same table. Returns ``(bigram_fp, c)``.
     """
+    from .dedup import _spread
+
     train = hash_sample(df, id_col, train_frac, salt)
-    # no token-count pre-filter: _bigram_fps already yields an empty
+    _fps = bigram_fps_vectorized if vectorized else _bigram_fps
+    if vectorized:
+        # balance the CPU-heavy Arrow fingerprint batch across cores
+        # (small corpora arrive as one file → one partition)
+        train = _spread(train.select(id_col, text_col), id_col)
+    # no token-count pre-filter: the fps builders already yield an empty
     # array for sub-bigram docs, which explode drops
     return (
-        train.select(F.explode(_bigram_fps(text_col)).alias("bigram_fp"))
+        train.select(F.explode(_fps(text_col)).alias("bigram_fp"))
         .groupBy("bigram_fp")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
@@ -70,6 +115,7 @@ def bigram_lm_score(
     id_col: str,
     text_col: str,
     stats: DataFrame,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Score every document (with >= 1 bigram) against trained counts.
 
@@ -81,8 +127,12 @@ def bigram_lm_score(
     contribution — the standard corpus-familiarity convention; pass a
     disjoint split to ``bigram_lm_stats`` for held-out scoring.
     """
-    occ = df.select(
-        F.col(id_col), F.explode(_bigram_fps(text_col)).alias("bigram_fp")
+    from .dedup import _spread
+
+    _fps = bigram_fps_vectorized if vectorized else _bigram_fps
+    src = _spread(df.select(id_col, text_col), id_col) if vectorized else df
+    occ = src.select(
+        F.col(id_col), F.explode(_fps(text_col)).alias("bigram_fp")
     )
     joined = occ.join(stats, "bigram_fp", "left")
     return joined.groupBy(id_col).agg(

@@ -275,3 +275,37 @@ def test_bloom_vectorized_probe_plan_is_pure_narrow_map(spark):
     assert "ArrowEvalPython" in plan
     for marker in ("SortMergeJoin", "BroadcastNestedLoopJoin", "BroadcastHashJoin"):
         assert marker not in plan, marker
+
+
+def test_vectorized_bigram_fps_match_catalyst(spark):
+    """The Arrow bigram-fingerprint twin (r9, `ngram_lm.bigram_fps_vectorized`)
+    must reproduce the Catalyst `_bigram_fps` arrays element- and
+    order-identically: same `ws_tokens_exact` tokenization (single-space
+    split keeps empty tokens; trim strips U+0020 only), same md5-60-bit
+    fingerprints, same sub-bigram/NULL empty-array guard, same exotic-
+    locale case folding."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import ngram_lm as L
+
+    rows = [
+        (1, "a b c d"),
+        (2, "x"),                        # sub-bigram → []
+        (3, ""),                         # empty → []
+        (4, None),                       # NULL → []
+        (5, "  double  space a b  "),    # space runs → empty tokens kept
+        (6, "Straße GROSS ẞ İstanbul ΑΣ κΣλ x"),
+        (7, "\ttab lead a b"),           # tab survives trim
+        (8, "w w w w w"),                # repeated bigram occurrences kept (not distinct)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = df.select(
+        "id",
+        L._bigram_fps("t").alias("cat"),
+        L.bigram_fps_vectorized("t").alias("vec"),
+    ).collect()
+    for r in got:
+        assert r["cat"] == r["vec"], (r["id"], r["cat"], r["vec"])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mism = docs.select(
+        (L._bigram_fps("text") != L.bigram_fps_vectorized("text")).cast("int").alias("m")
+    ).agg(F.sum("m")).first()[0]
+    assert mism == 0

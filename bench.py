@@ -167,6 +167,15 @@ BENCH_QUERIES = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    # r9 continuation: the new retrieval/linkage/attribution families
+    # (BM25 lexical ranker, Levenshtein-verified LSH candidates,
+    # quality-argmax canonical selection, blocked record-linkage audit,
+    # first/last-touch attribution)
+    "text_bm25_topk",
+    "dedup_edit_distance",
+    "dedup_canonical_select",
+    "linkage_blocked_report",
+    "events_attribution",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

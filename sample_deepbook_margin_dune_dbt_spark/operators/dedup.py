@@ -802,6 +802,50 @@ def dedup_by_clusters(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Canonical-document selection: per duplicate cluster, keep the
+    highest-quality member (``quality_col`` desc, min id tie-break).
+
+    Min-id survivor selection (:func:`dedup_by_clusters`) is arbitrary;
+    production corpus dedup keeps the BEST copy of each near-dup group —
+    longest, highest quality-score, most recent — because near-dups
+    usually differ by truncation or boilerplate injection. Output: one
+    row per cluster ``(cluster_id, cluster_size, canonical_doc_id,
+    canonical_quality)``.
+
+    Scale: the cluster table is (id, cluster_id) — 16 bytes/row; the
+    quality lookup is an id equi-join (AQE-broadcast when small). The
+    argmax is a max_by-shaped grouped aggregation, map-side combined —
+    no window buffering a whole cluster partition, so a degenerate
+    million-member cluster costs one combine tree, not one task's RAM.
+    """
+    q = docs.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+    )
+    joined = clusters.join(q, "id")
+    # argmax via max(struct): struct ordering is (quality desc → negate,
+    # id asc) — single grouped agg, partial aggregation on the map side
+    best = F.max(F.struct(F.col("_q").alias("q"), (-F.col("id")).alias("nid")))
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            best.alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            (-F.col("_best.nid")).cast("long").alias("canonical_doc_id"),
+            F.col("_best.q").alias("canonical_quality"),
+        )
+    )
+
+
 # ------------------------------------------------- repeated-span detection
 
 

@@ -1,0 +1,188 @@
+"""Sparse lexical retrieval: BM25 scoring over a document corpus.
+
+The reference repo's analytical surface stops at SQL aggregation
+(reference models are Jinja-SQL rollups, e.g.
+``models/deepbook_margin/daily/fct_deepbook_margin_pool_daily.sql``); a
+training-data pipeline additionally needs lexical retrieval to pull
+topically-relevant documents out of a web-scale corpus (quality-biased
+sampling, seed-document expansion, benchmark-neighbour mining). BM25 is
+the standard first-stage ranker for that job.
+
+Why fixed-point integers instead of floats: the corpus-side score must
+hash-match a DuckDB oracle bit-for-bit, and ``ln``/``/`` route through
+libm with engine-specific rounding. Every quantity here is exact int64
+arithmetic — the Robertson idf and the tf saturation term are evaluated
+as scaled rationals with integer division (``div``), identical on both
+engines. Within a term the scaled rational is a monotone transform of
+the real-valued score; ranks at the precision floor can differ from the
+float formula only where the float formula itself is rounding-unstable.
+
+Scale shape (100 TB corpus, 1000 executors):
+
+- The query-term set is a literal broadcast (``isin`` over a handful of
+  terms) — the corpus never shuffles on content for term matching; the
+  tokenize → filter → (doc, term) count is map-side combined.
+- Document length and the per-(doc, term) tf come out of one pass over
+  the exploded tokens (grouped counts, partial aggregation); ``df`` is a
+  grouped count over the tf rows — |terms in Q| rows total.
+- The per-term stats (df) and the corpus scalars (N, Σdl) are tiny —
+  broadcast back; the only shuffle of corpus-proportional data is the
+  (doc_id, term) tf aggregation, equi-partitioned on doc_id.
+- Nothing driver-side: the top-k is a global sort-limit (Spark's
+  ``TakeOrderedAndProject``), k bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# k1 = 6/5 (1.2) and b = 3/4 (0.75) — the classic defaults, chosen as
+# exact rationals so the saturation denominator clears to integers.
+_IDF_SCALE = 10_000  # fixed-point 1e4 for the Robertson idf
+_TF_SCALE = 10_000  # fixed-point 1e4 for the saturation term
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Rank documents against ``query_terms`` with exact-integer BM25.
+
+    Returns the global top-``top_k`` rows:
+    ``(id, n_terms_hit, dl, bm25_e8, rank)`` where ``bm25_e8`` is the
+    summed per-term product ``idf_e4 * tfnorm_e4`` (fixed point 1e8).
+
+    Per-term arithmetic (all int64, k1=6/5, b=3/4):
+
+    - ``idf_e4   = (2*(N - df) + 1) * 1e4 div (2*df + 1)`` — Robertson's
+      ``(N - df + 0.5)/(df + 0.5)`` scaled by 2 to clear the halves.
+    - ``tfnorm_e4 = 22*tf*Σdl * 1e4 div (10*tf*Σdl + 3*Σdl + 9*dl*N)`` —
+      ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+      ``avgdl = Σdl/N``, both sides multiplied by ``10*Σdl``.
+
+    The two-step division (normalize tf first, then multiply by idf)
+    bounds intermediates at ~``2e4·N · 2.2e4`` ≈ ``4.4e8·N`` — int64-safe
+    past 10^9 documents, where the single-division form would overflow.
+    """
+    terms = [t.lower() for t in query_terms]
+    sess = docs.sparkSession
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+
+    # one corpus pass → per-doc length; query-term tf is a filtered
+    # grouped count (map-side combined; the isin filter is a broadcast
+    # literal, no shuffle on content)
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    # corpus scalars: one row, broadcast
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf_e4",
+            F.expr(f"((2 * (n_docs - df) + 1) * {_IDF_SCALE}L) div (2 * df + 1)"),
+        )
+        .withColumn(
+            "tfnorm_e4",
+            F.expr(
+                f"(22 * tf * sum_dl * {_TF_SCALE}L) div "
+                "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+        .withColumn("term_score_e8", F.expr("idf_e4 * tfnorm_e4"))
+    )
+
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.max("dl").cast("long").alias("dl"),
+        F.sum("term_score_e8").cast("long").alias("bm25_e8"),
+    )
+
+    # global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject
+    # (per-partition heaps, no full sort) — k-bounded at any corpus size
+    w = Window.orderBy(F.desc("bm25_e8"), F.asc("id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "n_terms_hit", "dl", "bm25_e8", "rank")
+    )
+
+
+def bm25_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    top_k: int = 20,
+) -> str:
+    """DuckDB oracle for :func:`bm25_scores` — same integer arithmetic."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+    SELECT {id_col} AS id,
+           unnest(string_split(lower(trim({text_col})), ' ')) AS word
+    FROM {table}
+),
+dl AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS dl
+    FROM toks WHERE word <> '' GROUP BY id
+),
+tf AS (
+    SELECT id, word, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE word IN ({terms}) GROUP BY id, word
+),
+dfreq AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+scalars AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS sum_dl
+    FROM dl
+),
+scored AS (
+    SELECT tf.id, tf.tf, dl.dl, dfreq.df, s.n_docs, s.sum_dl,
+           ((2 * (s.n_docs - dfreq.df) + 1) * {_IDF_SCALE}) // (2 * dfreq.df + 1)
+               AS idf_e4,
+           (22 * tf.tf * s.sum_dl * {_TF_SCALE}) //
+               (10 * tf.tf * s.sum_dl + 3 * s.sum_dl + 9 * dl.dl * s.n_docs)
+               AS tfnorm_e4
+    FROM tf
+    JOIN dfreq USING (word)
+    JOIN dl USING (id)
+    CROSS JOIN scalars s
+),
+per_doc AS (
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(max(dl) AS BIGINT) AS dl,
+           CAST(sum(idf_e4 * tfnorm_e4) AS BIGINT) AS bm25_e8
+    FROM scored GROUP BY id
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY bm25_e8 DESC, id ASC) AS rank
+    FROM per_doc
+)
+SELECT id, n_terms_hit, dl, bm25_e8, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {top_k}
+"""

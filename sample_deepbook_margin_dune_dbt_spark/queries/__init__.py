@@ -233,6 +233,26 @@ driver query moved to ``EXTRA_QUERIES``:
   outlier rows), ``w_hopping_agg`` (window family held by
   ``sessionize``; the hopping twin stays oracle-verified in EXTRA).
 
+- r9 continuation: four NEW families built this session, all
+  oracle-verified at sf0.001 + sf0.01 before declaring —
+  ``text_bm25_topk`` (exact-integer BM25 lexical retrieval, the
+  topical-sampling/seed-expansion ranker), ``dedup_edit_distance``
+  (normalized-Levenshtein verification of minhash-LSH candidates — the
+  approximate-string-matching tier; its oracle recomputes the full LSH
+  banding), ``dedup_canonical_select`` (quality-argmax keep-best
+  survivor per duplicate cluster over the CC closure), and
+  ``events_attribution`` (first-/last-touch conversion attribution).
+  Out (family stays represented): ``dedup_minhash_lsh`` (its banding
+  mechanics run verbatim inside ``dedup_edit_distance``'s oracle CTE;
+  the standalone pair list stays oracle-verified in EXTRA),
+  ``ann_lsh_bucketed`` (ANN keeps ``ann_cosine_topk`` + ``ann_ivf_pq``),
+  ``chunk_pack_sequences`` (chunking keeps ``chunk_token_windows`` +
+  ``chunk_pack_bestfit``, whose contract recomputes packing waste), and
+  ``events_outlier_zscore`` (monitoring held by ``corpus_profile``; the
+  events family keeps funnel/cohort-value rows plus the incoming
+  attribution row). ``linkage_blocked_report`` (blocked record-linkage
+  audit over the part dimension) joins EXTRA oracle-verified.
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -249,6 +269,7 @@ from .mixtureq import MIXTURE_QUERIES
 from .orderingq import ORDERING_QUERIES
 from .parity import PARITY_QUERIES
 from .profileq import PROFILE_QUERIES
+from .retrievalq import RETRIEVAL_QUERIES
 from .samplingq import SAMPLING_QUERIES
 from .sigbench import SIGBENCH_QUERIES
 from .skewbench import SKEW_QUERIES
@@ -268,6 +289,7 @@ _MERGED = {
     **ORDERING_QUERIES,
     **EVENTSEQ_QUERIES,
     **PROFILE_QUERIES,
+    **RETRIEVAL_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline
@@ -282,17 +304,17 @@ DRIVER_QUERY_ORDER = [
     "dedup_repeated_spans",
     "decontaminate_spans",
     "dedup_clusters",
-    "dedup_minhash_lsh",
+    "dedup_edit_distance",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "multimodal_meta",
-    "ann_lsh_bucketed",
+    "text_bm25_topk",
     "ann_ivf_pq",
     "a_approx_tier",
     "sample_hash_bernoulli",
     "sample_split_leakage_safe",
     "chunk_token_windows",
-    "chunk_pack_sequences",
+    "dedup_canonical_select",
     "chunk_pack_bestfit",
     "text_pii_redact",
     "emb_quantize_int8",
@@ -300,7 +322,7 @@ DRIVER_QUERY_ORDER = [
     # skew-mitigation family (plain-agg twin shares salted_agg's oracle,
     # held in EXTRA; the mitigated path keeps the driver row)
     "skew_salted_agg",
-    "events_outlier_zscore",
+    "events_attribution",
     # composed curation rollup
     "corpus_curation_report",
     # custom operators / window & join shapes

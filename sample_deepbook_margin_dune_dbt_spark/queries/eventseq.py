@@ -215,8 +215,55 @@ FROM per
 """
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch attribution per conversion: for every purchase
+    event, the FIRST event type the user ever emitted and the LAST event
+    type strictly before the purchase, plus the prior-event count — the
+    marketing-attribution join every event pipeline ships.
+
+    One pass, no self-join: all three attributes are frames over the
+    per-user (ts, event_id) order ending 1 PRECEDING, so Spark buffers
+    one user's history per task at most (per-user partitions, the same
+    shape the sessionize/funnel family holds sublinear at 100×).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", event_ts().alias("t"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("first_touch", F.first("event_type").over(w))
+        .withColumn("last_touch", F.last("event_type").over(w))
+        .withColumn("n_prior_events", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "first_touch", "last_touch", "n_prior_events")
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH seq AS (
+    SELECT event_id, user_id, event_type,
+           first_value(event_type) OVER w AS first_touch,
+           last_value(event_type) OVER w AS last_touch,
+           CAST(count(*) OVER w AS BIGINT) AS n_prior_events
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, first_touch, last_touch, n_prior_events
+FROM seq WHERE event_type = 'purchase'
+"""
+
+
 EVENTSEQ_QUERIES = {
     "events_funnel": (q_events_funnel, SQL_FUNNEL),
     "events_retention": (q_events_retention, SQL_RETENTION),
     "events_cohort_value": (q_events_cohort_value, SQL_COHORT_VALUE),
+    "events_attribution": (q_events_attribution, SQL_ATTRIBUTION),
 }

@@ -326,8 +326,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(pairs, algorithm="auto")
 
 
-SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_SQL_SHINGLES.strip()},
+# CTE body shared with the canonical-selection oracle
+# (queries/retrievalq.py composes extra CTEs after ``reach``)
+_SQL_CLUSTERS_CTES = f"""RECURSIVE {_SQL_SHINGLES.strip()},
 sizes AS (
     SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ),
@@ -352,7 +353,10 @@ reach AS (
     SELECT a AS id, a AS lbl FROM edges
     UNION
     SELECT e.a AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.b
-)
+)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH {_SQL_CLUSTERS_CTES}
 SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "dedup_canonical_select",
     "linkage_blocked_report",
     "events_attribution",
+    "dedup_containment",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -189,6 +189,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_e6: int = 800_000,
+    vectorized: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment:
+    ``C = |A∩B| / min(|A|, |B|)`` — the smaller document's coverage.
+
+    Jaccard misses subset duplication: a paragraph fully quoted inside a
+    10× longer page scores ``|A|/|B| ≈ 0.1`` Jaccard but containment 1.0.
+    Containment is the right lens for quote-inclusion, boilerplate
+    wrapping, and truncated re-crawls — all common in web corpora and all
+    cases where the SHORT side should usually be dropped.
+
+    Output: ``(id_a, id_b, n_inter, size_a, size_b, containment_e6)``
+    with id_a < id_b and ``containment_e6 = inter·10⁶ div min(sizes)``
+    (exact integer — cross-engine hash-stable) ≥ ``threshold_e6``.
+
+    Plan shape is :func:`ngram_jaccard_pairs`' (shingle self-equi-join,
+    AQE-skew-splittable, distinct shingles per doc); the same 100 TB
+    contract applies — feed it LSH/bucket candidates for verification
+    rather than running it corpus-wide.
+    """
+    _sh_fn = shingles_vectorized if vectorized else shingles
+    sh = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
+        "_id", F.explode(_sh_fn(F.col(text_col), n)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_e6",
+            F.expr("(n_inter * 1000000L) div least(size_a, size_b)"),
+        )
+        .filter(F.col("containment_e6") >= threshold_e6)
+        .select("id_a", "id_b", "n_inter", "size_a", "size_b", "containment_e6")
+    )
+
+
 # ----------------------------------------------------------------- minhash
 
 

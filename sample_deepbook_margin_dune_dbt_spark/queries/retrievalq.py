@@ -184,9 +184,50 @@ FROM pairs GROUP BY block_key
 """
 
 
+# --------------------------------------------------- shingle containment
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: ``|A∩B| / min(|A|,|B|)`` ≥ 0.8 over
+    3-gram shingles — catches subset duplication (quote inclusion,
+    truncated re-crawls) that symmetric Jaccard under-scores by the
+    length ratio. Exact-integer ratio; see
+    ``operators/dedup.py::shingle_containment_pairs``."""
+    docs = load(spark, sf_dir, "documents")
+    return D.shingle_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold_e6=800_000
+    )
+
+
+# the _SQL_CLUSTERS_CTES fragment already builds the distinct-shingle
+# relation ``sh``; reuse just the shingle CTEs via the llmops fragment
+from .llmops import _SQL_SHINGLES  # noqa: E402
+
+SQL_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES.strip()},
+sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       sa.sz AS size_a, sb.sz AS size_b,
+       (n_inter * 1000000) // least(sa.sz, sb.sz) AS containment_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (n_inter * 1000000) // least(sa.sz, sb.sz) >= 800000
+"""
+
+
 RETRIEVAL_QUERIES = {
     "text_bm25_topk": (q_text_bm25_topk, SQL_BM25),
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_EDIT_DISTANCE),
     "dedup_canonical_select": (q_dedup_canonical_select, SQL_CANONICAL),
     "linkage_blocked_report": (q_linkage_blocked_report, SQL_LINKAGE_REPORT),
+    "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
 }

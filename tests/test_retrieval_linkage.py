@@ -153,6 +153,31 @@ def test_blocked_fuzzy_pairs_no_cartesian_in_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# --------------------------------------------------- shingle containment
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    page = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    docs = spark.createDataFrame([(1, quote), (2, page)], ["doc_id", "text"])
+    cont = shingle_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold_e6=900_000
+    ).collect()
+    assert len(cont) == 1
+    (r,) = cont
+    # every shingle of the quote appears in the page → containment 1.0
+    assert r["containment_e6"] == 1_000_000
+    assert r["size_a"] == 3 and r["n_inter"] == 3
+    # symmetric Jaccard under-scores the same pair by the length ratio
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.count() == 0
+
+
 # ------------------------------------------------- canonical selection
 
 

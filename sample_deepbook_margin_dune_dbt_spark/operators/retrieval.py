@@ -60,15 +60,20 @@ def bm25_scores(
 
     Per-term arithmetic (all int64, k1=6/5, b=3/4):
 
-    - ``idf_e4   = (2*(N - df) + 1) * 1e4 div (2*df + 1)`` — Robertson's
+    - ``idf_e4 = (2*(N - df) + 1) * 1e4 div (2*df + 1)`` — Robertson's
       ``(N - df + 0.5)/(df + 0.5)`` scaled by 2 to clear the halves.
-    - ``tfnorm_e4 = 22*tf*Σdl * 1e4 div (10*tf*Σdl + 3*Σdl + 9*dl*N)`` —
-      ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
-      ``avgdl = Σdl/N``, both sides multiplied by ``10*Σdl``.
+    - ``dlr_e3 = dl * N * 1000 div Σdl`` — ``dl/avgdl`` at fixed-point
+      1e3 (``avgdl = Σdl/N``).
+    - ``tfnorm_e4 = 22000*tf * 1e4 div (10000*tf + 3000 + 9*dlr_e3)`` —
+      ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with every term
+      scaled by 1e3.
 
-    The two-step division (normalize tf first, then multiply by idf)
-    bounds intermediates at ~``2e4·N · 2.2e4`` ≈ ``4.4e8·N`` — int64-safe
-    past 10^9 documents, where the single-division form would overflow.
+    Magnitude audit (the property test pins it): ``dl·N·1000`` ≤ 1e18 at
+    dl ≤ 1e6 tokens and N ≤ 1e9 docs; ``idf_e4·tfnorm_e4`` ≤ ~4.4e17 —
+    int64-safe at web scale. A single-division form multiplying through
+    by ``Σdl`` (10^13+ tokens) would overflow; the price of the staged
+    form is ~1e-3 relative error on the length-normalization term,
+    identical on both engines.
     """
     terms = [t.lower() for t in query_terms]
     sess = docs.sparkSession
@@ -103,11 +108,12 @@ def bm25_scores(
             "idf_e4",
             F.expr(f"((2 * (n_docs - df) + 1) * {_IDF_SCALE}L) div (2 * df + 1)"),
         )
+        .withColumn("dlr_e3", F.expr("(dl * n_docs * 1000L) div sum_dl"))
         .withColumn(
             "tfnorm_e4",
             F.expr(
-                f"(22 * tf * sum_dl * {_TF_SCALE}L) div "
-                "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+                f"(22000L * tf * {_TF_SCALE}L) div "
+                "(10000L * tf + 3000L + 9L * dlr_e3)"
             ),
         )
         .withColumn("term_score_e8", F.expr("idf_e4 * tfnorm_e4"))
@@ -164,8 +170,8 @@ scored AS (
     SELECT tf.id, tf.tf, dl.dl, dfreq.df, s.n_docs, s.sum_dl,
            ((2 * (s.n_docs - dfreq.df) + 1) * {_IDF_SCALE}) // (2 * dfreq.df + 1)
                AS idf_e4,
-           (22 * tf.tf * s.sum_dl * {_TF_SCALE}) //
-               (10 * tf.tf * s.sum_dl + 3 * s.sum_dl + 9 * dl.dl * s.n_docs)
+           (22000 * tf.tf * {_TF_SCALE}) //
+               (10000 * tf.tf + 3000 + 9 * ((dl.dl * s.n_docs * 1000) // s.sum_dl))
                AS tfnorm_e4
     FROM tf
     JOIN dfreq USING (word)

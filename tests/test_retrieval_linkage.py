@@ -58,6 +58,57 @@ def test_bm25_top_k_bounds_output(spark):
     assert out.count() == 5
 
 
+def _idf_e4(n_docs: int, df: int) -> int:
+    return ((2 * (n_docs - df) + 1) * 10_000) // (2 * df + 1)
+
+
+def _tfnorm_e4(tf: int, dl: int, n_docs: int, sum_dl: int) -> int:
+    dlr_e3 = (dl * n_docs * 1000) // sum_dl
+    return (22000 * tf * 10_000) // (10000 * tf + 3000 + 9 * dlr_e3)
+
+
+def test_bm25_integer_formula_properties():
+    """Formula-level pins for the fixed-point arithmetic (pure Python —
+    both engines evaluate the identical integer expressions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    I64 = 2**63 - 1
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n_docs=st.integers(1, 10**9),
+        df=st.integers(1, 10**9),
+        tf=st.integers(1, 10**4),
+        dl=st.integers(1, 10**6),
+        avg_dl=st.integers(1, 10**4),
+    )
+    def check(n_docs, df, tf, dl, avg_dl):
+        df = min(df, n_docs)
+        sum_dl = n_docs * avg_dl  # keeps dl/avgdl in a realistic range
+        idf = _idf_e4(n_docs, df)
+        tfn = _tfnorm_e4(tf, dl, n_docs, sum_dl)
+        # every intermediate of the staged form stays int64 — the
+        # docstring's web-scale safety claim (dl ≤ 1e6, N ≤ 1e9)
+        assert (2 * (n_docs - df) + 1) * 10_000 <= I64
+        assert dl * n_docs * 1000 <= I64
+        dlr_e3 = (dl * n_docs * 1000) // sum_dl
+        assert 10000 * tf + 3000 + 9 * dlr_e3 <= I64
+        assert 22000 * tf * 10_000 <= I64
+        assert 0 <= idf * tfn <= I64
+        # idf monotone non-increasing in df
+        if df < n_docs:
+            assert _idf_e4(n_docs, df + 1) <= idf
+        # tf saturation: more occurrences never lower the term score
+        assert _tfnorm_e4(tf + 1, dl, n_docs, sum_dl) >= tfn
+        # longer documents are penalized (fixed tf)
+        assert _tfnorm_e4(tf, dl + 1, n_docs, sum_dl) <= tfn
+        # saturation ceiling: tfnorm < (k1+1) = 2.2 at fixed point
+        assert tfn <= 22_000
+
+    check()
+
+
 # ------------------------------------------------- edit-distance verify
 
 

@@ -779,3 +779,42 @@ def corpus_decontaminated_documents(ctx: ModelContext) -> DataFrame:
     return scrubbed.withColumn("benchmark_fp", F.lit(bench_fp)).withColumn(
         "updated_at", ctx.now()
     )
+
+
+@model(
+    "corpus_canonical_documents",
+    unique_key=["cluster_id"],
+    materialized="table",
+    deps=["corpus_neardup_clusters_inc"],
+    tags=["corpus"],
+    not_null=["cluster_id", "canonical_doc_id"],
+)
+def corpus_canonical_documents(ctx: ModelContext) -> DataFrame:
+    """Canonical survivor per near-duplicate cluster: the member with
+    the most characters (min doc_id tie-break) — quality-argmax keeps,
+    not arbitrary min-id (``operators/dedup.keep_best_per_cluster``).
+
+    Full-rebuild TABLE by design: the input is the CLUSTERS table
+    ((doc_id, cluster_id) rows for clustered docs only — orders of
+    magnitude smaller than the corpus), and the argmax is one map-side-
+    combined grouped aggregation over it. The quality lookup touches the
+    corpus only as an id equi-join projected to two columns. Incremental
+    re-selection per affected cluster would save a fraction of an
+    already-contracted aggregation while inheriting the label-supersede
+    delete problem (an absorbed cluster's stale canonical row) — the
+    rebuild is the simpler correct contract at every scale the clusters
+    table itself is viable.
+    """
+    from ..operators.dedup import keep_best_per_cluster
+
+    clusters = ctx.ref("corpus_neardup_clusters_inc").select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    docs = ctx.source("main", "documents").select("doc_id", "n_chars")
+    out = keep_best_per_cluster(clusters, docs, "doc_id", "n_chars")
+    return out.select(
+        "cluster_id",
+        "cluster_size",
+        "canonical_doc_id",
+        F.col("canonical_quality").cast("long").alias("canonical_chars"),
+    ).withColumn("updated_at", ctx.now())

@@ -183,3 +183,58 @@ def test_incremental_clusters_merge_across_steps(spark, tmp_path):
     }
     for d, c in want.items():
         assert got[d] == c, (d, got[d], c)
+
+
+def test_canonical_documents_over_incremental_clusters(
+    spark, doc_slices, tmp_path
+):
+    """``corpus_canonical_documents`` rebuilt after N growth steps equals
+    the operator applied to the full-rebuild clusters, and every
+    canonical is the max-chars (min-id tie-break) member of its
+    cluster."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_best_per_cluster,
+    )
+
+    store = TableStore(spark, str(tmp_path / "canon"))
+    for p in doc_slices:
+        Runner(spark, store, {"main.documents": p}).run(
+            "+corpus_canonical_documents"
+        )
+
+    got = {
+        r["cluster_id"]: (
+            r["cluster_size"],
+            r["canonical_doc_id"],
+            r["canonical_chars"],
+        )
+        for r in store.read("corpus_canonical_documents").collect()
+    }
+
+    full_docs = spark.read.parquet(doc_slices[-1])
+    pairs = minhash_lsh_candidates(full_docs, "doc_id", "text")
+    clusters = duplicate_clusters(pairs)
+    # singletons label themselves in the incremental table (watermark
+    # contract); add them to the full-rebuild twin the same way
+    singles = (
+        full_docs.select(F.col("doc_id").alias("id"))
+        .join(clusters.select("id"), "id", "left_anti")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    want_df = keep_best_per_cluster(
+        clusters.unionByName(singles),
+        full_docs,
+        "doc_id",
+        "n_chars",
+    )
+    want = {
+        r["cluster_id"]: (
+            r["cluster_size"],
+            r["canonical_doc_id"],
+            r["canonical_quality"],
+        )
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert any(sz > 1 for sz, _, _ in got.values()), "needs real clusters"

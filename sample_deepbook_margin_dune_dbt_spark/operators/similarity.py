@@ -219,6 +219,55 @@ def cosine_topk(
     return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def cosine_hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 5,
+    max_cosine_e6: int = 980_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the ``k``
+    MOST similar vectors that are NOT near-duplicates.
+
+    Contrastive embedding training (and reranker distillation) wants, per
+    anchor, negatives that are as close as possible to the decision
+    boundary — the nearest neighbors AFTER excluding positives/near-dups.
+    The exclusion threshold is applied on the fixed-point projection
+    ``floor(cosine * 1e6) < max_cosine_e6`` so the band edge is an integer
+    comparison identical on both engines (same floor contract as the ANN
+    oracles) rather than a float ``<`` at the rounding boundary.
+
+    Scale shape: identical to :func:`cosine_topk` — anchors broadcast,
+    one corpus scan, the band filter runs before the two-level bounded
+    top-k, so no task buffers more than its per-salt heap. Production
+    path at 100 TB swaps the exact scan for the IVF/LSH candidate
+    generator and keeps this band + top-k tail unchanged.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        _norm(F.col(vec_col)).alias("_nq"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vn"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
+        .withColumn("cosine_e6", F.floor(F.col("cosine") * 1e6).cast("long"))
+        .filter(F.col("cosine_e6") < max_cosine_e6)
+    )
+    return _bounded_topk(scored, k, keep_cols=("cosine_e6",)).select(
+        "query_id", "neighbor_id", "cosine_e6", "rank"
+    )
+
+
 def ensure_k_neighbors(
     out: DataFrame,
     vectors: DataFrame,

@@ -266,6 +266,7 @@ from .curation import CURATION_QUERIES
 from .eventseq import EVENTSEQ_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .mixtureq import MIXTURE_QUERIES
+from .noveltyq import NOVELTY_QUERIES
 from .orderingq import ORDERING_QUERIES
 from .parity import PARITY_QUERIES
 from .profileq import PROFILE_QUERIES
@@ -290,6 +291,7 @@ _MERGED = {
     **EVENTSEQ_QUERIES,
     **PROFILE_QUERIES,
     **RETRIEVAL_QUERIES,
+    **NOVELTY_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

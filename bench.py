@@ -177,6 +177,13 @@ BENCH_QUERIES = [
     "linkage_blocked_report",
     "events_attribution",
     "dedup_containment",
+    # r9 continuation 2: novelty / hybrid-retrieval family (corpus-
+    # cumulative shingle novelty, BM25+QL reciprocal-rank fusion,
+    # hard-negative mining band, source-level quality gate)
+    "text_novelty",
+    "retrieval_rrf_fusion",
+    "emb_hard_negatives",
+    "curation_source_gate",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -72,6 +72,9 @@ def bloom_probe_vectorized(
     # two's-complement view: Spark longs with bit 63 set arrive negative
     uwords = tuple(w & 0xFFFFFFFFFFFFFFFF for w in bloom_words)
     assert len(uwords) * 64 == n_bits, (len(uwords), n_bits)
+    # same power-of-two contract as bloom_build/bloom_might_contain: the
+    # odd double-hash step only guarantees k DISTINCT positions mod 2^b
+    assert n_bits >= 64 and n_bits & (n_bits - 1) == 0, n_bits
 
     @pandas_udf("struct<n_shingles:bigint, n_hits_bloom:bigint>")
     def _f(s):  # type: ignore[no-untyped-def]

@@ -15,7 +15,10 @@
   whose families stay represented (a5_rollup, a_percentiles,
   o4_union_all, tpch_q4/q7/q14, text_langid, j2_left_join,
   events_retention, w_hopping_agg; the full rationale is in
-  ``queries/__init__.py``). Everything rotated out stays oracle-checked
+  ``queries/__init__.py``). Late-r9 additions: ``corpus_dsir_select``
+  and ``events_transitions`` took the data-selection / events-family
+  rows from the r8-green ``corpus_mixture_select`` /
+  ``events_cohort_value``. Everything rotated out stays oracle-checked
   by ``tests/test_oracle_parity.py`` over the full 126-query inventory
   under the r8-tightened type gate (no TIMESTAMPTZ leniency; exact
   decimal precision/scale).

@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "retrieval_rrf_fusion",
     "emb_hard_negatives",
     "curation_source_gate",
+    # r9 continuation 3: DSIR importance selection + Markov transitions
+    "corpus_dsir_select",
+    "events_transitions",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -1,0 +1,152 @@
+"""DSIR-style data selection: hashed n-gram importance weights against a
+target domain (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling").
+
+The published method estimates bag-of-hashed-n-gram distributions for a
+TARGET corpus (e.g. Wikipedia) and the RAW pool, weighs every raw
+document by the likelihood ratio of its features under the two, and
+selects by importance. The reference repo's Jinja-SQL rollup surface
+(reference ``models/deepbook_margin/*``) has no counterpart — this is
+part of the LLM-data-pipeline extension surface.
+
+Engine-portability contract (same deliberate move as
+``operators/ngram_lm.py``): the paper's per-feature weight is a
+LOG-likelihood ratio, but ``ln`` is libm-dependent and not
+bit-reproducible across engines, so the cross-engine form scores each
+document by the AVERAGE Laplace-smoothed probability ratio of its
+features in fixed point —
+
+    w_b       = floor-staged  p̂_t(b) / p̂_r(b) · 1e6
+              = ((ct_b+1)·1e6 div (cr_b+1)) · ((R+B)·1e3 div (T+B)) div 1e3
+    score_e6  = Σ_b n_b(doc)·w_b  div  n(doc)
+
+with ``ct/cr`` the bucket's target/raw feature counts, ``T/R`` their
+totals and ``B`` the bucket count. Every stage is exact integer
+arithmetic (the floor contract ``div`` ≡ DuckDB ``//`` on positives), so
+the DuckDB oracle hash-matches; a production cluster swaps in the float
+log-ratio sum in one line where cross-engine hashing is not a
+constraint. The staged form also bounds intermediates: the target is a
+subset of the pool, so ``ct ≤ cr`` gives ``ratio_e6 ≤ 1e6``;
+``(ct+1)·1e6`` stays under int64 while per-bucket counts are < 9.2e12
+(uniform hashing at B=4096 ⇒ raw pools to ~3.7e16 features), and
+``(R+B)·1e3`` while the pool is < 9.2e15 features — the same staged
+fixed-point discipline as the r9 BM25 overflow fix
+(``operators/retrieval.py``).
+
+Scale shape (100 TB): features are the bigram fingerprints of
+``operators/ngram_lm.py`` (Arrow-vectorized twin by default) hashed into
+``n_buckets`` buckets, so the weight table is B-bounded — KILOBYTES
+regardless of corpus size — and broadcasts to the scoring join. Two
+corpus scans (count pass, score pass), each one explode + one
+map-side-combined exchange; selection is ``orderBy().limit(k)`` →
+TakeOrderedAndProject (per-partition size-k heaps), never a global
+``row_number`` window. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ngram_lm import _bigram_fps, bigram_fps_vectorized
+from .retrieval import _ranked_topk
+
+DEFAULT_N_BUCKETS = 4096
+SCALE_E6 = 1_000_000
+
+
+def _bucketed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    vectorized: bool,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (doc, feature-occurrence): ``(id, b)`` with ``b`` the
+    hashed bigram's bucket in ``[0, n_buckets)``. Fingerprints are ≤ 60
+    bits positive, so ``%`` agrees across engines."""
+    fps: Column = (
+        bigram_fps_vectorized(text_col) if vectorized else _bigram_fps(text_col)
+    )
+    out_cols = [id_col] + (extra_cols or [])
+    return df.select(*out_cols, F.explode(fps).alias("fp")).select(
+        *out_cols, (F.col("fp") % F.lit(n_buckets)).alias("b")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Per-bucket importance weights ``(b, ct, cr, w_e6)`` — ≤ B rows.
+
+    ``is_target`` marks the target-domain rows INSIDE the pool (the
+    DSIR target distribution); both distributions come out of one
+    feature pass: ``cr`` counts every occurrence, ``ct`` the target
+    subset's. Totals ride a single-row broadcast (the plan audit's
+    allowed crossJoin shape) so no second scan is needed.
+    """
+    feats = _bucketed_features(
+        df.withColumn("_t", is_target.cast("int")),
+        id_col,
+        text_col,
+        n_buckets,
+        vectorized,
+        extra_cols=["_t"],
+    )
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum("_t").cast("long").alias("ct"),
+    )
+    totals = cnt.agg(
+        F.sum("cr").cast("long").alias("r_total"),
+        F.sum("ct").cast("long").alias("t_total"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(totals))
+        .withColumn("ratio_e6", F.expr(f"(ct + 1) * {SCALE_E6} div (cr + 1)"))
+        .withColumn(
+            "norm_e3",
+            F.expr(f"(r_total + {n_buckets}) * 1000 div (t_total + {n_buckets})"),
+        )
+        .withColumn("w_e6", F.expr("ratio_e6 * norm_e3 div 1000"))
+        .select("b", "ct", "cr", "w_e6")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    top_k: int,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Top-``k`` most target-like documents of the pool:
+    ``(id, n_feats, score_e6, rank)``, rank 1..k by (score desc, id).
+
+    Documents with zero bigrams have no features and are excluded —
+    the same sub-bigram contract as ``bigram_lm_score``. Every bucket
+    observed in the score pass exists in the weight table (it was built
+    from the same pass's key space), so the scoring join is inner.
+    """
+    weights = dsir_weights(df, id_col, text_col, is_target, n_buckets, vectorized)
+    feats = _bucketed_features(df, id_col, text_col, n_buckets, vectorized)
+    scored = (
+        feats.join(F.broadcast(weights.select("b", "w_e6")), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w_e6").cast("long").alias("w_sum"),
+        )
+        .withColumn("score_e6", F.expr("w_sum div n_feats"))
+    )
+    return _ranked_topk(
+        scored, [F.desc("score_e6"), F.asc(id_col)], top_k
+    ).select(id_col, "n_feats", "score_e6", "rank")

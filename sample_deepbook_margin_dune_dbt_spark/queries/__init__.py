@@ -331,7 +331,9 @@ DRIVER_QUERY_ORDER = [
     "sessionize",
     "asof_join",
     "events_funnel",
-    "events_cohort_value",
+    # r9-new Markov transition kernel takes the events family's fourth
+    # row; cohort_value (r8-green) moves to EXTRA
+    "events_transitions",
     "text_quality_model",
     "j1_foj_volume_chain",
     "j_semi_anti",
@@ -344,8 +346,10 @@ DRIVER_QUERY_ORDER = [
     "a_pivot",
     "a_unpivot",
     "o5_set_ops",
-    # data-mixing family (r3): plan + exact greedy tier in one query
-    "corpus_mixture_select",
+    # data-selection family: the r9-new DSIR importance-selection row
+    # replaces the r3 greedy budget tier (corpus_mixture_select, r8-green,
+    # moves to EXTRA; plan/sample rows already live there)
+    "corpus_dsir_select",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
     # TPC-H

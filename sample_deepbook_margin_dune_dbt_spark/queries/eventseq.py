@@ -261,9 +261,66 @@ FROM seq WHERE event_type = 'purchase'
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    for every ordered pair (event_type → next event_type) within a
+    user's (ts, event_id)-ordered history, the transition count and the
+    row-normalized probability (fixed-point 1e6, floor contract) — the
+    journey model behind next-step prediction and anomaly scoring that
+    the funnel/retention/attribution rows don't express (funnels test
+    ONE hand-picked path; this emits the full empirical kernel).
+
+    Scale shape: ``lead`` runs in per-user partitions (the
+    sessionize/funnel window shape measured sublinear at 100×), the pair
+    rollup is a map-side-combined groupBy on a ≤ |types|² key space, and
+    the row normalization is a window over that ≤ |types|²-row result —
+    partitioned by the source type, never SinglePartition over events.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", event_ts().alias("t"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wrow).cast("long"))
+        .withColumn("p_e6", F.expr("n * 1000000 div row_total").cast("long"))
+        .select("event_type", "next_type", "n", "row_total", "p_e6")
+        .orderBy("event_type", "next_type")
+    )
+
+
+SQL_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+           AS p_e6
+FROM pairs
+"""
+
+
 EVENTSEQ_QUERIES = {
     "events_funnel": (q_events_funnel, SQL_FUNNEL),
     "events_retention": (q_events_retention, SQL_RETENTION),
     "events_cohort_value": (q_events_cohort_value, SQL_COHORT_VALUE),
     "events_attribution": (q_events_attribution, SQL_ATTRIBUTION),
+    "events_transitions": (q_events_transitions, SQL_TRANSITIONS),
 }

@@ -121,8 +121,79 @@ WHERE cum_tokens - n_chars < target_tokens
 """
 
 
+_DSIR_K = 100
+_DSIR_B = 4096
+
+
+def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (``operators/dsir.py``): hashed-bigram
+    importance weights of the English subset against the whole pool,
+    every document scored by the average fixed-point probability ratio
+    of its features, global top-100 by (score desc, doc_id). The
+    content-distribution complement to the metadata-keyed mixture rows
+    above: mixture weighs documents by their DOMAIN label, DSIR by what
+    their n-grams look like — a French doc written in borrowed English
+    phrasing outranks a French doc that isn't."""
+    from ..operators.dsir import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        "doc_id",
+        "text",
+        F.col("lang") == "en",
+        top_k=_DSIR_K,
+        n_buckets=_DSIR_B,
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH toks AS (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+           string_split(lower(trim(text)), ' ') AS w
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, t,
+           CAST(concat('0x', substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15))
+               AS BIGINT) % {_DSIR_B} AS b
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+    ) g
+    WHERE len(w) >= 2
+),
+cnt AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS cr, CAST(sum(t) AS BIGINT) AS ct
+    FROM feat GROUP BY b
+),
+tot AS (
+    SELECT CAST(sum(cr) AS BIGINT) AS r_total, CAST(sum(ct) AS BIGINT) AS t_total
+    FROM cnt
+),
+wt AS (
+    SELECT b, ((ct + 1) * 1000000 // (cr + 1))
+              * ((r_total + {_DSIR_B}) * 1000 // (t_total + {_DSIR_B})) // 1000
+              AS w_e6
+    FROM cnt, tot
+),
+scored AS (
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(wt.w_e6) AS BIGINT) AS w_sum
+    FROM feat f JOIN wt USING (b) GROUP BY f.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_feats,
+       CAST(w_sum // n_feats AS BIGINT) AS score_e6,
+       CAST(row_number() OVER (ORDER BY w_sum // n_feats DESC, doc_id)
+           AS BIGINT) AS rank
+FROM scored
+ORDER BY score_e6 DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 MIXTURE_QUERIES = {
     "corpus_mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "corpus_mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "corpus_mixture_select": (q_mixture_select, SQL_MIXTURE_SELECT),
+    "corpus_dsir_select": (q_corpus_dsir_select, SQL_DSIR_SELECT),
 }

@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     # r9 continuation 3: DSIR importance selection + Markov transitions
     "corpus_dsir_select",
     "events_transitions",
+    # r9 continuation 3: trust propagation through duplicate closures
+    "dedup_cluster_trust",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

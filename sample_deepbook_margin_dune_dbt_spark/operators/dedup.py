@@ -15,7 +15,7 @@ bit-for-bit. md5 costs more than xxhash64; swap ``fingerprint64`` for
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64
@@ -894,6 +894,56 @@ def keep_best_per_cluster(
             "cluster_size",
             (-F.col("_best.nid")).cast("long").alias("canonical_doc_id"),
             F.col("_best.q").alias("canonical_quality"),
+        )
+    )
+
+
+def cluster_trust(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    is_trusted: Column,
+) -> DataFrame:
+    """Trust/quality propagation through duplicate clusters: every
+    document inherits the trusted-member share of its whole near-dup
+    closure — ``(id, cluster_id, cluster_size, n_trusted, trust_e6,
+    is_trusted)``, one row per INPUT document (singletons form their own
+    cluster and inherit only themselves).
+
+    The curation move this enables: a scraped copy of a trusted page
+    carries no trust signal of its own (unknown mirror domain), but its
+    cluster does — RefinedWeb/CCNet-style pipelines use exactly this to
+    keep mirrors of curated content and drop clusters of spam that
+    happen to include one false-positive trusted hit. Integer e6 share,
+    floor contract, so the DuckDB closure oracle hash-matches.
+
+    Scale: the cluster table is 16 bytes/row; singleton extension is a
+    LEFT join on id (AQE-splittable) with ``coalesce`` to own-id; the
+    share is one map-side-combined groupBy on cluster_id; the
+    propagation back is a cluster-keyed equi-join — a degenerate
+    million-member cluster is one hot join key, which AQE skew-split
+    handles (pinned for the jaccard family in ``tests/test_plans.py``).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), is_trusted.cast("int").alias("_tr")
+    )
+    mem = base.join(clusters, "id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
+    )
+    share = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.sum("_tr").cast("long").alias("n_trusted"),
+    )
+    return (
+        mem.join(share, "cluster_id")
+        .withColumn("trust_e6", F.expr("n_trusted * 1000000 div cluster_size"))
+        .select(
+            "id",
+            "cluster_id",
+            "cluster_size",
+            "n_trusted",
+            "trust_e6",
+            (F.col("_tr") == 1).alias("is_trusted"),
         )
     )
 

@@ -224,10 +224,60 @@ WHERE (n_inter * 1000000) // least(sa.sz, sb.sz) >= 800000
 """
 
 
+# --------------------------------------------------- cluster trust
+
+
+_TRUSTED_SOURCES = ("src0", "src5", "src10", "src15")
+
+
+def q_dedup_cluster_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust propagation through duplicate closures
+    (``operators/dedup.py::cluster_trust``): every document — singleton
+    or clustered — inherits the trusted-source share of its whole
+    near-dup cluster (3-gram Jaccard ≥ 0.5 graph, the ``dedup_clusters``
+    closure). The cluster-level complement to the per-doc source gate:
+    a mirror of trusted content scores 1e6 even though its OWN domain is
+    unknown; a spam cluster with one trusted false-positive scores near
+    0."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = D.duplicate_clusters(pairs, algorithm="auto")
+    out = D.cluster_trust(
+        clusters, docs, "doc_id", F.col("source").isin(*_TRUSTED_SOURCES)
+    )
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+_TRUSTED_IN = ", ".join(f"'{s}'" for s in _TRUSTED_SOURCES)
+
+SQL_CLUSTER_TRUST = f"""
+WITH {_SQL_CLUSTERS_CTES},
+members AS (
+    SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+),
+alld AS (
+    SELECT d.doc_id AS id,
+           coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN d.source IN ({_TRUSTED_IN}) THEN 1 ELSE 0 END AS tr
+    FROM documents d LEFT JOIN members m ON m.id = d.doc_id
+),
+agg AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(sum(tr) AS BIGINT) AS n_trusted
+    FROM alld GROUP BY cluster_id
+)
+SELECT a.id AS doc_id, a.cluster_id, g.cluster_size, g.n_trusted,
+       CAST(g.n_trusted * 1000000 // g.cluster_size AS BIGINT) AS trust_e6,
+       a.tr = 1 AS is_trusted
+FROM alld a JOIN agg g USING (cluster_id)
+"""
+
+
 RETRIEVAL_QUERIES = {
     "text_bm25_topk": (q_text_bm25_topk, SQL_BM25),
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_EDIT_DISTANCE),
     "dedup_canonical_select": (q_dedup_canonical_select, SQL_CANONICAL),
     "linkage_blocked_report": (q_linkage_blocked_report, SQL_LINKAGE_REPORT),
     "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
+    "dedup_cluster_trust": (q_dedup_cluster_trust, SQL_CLUSTER_TRUST),
 }

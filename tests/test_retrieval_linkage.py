@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from sample_deepbook_margin_dune_dbt_spark.operators import linkage as L
 from sample_deepbook_margin_dune_dbt_spark.operators import retrieval as R
 from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+    cluster_trust,
     keep_best_per_cluster,
 )
 
@@ -265,3 +266,40 @@ def test_keep_best_is_grouped_agg_not_window(spark):
     # prefix is what proves map-side combining.
     assert "Window" not in plan
     assert "partial_max" in plan
+
+
+# ----------------------------------------------------- cluster trust
+
+
+def _trust(spark, clusters, docs):
+    c = spark.createDataFrame(clusters, ["id", "cluster_id"])
+    d = spark.createDataFrame(docs, ["doc_id", "source"])
+    out = cluster_trust(c, d, "doc_id", F.col("source") == "wiki")
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_cluster_trust_mirror_inherits_and_singletons_self(spark):
+    # cluster {1,2,3}: one trusted member → every member scores 1/3;
+    # 4 is a trusted singleton (own cluster, trust 1.0); 5 untrusted
+    got = _trust(
+        spark,
+        [(1, 1), (2, 1), (3, 1)],
+        [(1, "wiki"), (2, "mirror"), (3, "spam"), (4, "wiki"), (5, "crawl")],
+    )
+    assert len(got) == 5
+    for i in (1, 2, 3):
+        assert got[i]["cluster_size"] == 3 and got[i]["n_trusted"] == 1
+        assert got[i]["trust_e6"] == 1_000_000 // 3
+    assert got[2]["is_trusted"] is False and got[1]["is_trusted"] is True
+    assert got[4]["cluster_size"] == 1 and got[4]["trust_e6"] == 1_000_000
+    assert got[5]["trust_e6"] == 0 and got[5]["cluster_id"] == 5
+
+
+def test_cluster_trust_all_or_none(spark):
+    got = _trust(
+        spark,
+        [(1, 1), (2, 1)],
+        [(1, "wiki"), (2, "wiki"), (3, "spam")],
+    )
+    assert got[1]["trust_e6"] == got[2]["trust_e6"] == 1_000_000
+    assert got[3]["trust_e6"] == 0

@@ -161,3 +161,26 @@ def test_transitions_plan_no_corpus_single_partition(spark, sf_dir):
     plan = audit_plan(fn(spark, sf_dir))["plan"]
     assert "CartesianProduct" not in plan
     assert "lead" in plan
+
+
+def test_dsir_feature_pass_spreads_before_arrow_udf(spark, sf_dir):
+    """The CPU-heavy Arrow fingerprint batch must be preceded by a hash
+    repartition on the id — file-split partitioning underfilled the
+    cluster at the 100× fixture (58.6 → 8.4 s once spread; PERF.md r9
+    continuation 4)."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dsir import (
+        _bucketed_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        _bucketed_features(docs, "doc_id", "text", 4096, True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    arrow_at = plan.find("ArrowEvalPython")
+    assert arrow_at != -1
+    # the repartition exchange must sit BELOW (after in plan text) the
+    # Arrow projection it feeds
+    assert "hashpartitioning(doc_id" in plan[arrow_at:], plan[arrow_at:][:500]

@@ -21,6 +21,10 @@ pipeline drives a training-data curation pipeline unchanged:
   existing labels, CC runs on the tiny representative graph, and only
   relabeled old rows re-MERGE (N growth steps ≡ one full CC rebuild,
   including cluster-bridging batches).
+- ``corpus_trust_scores`` — trust propagation through the incremental
+  near-dup closures (r9): every document stamped with the
+  trusted-source share of its whole cluster; the trusted set is the
+  ``trusted_sources`` var.
 - ``corpus_decontaminated_documents`` — benchmark-versioned CROSS-RUN
   span decontamination (r9): watermark-incremental scrub of new docs
   while the registered benchmark's content fingerprint is stable; a
@@ -49,4 +53,6 @@ ALL_MODELS = [
     "corpus_bpe_rules",
     "corpus_tokenized_documents",
     "corpus_decontaminated_documents",
+    "corpus_canonical_documents",
+    "corpus_trust_scores",
 ]

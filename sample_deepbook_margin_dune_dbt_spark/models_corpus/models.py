@@ -782,6 +782,47 @@ def corpus_decontaminated_documents(ctx: ModelContext) -> DataFrame:
 
 
 @model(
+    "corpus_trust_scores",
+    unique_key=["doc_id"],
+    materialized="table",
+    deps=["corpus_neardup_clusters_inc"],
+    tags=["corpus"],
+    not_null=["doc_id", "cluster_id", "trust_e6"],
+)
+def corpus_trust_scores(ctx: ModelContext) -> DataFrame:
+    """Trust propagation through near-duplicate closures
+    (``operators/dedup.cluster_trust``): every corpus document —
+    clustered or singleton — stamped with the trusted-source share of
+    its whole cluster. Trusted sources come from the ``trusted_sources``
+    var (comma-separated), so a deploy retargets the trust set without
+    code changes (``--vars '{trusted_sources: "wiki,books"}'``).
+
+    Full-rebuild TABLE for the same reason as
+    ``corpus_canonical_documents``: the heavy lifting (pair graph + CC)
+    lives in the incremental clusters model; this node is two equi-joins
+    and one map-side-combined share aggregation over (corpus ids ×
+    16-byte cluster rows) — rebuilding it is cheaper than solving the
+    stale-share delete problem an incremental MERGE would inherit when
+    a batch merges two clusters.
+    """
+    from ..operators.dedup import cluster_trust
+
+    trusted = [
+        s.strip()
+        for s in str(ctx.var("trusted_sources", "src0,src5,src10,src15")).split(",")
+        if s.strip()
+    ]
+    clusters = ctx.ref("corpus_neardup_clusters_inc").select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    docs = ctx.source("main", "documents").select("doc_id", "source")
+    out = cluster_trust(clusters, docs, "doc_id", F.col("source").isin(trusted))
+    return out.withColumnRenamed("id", "doc_id").withColumn(
+        "updated_at", ctx.now()
+    )
+
+
+@model(
     "corpus_canonical_documents",
     unique_key=["cluster_id"],
     materialized="table",

@@ -253,6 +253,16 @@ driver query moved to ``EXTRA_QUERIES``:
   attribution row). ``linkage_blocked_report`` (blocked record-linkage
   audit over the part dimension) joins EXTRA oracle-verified.
 
+- late-r9 continuation: ``corpus_dsir_select`` (DSIR hashed-n-gram
+  importance selection) takes the data-selection row from
+  ``corpus_mixture_select`` (r8-green → EXTRA; the greedy budget tier's
+  mechanics stay oracle-verified there), and ``events_transitions``
+  (Markov next-event kernel) takes the events family's fourth row from
+  ``events_cohort_value`` (r8-green → EXTRA; the family keeps
+  funnel + attribution + sessionize driver rows). ``dedup_cluster_trust``
+  (trust propagation through duplicate closures) joins EXTRA
+  oracle-verified.
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.

@@ -143,6 +143,42 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------------------ n-gram jaccard
 
 
+def _intersect_shingle_rows(df, id_col, text_col, n, sh_fn):
+    """(_id, _fp) rows: one per (doc, distinct shingle), shingles carried
+    as 8-byte ``xxhash64`` fingerprints, NOT strings — the exchange that
+    feeds the pairwise self-join moves 8 bytes/key instead of ~30-byte
+    UTF-8 shingles (the r7 span-tier discipline). The fingerprint never
+    reaches the output, so the string-join oracle stays exact up to
+    64-bit collisions (≈ 2e-5 expected per 26M shingles — none at the
+    oracle scale factors)."""
+    return (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
+        .select("_id", F.explode(sh_fn(F.col(text_col), n)).alias("_sh"))
+        .select("_id", F.xxhash64(F.col("_sh")).alias("_fp"))
+    )
+
+
+def _shingle_self_intersections(sh: DataFrame) -> DataFrame:
+    """Per-pair shingle intersection counts ``(id_a, id_b, n_inter)``
+    from (_id, _fp) rows — the shared tail of the exact jaccard and
+    containment tiers.
+
+    The self-join is hinted ``shuffle_hash``: an unhinted SMJ sorts both
+    ~corpus-sized shingle sides, and the sort (not the join) went
+    superlinear at the 100× documents fixture (120 s for the containment
+    scan; ~30 s hashed) — the same SMJ-spill failure mode the r9 cosine
+    refine fix pinned. A per-partition hash build of 8-byte keys is flat
+    in the second decade; hot stopword shingles remain AQE-skew-split
+    territory exactly as before."""
+    a = sh.alias("a")
+    b = sh.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, (F.col("a._fp") == F.col("b._fp")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -164,17 +200,9 @@ def ngram_jaccard_pairs(
     candidates without the quadratic join.
     """
     _sh_fn = shingles_vectorized if vectorized else shingles
-    sh = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
-        "_id", F.explode(_sh_fn(F.col(text_col), n)).alias("_sh")
-    )
+    sh = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+    inter = _shingle_self_intersections(sh).withColumnRenamed("n_inter", "_inter")
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"))
     return (
@@ -216,17 +244,9 @@ def shingle_containment_pairs(
     rather than running it corpus-wide.
     """
     _sh_fn = shingles_vectorized if vectorized else shingles
-    sh = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
-        "_id", F.explode(_sh_fn(F.col(text_col), n)).alias("_sh")
-    )
+    sh = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
+    inter = _shingle_self_intersections(sh)
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))
     return (

@@ -502,3 +502,21 @@ def test_decontaminate_spans_broadcasts_benchmark(spark, sf_dir):
     plan = explain_str(fn(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_shingle_self_intersections_hashed_fp_join(spark, sf_dir):
+    """The exact jaccard/containment self-join must (a) exchange 8-byte
+    xxhash64 shingle fingerprints, not UTF-8 shingle strings, and (b)
+    plan as ShuffledHashJoin — the unhinted SMJ's sort of both
+    corpus-sized shingle sides went superlinear at the 100× documents
+    fixture (120 s → 33 s for the containment scan; PERF.md r9
+    continuation 5)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES
+
+    for name in ("dedup_containment", "dedup_ngram_jaccard"):
+        fn, _ = FULL_QUERIES[name]
+        plan = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "xxhash64" in plan, name
+        assert "ShuffledHashJoin" in plan, name

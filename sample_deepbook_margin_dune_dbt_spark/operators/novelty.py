@@ -24,27 +24,28 @@ any earlier document scores 0.
 Scale shape (100 TB corpus, 1000 executors):
 
 - One pass computes per-doc shingle sets (Arrow-vectorized
-  ``shingles_vectorized`` — the shared twin, ~1 µs/shingle) and explodes
-  them; the only corpus-proportional shuffle is the hash exchange on the
-  shingle key, where a WINDOW ``min(doc_id) over (partition by s)``
-  computes each shingle's first owner without a second join shuffle —
-  first-owner tagging and per-row comparison happen inside the same
-  exchange.
-- The per-doc rollup is a map-side-combined grouped count on doc_id —
-  the second (and last) shuffle, carrying two int64s per (doc, shingle).
-- Skew: a shingle shared by millions of documents lands in one window
-  partition. The window computes only ``min`` (no ordering, no running
-  frame), so the partition cost is a streaming min — linear, no buffer.
-  For pathological head shingles (boilerplate), the upstream
-  boilerplate-strip tier (``dedup.py::boilerplate_segments``) is the
-  production pre-pass; AQE skew-split handles the residue.
+  ``shingles_vectorized`` — the shared twin, ~1 µs/shingle), explodes
+  them, and fingerprints each shingle to 8 bytes (``xxhash64`` — the
+  exchange-width discipline every shingle tier follows; the fingerprint
+  never reaches the output).
+- First owner per shingle is ``groupBy(s).agg(min(id))`` — a pure HASH
+  aggregate with map-side partials. (The first formulation used a
+  min-only window inside the shingle exchange; WindowExec SORTS its
+  partition input even for an unordered frame, and that sort was the
+  measured 100× floor. The hash-agg form also partially aggregates a
+  boilerplate shingle shared by millions of docs on the map side
+  instead of landing it whole in one window partition.)
+- Novel counts are a second grouped count over the owners table
+  (distinct-shingle-sized), per-doc totals a grouped count on doc_id,
+  and the two meet in an id equi-join — every exchange carries int64s
+  only, every aggregate map-side combines.
 - Everything is exact integer output (counts and a fixed-point 1e6
   ratio), so the result hash-compares against the DuckDB oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles, shingles_vectorized
@@ -67,22 +68,54 @@ def shingle_novelty(
     ``False`` keeps shingle construction in pure Catalyst expressions
     (the engine-portable oracle shape) — both produce identical arrays.
     """
+    from .dedup import _spread
+
     mk = shingles_vectorized if vectorized else shingles
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(mk(F.col(text_col), n)).alias("s"),
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    if vectorized:
+        # balance the CPU-heavy Arrow shingle batch across cores before
+        # BOTH consumers below — file-split partitioning left the 100×
+        # fixture's UDF pass 15-wide with a straggler (the same measured
+        # failure the DSIR feature pass fixed; ~25 s/pass → ~4 s)
+        base = _spread(base, "id")
+    # ONE shingle-UDF execution feeds both consumers: the (id, fp-array)
+    # projection is materialized via localCheckpoint — 8 bytes per
+    # shingle (xxhash64 inside a transform lambda, the r7 span-tier /
+    # r9 jaccard-join exchange discipline; the fingerprint never reaches
+    # the output, so the string-keyed oracle stays exact up to 64-bit
+    # collisions — none at the oracle scale factors). Without the
+    # materialization Spark recomputes the Arrow batch once per branch
+    # (the n_shingles scan AND the owners exchange), which doubled the
+    # dominant cost at the 100× fixture. At warehouse scale the same
+    # staging is a persisted projection table.
+    staged = base.select(
+        "id",
+        F.transform(mk(F.col("_t"), n), lambda c: F.xxhash64(c)).alias("_fps"),
+    ).localCheckpoint(eager=False)
+    sh = staged.select("id", F.explode("_fps").alias("s"))
+    # first owner per shingle, then novel counts per owner — pure
+    # HASH-aggregates, both map-side combined. The previous min-only
+    # window formulation paid a full sort by shingle key inside the
+    # exchange (WindowExec sorts its partition input even for an
+    # unordered frame) — that sort, not the exchange width, was the
+    # measured 100× floor. groupBy(min) gets the same first owner with
+    # no sort anywhere; a boilerplate shingle shared by millions of
+    # docs partially aggregates map-side instead of landing whole in
+    # one window partition — strictly better skew behavior too.
+    owners = sh.groupBy("s").agg(F.min("id").alias("owner"))
+    novel = owners.groupBy(F.col("owner").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
     )
-    # first owner per shingle: a min-only window inside the single
-    # shingle-key exchange (no join-back, no ordering buffer)
-    first_owner = F.min("id").over(Window.partitionBy("s"))
-    tagged = sh.select(
-        "id", (F.col("id") == first_owner).cast("long").alias("is_novel")
-    )
+    # per-doc totals come from the ARRAY SIZE in a narrow scan — never
+    # from a second explode+groupBy over the corpus-sized shingle rows
+    # (that re-executed the whole Arrow pipeline and doubled the
+    # dominant cost at the 100× fixture)
+    per_doc = staged.select(
+        "id", F.size("_fps").cast("long").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
     return (
-        tagged.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum("is_novel").cast("long").alias("n_novel"),
-        )
+        per_doc.join(novel, "id", "left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)).cast("long"))
         .withColumn("novelty_e6", F.expr("n_novel * 1000000L div n_shingles"))
+        .select("id", "n_shingles", "n_novel", "novelty_e6")
     )

@@ -150,12 +150,31 @@ def _intersect_shingle_rows(df, id_col, text_col, n, sh_fn):
     UTF-8 shingles (the r7 span-tier discipline). The fingerprint never
     reaches the output, so the string-join oracle stays exact up to
     64-bit collisions (≈ 2e-5 expected per 26M shingles — none at the
-    oracle scale factors)."""
-    return (
+    oracle scale factors).
+
+    The (id, fp-array) projection is materialized via ``localCheckpoint``
+    because three consumers read it (both self-join sides AND the
+    per-doc size aggregate) — without it Spark re-executes the Arrow
+    shingle batch once per branch (the ``text_novelty`` restaging
+    lesson; PERF.md r9 continuation 5). At warehouse scale the same
+    staging is a persisted projection table."""
+    staged = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
-        .select("_id", F.explode(sh_fn(F.col(text_col), n)).alias("_sh"))
-        .select("_id", F.xxhash64(F.col("_sh")).alias("_fp"))
+        .select(
+            "_id",
+            F.transform(
+                sh_fn(F.col(text_col), n), lambda c: F.xxhash64(c)
+            ).alias("_fps"),
+        )
+        .localCheckpoint(eager=False)
     )
+    sh = staged.select("_id", F.explode("_fps").alias("_fp"))
+    # per-doc set sizes come from the ARRAY SIZE — no explode, no
+    # exchange (shingles are distinct within a doc by construction)
+    sizes = staged.select(
+        "_id", F.size("_fps").cast("long").alias("_size")
+    ).filter(F.col("_size") > 0)
+    return sh, sizes
 
 
 def _shingle_self_intersections(sh: DataFrame) -> DataFrame:
@@ -200,8 +219,7 @@ def ngram_jaccard_pairs(
     candidates without the quadratic join.
     """
     _sh_fn = shingles_vectorized if vectorized else shingles
-    sh = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
     inter = _shingle_self_intersections(sh).withColumnRenamed("n_inter", "_inter")
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"))
@@ -244,8 +262,7 @@ def shingle_containment_pairs(
     rather than running it corpus-wide.
     """
     _sh_fn = shingles_vectorized if vectorized else shingles
-    sh = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_size"))
+    sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
     inter = _shingle_self_intersections(sh)
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))

@@ -518,5 +518,9 @@ def test_shingle_self_intersections_hashed_fp_join(spark, sf_dir):
         plan = (
             fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
-        assert "xxhash64" in plan, name
-        assert "ShuffledHashJoin" in plan, name
+        # the staged fp-array projection is a checkpoint (lineage cut →
+        # ExistingRDD scan); the self-join must key on the 8-byte _fp
+        # column and hash, not sort-merge
+        assert "Scan ExistingRDD[_id" in plan, name
+        assert "ShuffledHashJoin [_fp" in plan, name
+        assert "SortMergeJoin [_fp" not in plan, name

@@ -248,3 +248,22 @@ def test_source_gate_plan_partial_aggregation(spark, sf_dir):
     a = audit_plan(fn(spark, sf_dir))
     assert "partial_count" in a["plan"]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_hard_negatives_vectorized_bit_parity(spark, sf_dir):
+    """The Arrow anchor-cosine twin must be BIT-identical to the HOF
+    fold (dimension-sequential numpy accumulation reproduces the fold's
+    IEEE operation order), not merely close — a last-ulp difference
+    would flip floor(cos*1e6) at the band edge."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.orderBy("vec_id").limit(7).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    a = cosine_hard_negatives(
+        emb, qs, "vec_id", "embedding", "qid", k=5, vectorized=True
+    ).collect()
+    b = cosine_hard_negatives(
+        emb, qs, "vec_id", "embedding", "qid", k=5, vectorized=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0

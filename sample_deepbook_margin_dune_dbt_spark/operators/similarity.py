@@ -192,30 +192,42 @@ def cosine_topk(
     vec_col: str,
     query_id_col: str,
     k: int = 10,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (brute force).
 
     Output: (query_id, neighbor_id, cosine, rank). Deterministic tie-break
-    on neighbor id. Queries should be small enough to broadcast — Catalyst
-    chooses broadcast-nested-loop for the cross join automatically when they
-    are.
+    on neighbor id. ``vectorized=True`` scores every vector against the
+    closure-shipped anchor matrix in one Arrow pass (bit-parity contract
+    in :func:`_anchor_cosines_vectorized`); ``False`` keeps the
+    crossJoin(broadcast) × HOF-fold form — the engine-portable
+    oracle-shape reference.
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_vq"),
-        _norm(F.col(vec_col)).alias("_nq"),
-    )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vn"),
-        _norm(F.col(vec_col)).alias("_nn"),
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(v)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")))
-    )
+    if vectorized:
+        anchors = queries.select(query_id_col, vec_col).collect()
+        scored = _anchor_cosines_vectorized(vectors, id_col, vec_col, anchors).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_vq"),
+            _norm(F.col(vec_col)).alias("_nq"),
+        )
+        v = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_vn"),
+            _norm(F.col(vec_col)).alias("_nn"),
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(v)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine",
+                _dot(F.col("_vq"), F.col("_vn")) / (F.col("_nq") * F.col("_nn")),
+            )
+        )
     return _bounded_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 

@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "events_transitions",
     # r9 continuation 3: trust propagation through duplicate closures
     "dedup_cluster_trust",
+    # r9 continuation 3: one-row dataset card
+    "corpus_datasheet",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -296,9 +296,103 @@ FROM counts, tot
 """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW dataset card (the "Datasheets for Datasets" artifact,
+    Gebru et al. 2021): composition, duplication, dominant language, and
+    length distribution in a single governance-ready row — what a corpus
+    release attaches next to the data.
+
+    Scale shape: one full-corpus aggregation pass (count / sums /
+    exact-distinct fingerprints — the EXPAND cost ``corpus_profile``
+    already budgets; swap ``approx_count_distinct`` in production if the
+    ±0 contract is not needed) plus a |langs|-row argmax aggregate —
+    both map-side combined, meeting in single-row broadcast crossJoins
+    (the plan audit's allowed shape). Percentiles are Spark exact
+    ``percentile`` ≡ DuckDB ``quantile_cont``, verified bit-identical by
+    the ``a_percentiles`` row since r1.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_content"),
+        F.sum((F.col("n_chars") < 100).cast("long")).cast("long").alias("n_short"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("p50_chars"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)").alias("p95_chars"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.max(F.struct(F.col("c"), F.col("lang"))).alias("_m"))
+        .select(
+            F.col("_m.lang").alias("top_lang"),
+            F.col("_m.c").cast("long").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(top_lang))
+        .withColumn("mean_chars", F.expr("n_chars_total div n_docs"))
+        .withColumn(
+            "dup_rate_e6",
+            F.expr("(n_docs - n_distinct_content) * 1000000 div n_docs"),
+        )
+        .withColumn("short_share_e6", F.expr("n_short * 1000000 div n_docs"))
+        .withColumn(
+            "top_lang_share_e6", F.expr("top_lang_docs * 1000000 div n_docs")
+        )
+        .select(
+            "n_docs",
+            "n_chars_total",
+            "mean_chars",
+            "p50_chars",
+            "p95_chars",
+            "n_langs",
+            "top_lang",
+            "top_lang_share_e6",
+            "n_sources",
+            "dup_rate_e6",
+            "short_share_e6",
+        )
+    )
+
+
+SQL_DATASHEET = """
+WITH base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_content,
+           CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95_chars
+    FROM documents
+),
+tl AS (
+    SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+    FROM documents GROUP BY lang
+    ORDER BY count(*) DESC, lang DESC LIMIT 1
+)
+SELECT n_docs, n_chars_total,
+       CAST(n_chars_total // n_docs AS BIGINT) AS mean_chars,
+       p50_chars, p95_chars, n_langs, top_lang,
+       CAST(top_lang_docs * 1000000 // n_docs AS BIGINT) AS top_lang_share_e6,
+       n_sources,
+       CAST((n_docs - n_distinct_content) * 1000000 // n_docs AS BIGINT)
+           AS dup_rate_e6,
+       CAST(n_short * 1000000 // n_docs AS BIGINT) AS short_share_e6
+FROM base, tl
+"""
+
+
 PROFILE_QUERIES = {
     "corpus_profile": (q_corpus_profile, SQL_CORPUS_PROFILE),
     "corpus_length_histogram": (q_corpus_length_histogram, SQL_LENGTH_HISTOGRAM),
     "events_outlier_zscore": (q_events_outlier_zscore, SQL_OUTLIER_ZSCORE),
     "events_drift_tvd": (q_events_drift_tvd, SQL_DRIFT_TVD),
+    "corpus_datasheet": (q_corpus_datasheet, SQL_DATASHEET),
 }

@@ -184,3 +184,29 @@ def test_dsir_feature_pass_spreads_before_arrow_udf(spark, sf_dir):
     # the repartition exchange must sit BELOW (after in plan text) the
     # Arrow projection it feeds
     assert "hashpartitioning(doc_id" in plan[arrow_at:], plan[arrow_at:][:500]
+
+
+# ---------------------------------------------------------- dataset card
+
+
+def test_datasheet_planted_dup_rate_and_top_lang_tie(spark, tmp_path):
+    rows = [
+        (1, "same text here", "en", "s1"),
+        (2, "same text here", "en", "s2"),   # exact dup of 1
+        (3, "unique text one", "de", "s1"),
+        (4, "tiny", "de", "s3"),             # short doc (< 100 chars)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    df = df.withColumn("n_chars", F.length("text").cast("long"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from sample_deepbook_margin_dune_dbt_spark.queries.profileq import (
+        q_corpus_datasheet,
+    )
+
+    (r,) = q_corpus_datasheet(spark, str(tmp_path)).collect()
+    assert r["n_docs"] == 4 and r["n_langs"] == 2 and r["n_sources"] == 3
+    assert r["dup_rate_e6"] == 250_000  # 4 docs, 3 distinct contents
+    assert r["short_share_e6"] == 1_000_000  # all fixture docs are short
+    # en and de tie at 2 docs each -> largest lang string wins (both forms)
+    assert r["top_lang"] == "en" and r["top_lang_share_e6"] == 500_000

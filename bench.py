@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "dedup_cluster_trust",
     # r9 continuation 3: one-row dataset card
     "corpus_datasheet",
+    # r9 continuation 3: cluster-safe (fuzzy-dup-safe) split
+    "sample_split_cluster_safe",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

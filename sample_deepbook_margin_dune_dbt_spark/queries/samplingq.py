@@ -147,9 +147,79 @@ GROUP BY 1
 """
 
 
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-safe train/val/test split — the fuzzy tier above
+    ``sample_split_leakage_safe``: the split variate is keyed on the
+    NEAR-DUP CLUSTER id (3-gram Jaccard ≥ 0.5 closure), so a paraphrase
+    or truncated re-crawl of a training document can never land in the
+    eval split. The fingerprint-keyed split only co-assigns EXACT
+    copies; fuzzy duplicates straddling train/eval are the subtler
+    contamination channel (Lee et al. 2022 measure the resulting eval
+    inflation), and closing it needs the closure, not the hash.
+
+    Output: per-split census ``(split, n_docs, n_clusters)`` — the
+    no-straddle property is structural (equal key ⇒ equal split) and
+    pinned on planted near-dups (NOT exact copies) in
+    ``tests/test_dsir_transitions.py``.
+
+    Scale shape: the pair graph + contracted CC is the same machinery
+    the dedup tiers already budget (and the incremental models
+    maintain cross-run); the split itself is a narrow map keyed on the
+    16-byte cluster row and the census one map-side-combined count.
+    """
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = D.duplicate_clusters(pairs, algorithm="auto")
+    keyed = (
+        docs.join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    split = SM.train_val_test_split(
+        keyed, "cluster_id", val_fraction=0.1, test_fraction=0.1
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def _sql_cluster_safe() -> str:
+    from .llmops import _SQL_CLUSTERS_CTES
+
+    u = SM.sql_hash_uniform("cluster_id", salt="split")
+    return f"""
+WITH {_SQL_CLUSTERS_CTES},
+members AS (
+    SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+),
+keyed AS (
+    SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN members m ON m.id = d.doc_id
+),
+s AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN {u} < 0.1 THEN 'test'
+                WHEN {u} < 0.2 THEN 'val'
+                ELSE 'train' END AS split
+    FROM keyed
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM s
+GROUP BY 1
+"""
+
+
 SAMPLING_QUERIES = {
     "sample_hash_bernoulli": (q_hash_bernoulli, _SQL_BERNOULLI),
     "sample_split_leakage_safe": (q_split_leakage_safe, _SQL_LEAKAGE_SAFE),
+    "sample_split_cluster_safe": (q_split_cluster_safe, _sql_cluster_safe()),
     "sample_train_val_test": (q_train_val_test, _SQL_TVT),
     "sample_stratified_quota": (q_stratified_quota, _SQL_QUOTA),
     "sample_weighted": (q_weighted_sample, _SQL_WEIGHTED),

@@ -210,3 +210,40 @@ def test_datasheet_planted_dup_rate_and_top_lang_tie(spark, tmp_path):
     assert r["short_share_e6"] == 1_000_000  # all fixture docs are short
     # en and de tie at 2 docs each -> largest lang string wins (both forms)
     assert r["top_lang"] == "en" and r["top_lang_share_e6"] == 500_000
+
+
+# --------------------------------------------------- cluster-safe split
+
+
+def test_cluster_safe_split_co_assigns_near_dups(spark):
+    """A PARAPHRASE (near-dup, different fingerprint) must land in the
+    same split as its original — the property the fingerprint-keyed
+    split cannot give."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import dedup as D
+    from sample_deepbook_margin_dune_dbt_spark.operators import sampling as SM
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")  # 3-gram jaccard well above 0.5
+    rows = [(i, f"unrelated text number {i} with its own words entirely {i}")
+            for i in range(3, 40)]
+    docs = spark.createDataFrame([(1, base), (2, near)] + rows, ["doc_id", "text"])
+
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs, "planted near-dup must pair"
+
+    clusters = D.duplicate_clusters(pairs, algorithm="auto")
+    keyed = docs.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    split = {
+        r["doc_id"]: r["split"]
+        for r in SM.train_val_test_split(
+            keyed, "cluster_id", val_fraction=0.3, test_fraction=0.3
+        ).collect()
+    }
+    assert split[1] == split[2], "near-dups must never straddle splits"
+    # and their CONTENT fingerprints differ — the exact-dup tier alone
+    # could not have co-assigned them
+    fps = docs.filter(F.col("doc_id") < 3).select(F.md5("text")).collect()
+    assert fps[0][0] != fps[1][0]

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "corpus_datasheet",
     # r9 continuation 3: cluster-safe (fuzzy-dup-safe) split
     "sample_split_cluster_safe",
+    # r9 continuation 3: time-to-conversion latency distribution
+    "events_time_to_convert",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

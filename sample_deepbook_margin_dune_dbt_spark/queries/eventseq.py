@@ -317,10 +317,79 @@ FROM pairs
 """
 
 
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: per user, the lag from their
+    FIRST event ever to their FIRST purchase; one summary row with the
+    converted-user count and exact p50/p90/max latency — the HOW-FAST
+    companion to the funnel's IF (latency percentiles are what SLAs and
+    campaign analyses consume).
+
+    Scale shape: one map-side-combined groupBy(user) computing two
+    conditional MINs (no window, no ordering buffer — first-ever and
+    first-purchase are plain min aggregates), then one global aggregate
+    over |users| rows. Percentiles are exact ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (the ``a_percentiles`` bit-identical contract);
+    latencies are integer microsecond deltas cast to double only at the
+    percentile input.
+    """
+    from .common import event_ts_us
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", event_ts_us().alias("t_us"), "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("t_us").alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t_us"))).alias(
+            "conv_us"
+        ),
+    )
+    conv = per_user.filter(F.col("conv_us").isNotNull()).withColumn(
+        "lag_s", ((F.col("conv_us") - F.col("first_us")) / F.lit(1000000.0))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).crossJoin(
+        F.broadcast(
+            conv.agg(
+                F.count(F.lit(1)).cast("long").alias("n_converted"),
+                F.expr("percentile(lag_s, 0.5)").alias("p50_s"),
+                F.expr("percentile(lag_s, 0.9)").alias("p90_s"),
+                F.max("lag_s").alias("max_s"),
+            )
+        )
+    ).withColumn(
+        "conversion_e6", F.expr("n_converted * 1000000 div n_users")
+    )
+
+
+SQL_TIME_TO_CONVERT = """
+WITH per_user AS (
+    SELECT user_id,
+           min(epoch_us(ts)) AS first_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS conv_us
+    FROM events GROUP BY user_id
+),
+conv AS (
+    SELECT (conv_us - first_us) / 1000000.0 AS lag_s
+    FROM per_user WHERE conv_us IS NOT NULL
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_user) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(lag_s, 0.5) AS p50_s,
+       quantile_cont(lag_s, 0.9) AS p90_s,
+       max(lag_s) AS max_s,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM per_user) AS BIGINT)
+           AS conversion_e6
+FROM conv
+"""
+
+
 EVENTSEQ_QUERIES = {
     "events_funnel": (q_events_funnel, SQL_FUNNEL),
     "events_retention": (q_events_retention, SQL_RETENTION),
     "events_cohort_value": (q_events_cohort_value, SQL_COHORT_VALUE),
     "events_attribution": (q_events_attribution, SQL_ATTRIBUTION),
     "events_transitions": (q_events_transitions, SQL_TRANSITIONS),
+    "events_time_to_convert": (q_events_time_to_convert, SQL_TIME_TO_CONVERT),
 }

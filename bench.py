@@ -195,6 +195,11 @@ BENCH_QUERIES = [
     "sample_split_cluster_safe",
     # r9 continuation 3: time-to-conversion latency distribution
     "events_time_to_convert",
+    # r9 continuation: governance family — k-anonymity/l-diversity census,
+    # cell-suppression retention audit, deterministic shard manifest
+    "privacy_k_anonymity",
+    "privacy_suppression",
+    "corpus_shard_manifest",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -274,6 +274,7 @@ from .approx import APPROX_QUERIES
 from .chunkingq import CHUNKING_QUERIES
 from .curation import CURATION_QUERIES
 from .eventseq import EVENTSEQ_QUERIES
+from .governanceq import GOVERNANCE_QUERIES
 from .llmops import LLMOPS_QUERIES
 from .mixtureq import MIXTURE_QUERIES
 from .noveltyq import NOVELTY_QUERIES
@@ -302,6 +303,7 @@ _MERGED = {
     **PROFILE_QUERIES,
     **RETRIEVAL_QUERIES,
     **NOVELTY_QUERIES,
+    **GOVERNANCE_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

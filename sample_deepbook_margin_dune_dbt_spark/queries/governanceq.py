@@ -1,0 +1,151 @@
+"""Governance query family: privacy release gates + training-shard export.
+
+Two more capabilities a training-data pipeline needs that the reference's
+Jinja-SQL rollup surface (reference ``models/deepbook_margin/*``) has no
+counterpart for, each exact-integer so the DuckDB oracle hash-compares:
+
+- ``privacy_k_anonymity`` — quasi-identifier census with k-anonymity and
+  l-diversity verdicts over the events table (``operators/privacy.py``).
+- ``privacy_suppression`` — per-event-type retention audit of the cell-
+  suppression transform (computed from the census, no second corpus pass).
+- ``corpus_shard_manifest`` — deterministic hash-sharding of the document
+  corpus plus the per-shard manifest (rows / tokens / bytes / XOR content
+  checksum) a training loader verifies against (``operators/export.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.export import assign_shards, shard_manifest
+from ..operators.privacy import (
+    generalize_band,
+    k_anonymity_census,
+    suppression_report,
+)
+from ..operators.sampling import sql_hash_uniform
+from .common import event_ts, load
+
+# ------------------------------------------------------- k-anonymity census
+
+#: QI grain chosen so the sf0.01 fixture splits both ways: 5 event types ×
+#: ~10 value bands × 30 days ≈ 1.4k groups over 10k rows → plenty of groups
+#: on each side of k=5, and of l=3 on the user_id sensitive attribute.
+_K = 5
+_L = 3
+_BAND = 50
+
+
+def _events_with_qi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        generalize_band(F.col("value"), _BAND).alias("value_band"),
+        F.to_date(event_ts()).alias("day"),
+        "user_id",
+    )
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QI-group census: (event_type, 50-unit value band, day) → group size,
+    distinct users, k/l verdicts."""
+    qi = _events_with_qi(spark, sf_dir)
+    return k_anonymity_census(
+        qi, ["event_type", "value_band", "day"], "user_id", k=_K, l_div=_L
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH qi AS (
+    SELECT event_type,
+           CAST(floor(value / {_BAND}) AS BIGINT) * {_BAND} AS value_band,
+           CAST(ts AS DATE) AS day,
+           user_id
+    FROM events
+)
+SELECT event_type, value_band, day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN count(*) >= {_K} THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+       CAST(CASE WHEN count(DISTINCT user_id) >= {_L} THEN 1 ELSE 0 END AS BIGINT)
+           AS l_ok
+FROM qi GROUP BY 1, 2, 3
+"""
+
+# --------------------------------------------------- suppression audit
+
+
+def q_privacy_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type retention audit of cell suppression at (k=5, l=3):
+    how much of each event stream survives the release gate."""
+    qi = _events_with_qi(spark, sf_dir)
+    return suppression_report(
+        qi,
+        ["event_type", "value_band", "day"],
+        "user_id",
+        report_col="event_type",
+        k=_K,
+        l_div=_L,
+    )
+
+
+SQL_SUPPRESSION = f"""
+WITH qi AS (
+    SELECT event_type,
+           CAST(floor(value / {_BAND}) AS BIGINT) * {_BAND} AS value_band,
+           CAST(ts AS DATE) AS day,
+           user_id
+    FROM events
+),
+census AS (
+    SELECT event_type, value_band, day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CASE WHEN count(*) >= {_K}
+                 AND count(DISTINCT user_id) >= {_L} THEN 1 ELSE 0 END AS ok
+    FROM qi GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(sum(n_rows) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN ok = 1 THEN n_rows ELSE 0 END) AS BIGINT) AS n_retained,
+       (CAST(sum(CASE WHEN ok = 1 THEN n_rows ELSE 0 END) AS BIGINT) * 1000000)
+           // CAST(sum(n_rows) AS BIGINT) AS retained_share_e6
+FROM census GROUP BY 1
+"""
+
+# ------------------------------------------------------- shard manifest
+
+_N_SHARDS = 8
+_SHARD_SALT = "shard"
+
+
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way hash-shard assignment over documents + the
+    per-shard manifest (rows / whitespace tokens / chars / XOR checksum)."""
+    docs = load(spark, sf_dir, "documents")
+    assigned = assign_shards(docs, "doc_id", _N_SHARDS, salt=_SHARD_SALT)
+    return shard_manifest(assigned, "shard_id", text_col="text")
+
+
+_U_DOC = sql_hash_uniform("doc_id", salt=_SHARD_SALT)
+
+SQL_SHARD_MANIFEST = f"""
+WITH assigned AS (
+    SELECT CAST(floor({_U_DOC} * {_N_SHARDS}) AS BIGINT) AS shard_id,
+           text
+    FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+FROM assigned GROUP BY 1
+"""
+
+
+GOVERNANCE_QUERIES = {
+    "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANONYMITY),
+    "privacy_suppression": (q_privacy_suppression, SQL_SUPPRESSION),
+    "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
+}

@@ -1,0 +1,144 @@
+"""Privacy + export operator contracts.
+
+Oracle parity for the three governance queries runs in
+``test_oracle_parity.py`` (they're in FULL_QUERIES); these tests pin the
+semantic properties parity can't see: suppression guarantees and
+monotonicity, shard-assignment determinism/coverage, the write sink's
+roundtrip, and checksum sensitivity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_deepbook_margin_dune_dbt_spark.operators import export as EX
+from sample_deepbook_margin_dune_dbt_spark.operators import privacy as PV
+from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+from sample_deepbook_margin_dune_dbt_spark.queries.governanceq import _events_with_qi
+
+QI = ["event_type", "value_band", "day"]
+
+
+@pytest.fixture(scope="module")
+def qi(spark, sf_dir):
+    return _events_with_qi(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------------ privacy
+
+
+def test_census_splits_fixture_both_ways(qi):
+    census = PV.k_anonymity_census(qi, QI, "user_id", k=5, l_div=3)
+    verdicts = {
+        (r["k_ok"], r["l_ok"])
+        for r in census.select("k_ok", "l_ok").distinct().collect()
+    }
+    assert (1, 1) in verdicts, "fixture must contain releasable groups"
+    assert any(v != (1, 1) for v in verdicts), "fixture must contain failing groups"
+
+
+def test_suppression_guarantees_k_and_l(qi):
+    released = PV.suppress_below_k(qi, QI, "user_id", k=5, l_div=3)
+    recensus = PV.k_anonymity_census(released, QI, "user_id", k=5, l_div=3)
+    bad = recensus.filter((F.col("k_ok") == 0) | (F.col("l_ok") == 0)).count()
+    assert bad == 0, "every group in the released set must satisfy k and l"
+    assert released.count() < qi.count(), "suppression must actually drop rows"
+
+
+def test_suppression_monotone_in_k(qi):
+    n5 = PV.suppress_below_k(qi, QI, "user_id", k=5).count()
+    n10 = PV.suppress_below_k(qi, QI, "user_id", k=10).count()
+    assert n10 <= n5, "raising k can only remove rows"
+
+
+def test_suppression_report_consistent_with_transform(qi):
+    rep = {
+        r["event_type"]: (r["n_total"], r["n_retained"])
+        for r in PV.suppression_report(
+            qi, QI, "user_id", report_col="event_type", k=5, l_div=3
+        ).collect()
+    }
+    released = PV.suppress_below_k(qi, QI, "user_id", k=5, l_div=3)
+    actual = {
+        r["event_type"]: r["n"]
+        for r in released.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in qi.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for et, (n_total, n_retained) in rep.items():
+        assert n_total == totals[et]
+        assert n_retained == actual.get(et, 0)
+
+
+def test_generalize_band_int_and_float(spark):
+    df = spark.createDataFrame(
+        [(-0.5,), (0.0,), (49.99,), (50.0,), (123.4,)], ["v"]
+    )
+    got = [
+        (r["bi"], r["bf"])
+        for r in df.select(
+            PV.generalize_band("v", 50).alias("bi"),
+            PV.generalize_band("v", 0.5).alias("bf"),
+        ).collect()
+    ]
+    assert got == [(-50, -0.5), (0, 0.0), (0, 49.5), (50, 50.0), (100, 123.0)]
+
+
+# ------------------------------------------------------------------- export
+
+
+def test_assign_shards_deterministic_and_covering(docs):
+    a1 = EX.assign_shards(docs, "doc_id", 8)
+    a2 = EX.assign_shards(docs.repartition(13), "doc_id", 8)
+    d1 = {r["doc_id"]: r["shard_id"] for r in a1.select("doc_id", "shard_id").collect()}
+    d2 = {r["doc_id"]: r["shard_id"] for r in a2.select("doc_id", "shard_id").collect()}
+    assert d1 == d2, "assignment must not depend on partition layout"
+    assert set(d1.values()) <= set(range(8))
+    assert len(set(d1.values())) == 8, "500 docs into 8 shards must hit every shard"
+    # hash-uniform balance: no shard more than 2x the mean at n=500
+    counts = [list(d1.values()).count(s) for s in range(8)]
+    assert max(counts) < 2 * (len(d1) / 8)
+
+
+def test_write_training_shards_roundtrip(docs, spark, tmp_path):
+    path = str(tmp_path / "export")
+    manifest = EX.write_training_shards(docs, path, "doc_id", 4)
+    written = {r["shard_id"]: r for r in manifest.collect()}
+    assert set(written) == {0, 1, 2, 3}
+
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == docs.count()
+    re_manifest = {
+        r["shard_id"]: r for r in EX.shard_manifest(back, "shard_id").collect()
+    }
+    for s, row in written.items():
+        got = re_manifest[s]
+        assert (got["n_docs"], got["n_tokens"], got["n_chars"], got["content_xor"]) == (
+            row["n_docs"], row["n_tokens"], row["n_chars"], row["content_xor"]
+        ), f"shard {s} must verify against the manifest after re-read"
+
+    stored = spark.read.parquet(f"{path}/_manifest")
+    assert stored.count() == 4
+
+
+def test_manifest_checksum_detects_mutation(docs):
+    assigned = EX.assign_shards(docs, "doc_id", 4)
+    base = {r["shard_id"]: r["content_xor"] for r in EX.shard_manifest(assigned, "shard_id").collect()}
+    # flip one character in one document; only its shard's checksum moves
+    some_id = assigned.select("doc_id", "shard_id").first()
+    mutated = assigned.withColumn(
+        "text",
+        F.when(F.col("doc_id") == some_id["doc_id"], F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    after = {r["shard_id"]: r["content_xor"] for r in EX.shard_manifest(mutated, "shard_id").collect()}
+    changed = [s for s in base if base[s] != after[s]]
+    assert changed == [some_id["shard_id"]]

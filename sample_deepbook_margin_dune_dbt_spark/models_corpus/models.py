@@ -859,3 +859,72 @@ def corpus_canonical_documents(ctx: ModelContext) -> DataFrame:
         "canonical_doc_id",
         F.col("canonical_quality").cast("long").alias("canonical_chars"),
     ).withColumn("updated_at", ctx.now())
+
+
+@model(
+    "corpus_training_shards",
+    unique_key=["shard_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["shard_id", "n_docs", "n_tokens", "content_xor", "max_doc_id"],
+)
+def corpus_training_shards(ctx: ModelContext) -> DataFrame:
+    """Incremental training-shard manifest: per-shard row/token/byte
+    counts + XOR content checksum, maintained ACROSS runs without ever
+    re-scanning history.
+
+    Every manifest statistic is mergeable: counts add, and the 60-bit
+    ``bit_xor`` content checksum of a disjoint union is the XOR of the
+    parts — so each run manifests ONLY documents past the doc_id
+    watermark (shard assignment is the md5-keyed pure function of
+    ``operators/export.py::assign_shards``, so a document's shard never
+    moves as the corpus grows) and combines the delta with the existing
+    row per shard. N incremental runs ≡ one full :func:`shard_manifest`
+    over the final corpus, exactly — the same mergeable-state discipline
+    as ``events_user_reach_daily``'s HLL sketches, with XOR in place of
+    the sketch union. ``max_doc_id`` per shard carries the watermark
+    (the global watermark is the max over shards, total because every
+    new document lands in exactly one shard).
+
+    Scale shape: the delta pass is a narrow map (md5 assignment +
+    tokenize) into one map-side-combined groupBy on n_shards keys; the
+    combine joins n_shards delta rows against n_shards existing rows.
+    Nothing rescans, shuffles, or collects the corpus.
+    """
+    from ..operators.export import assign_shards, shard_manifest
+
+    n_shards = int(ctx.var("n_shards", 8))
+    docs = ctx.source("main", "documents")
+    incremental = ctx.is_incremental()
+    if incremental:
+        row = ctx.this().agg(F.max("max_doc_id").alias("wm")).first()
+        if row["wm"] is not None:
+            docs = docs.filter(F.col("doc_id") > F.lit(row["wm"]))
+
+    assigned = assign_shards(docs, "doc_id", n_shards)
+    delta = shard_manifest(assigned, "shard_id").join(
+        assigned.groupBy("shard_id").agg(F.max("doc_id").alias("max_doc_id")),
+        "shard_id",
+    )
+
+    if incremental:
+        old = ctx.this().select(
+            "shard_id",
+            F.col("n_docs").alias("_od"),
+            F.col("n_tokens").alias("_ot"),
+            F.col("n_chars").alias("_oc"),
+            F.col("content_xor").alias("_ox"),
+            F.col("max_doc_id").alias("_om"),
+        )
+        delta = delta.join(old, "shard_id", "left").select(
+            "shard_id",
+            (F.col("n_docs") + F.coalesce("_od", F.lit(0))).cast("long").alias("n_docs"),
+            (F.col("n_tokens") + F.coalesce("_ot", F.lit(0))).cast("long").alias("n_tokens"),
+            (F.col("n_chars") + F.coalesce("_oc", F.lit(0))).cast("long").alias("n_chars"),
+            F.expr("content_xor ^ coalesce(_ox, 0L)").alias("content_xor"),
+            F.greatest(F.col("max_doc_id"), F.coalesce("_om", F.col("max_doc_id"))).alias(
+                "max_doc_id"
+            ),
+        )
+    return delta.withColumn("updated_at", ctx.now())

@@ -253,6 +253,17 @@ driver query moved to ``EXTRA_QUERIES``:
   attribution row). ``linkage_blocked_report`` (blocked record-linkage
   audit over the part dimension) joins EXTRA oracle-verified.
 
+- late-r9 continuation (governance family): ``privacy_k_anonymity``
+  (quasi-identifier census with k-anonymity / l-diversity verdicts) and
+  ``corpus_shard_manifest`` (deterministic hash-shard assignment + the
+  per-shard token/byte/XOR-checksum manifest) rotate in, oracle-verified
+  at sf0.001 + sf0.01 before declaring. Out (family stays represented,
+  and ≥8 of the VERDICT-r8 stale-family rotations remain in-window):
+  ``a5_grouping_sets`` (A5 held by ``a5_cube``) and ``a_unpivot``
+  (pivot family held by ``a_pivot``); both stay oracle-verified in
+  EXTRA. ``privacy_suppression`` (census-derived retention audit) joins
+  EXTRA oracle-verified.
+
 - late-r9 continuation: ``corpus_dsir_select`` (DSIR hashed-n-gram
   importance selection) takes the data-selection row from
   ``corpus_mixture_select`` (r8-green → EXTRA; the greedy budget tier's
@@ -354,10 +365,11 @@ DRIVER_QUERY_ORDER = [
     "p10_case_trycast",
     "p_scalar_subquery",
     "a5_cube",
-    "a5_grouping_sets",
     "a_pivot",
-    "a_unpivot",
     "o5_set_ops",
+    # governance family (late r9): QI census + deterministic shard manifest
+    "privacy_k_anonymity",
+    "corpus_shard_manifest",
     # data-selection family: the r9-new DSIR importance-selection row
     # replaces the r3 greedy budget tier (corpus_mixture_select, r8-green,
     # moves to EXTRA; plan/sample rows already live there)

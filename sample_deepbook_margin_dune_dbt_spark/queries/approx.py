@@ -35,14 +35,26 @@ def q_a_approx_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap).
     """
     o = load(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderstatus").agg(
-        F.count_distinct("o_custkey").cast("long").alias("n_exact"),
+    # The distinct count is aggregated SEPARATELY from the sketches: a
+    # mixed distinct + non-distinct agg makes Catalyst key its first
+    # stage on (group, distinct-col), so every (status, custkey) pair
+    # carries its own HLL/GK/percentile partial buffer — ~|pairs| object
+    # allocations whose per-status merge is single-keyed. Split, the
+    # sketch pass partial-aggregates per (partition, status) with
+    # constant buffers and the distinct pass stays whole-stage-codegen
+    # longs; the re-join is |status| rows. Same result, same oracle,
+    # ~|distinct pairs| fewer sketch buffers per scan.
+    sketches = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("_n_approx"),
         F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.95)).alias("_p95_exact"),
         F.expr("approx_percentile(CAST(o_totalprice AS DOUBLE), 0.95, 10000)").alias(
             "_p95_approx"
         ),
     )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    )
+    agg = sketches.join(F.broadcast(exact), "o_orderstatus")
     return agg.select(
         "o_orderstatus",
         "n_exact",

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     # cell-suppression retention audit, deterministic shard manifest
     "privacy_k_anonymity",
     "privacy_suppression",
+    "privacy_generalization",
     "corpus_shard_manifest",
 ]
 

@@ -135,3 +135,90 @@ def suppression_report(
         )
         .withColumn("retained_share_e6", F.expr("n_retained * 1000000L div n_total"))
     )
+
+
+def generalization_ladder(
+    df: DataFrame,
+    qi_static: list[str],
+    value_col: str,
+    widths: list[int],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 1,
+    target_share_e6: int = 900_000,
+) -> DataFrame:
+    """Adaptive generalization search: per candidate band width, the share
+    of rows that would survive the (k, l) gate — and the SMALLEST width
+    (= least information destroyed) meeting ``target_share_e6``.
+
+    The standard k-anonymity trade: coarser bands → bigger groups → less
+    suppression but blunter data. Instead of |widths| corpus scans, the
+    candidate widths EXPLODE into the group key, so the whole ladder is
+    ONE pass and one shuffle on (width, QI) — |widths|× the single-width
+    exchange volume, map-side combined, followed by an O(|widths|)
+    rollup. Output: one row per width with the retention census and the
+    ``chosen`` flag (no width meets the target → all-zero ``chosen``).
+
+    Ladder discipline: pass a NESTED hierarchy (each width divides the
+    next) and every coarsening exactly merges the previous bands, making
+    group count non-increasing and the k-anonymous row share
+    non-decreasing up the ladder; non-nested widths re-cut band edges
+    and can split a group while merging another, so "smallest meeting
+    width" loses its monotone-search meaning. Not enforced — hierarchies
+    over non-numeric QIs arrive as precomputed columns instead.
+    """
+    if not widths or any(w < 1 for w in widths):
+        raise ValueError(f"widths must be positive, got {widths}")
+    if len(set(widths)) != len(widths):
+        raise ValueError(f"widths must be distinct, got {widths}")
+    expanded = df.select(
+        *qi_static,
+        F.col(value_col),
+        F.col(sensitive_col),
+        F.explode(F.array(*[F.lit(int(w)) for w in widths])).alias("band_width"),
+    ).withColumn(
+        "value_band",
+        (
+            F.floor(F.col(value_col) / F.col("band_width")).cast("long")
+            * F.col("band_width")
+        ).cast("long"),
+    )
+    census = expanded.groupBy("band_width", *qi_static, "value_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("n_sensitive"),
+    )
+    ok = (F.col("n_rows") >= k) & (F.col("n_sensitive") >= l_div)
+    per_width = (
+        census.groupBy("band_width")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_rows").cast("long").alias("n_total"),
+            F.sum(F.when(ok, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_retained"),
+        )
+        .withColumn("retained_share_e6", F.expr("n_retained * 1000000L div n_total"))
+        .withColumn(
+            "meets_target",
+            (F.col("retained_share_e6") >= target_share_e6).cast("long"),
+        )
+        # |widths| rows, but BOTH consumers below (the best-width scalar
+        # and the final output) branch off it — materialize so Catalyst
+        # doesn't recompute the corpus-sized census once per branch (the
+        # novelty/DSIR branch-recompute lesson, PERF.md r9)
+        .localCheckpoint(eager=False)
+    )
+    best = per_width.filter(F.col("meets_target") == 1).agg(
+        F.min("band_width").alias("_best_w")
+    )
+    return (
+        per_width.crossJoin(F.broadcast(best))
+        .withColumn(
+            "chosen",
+            F.when(F.col("band_width") == F.col("_best_w"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_best_w")
+        .withColumn("band_width", F.col("band_width").cast("long"))
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.export import assign_shards, shard_manifest
 from ..operators.privacy import (
+    generalization_ladder,
     generalize_band,
     k_anonymity_census,
     suppression_report,
@@ -113,6 +114,78 @@ SELECT event_type,
 FROM census GROUP BY 1
 """
 
+# -------------------------------------------------- generalization ladder
+
+#: a NESTED hierarchy (each width divides the next), so every coarsening
+#: step exactly merges the previous step's bands — group count is then
+#: provably non-increasing and retention non-decreasing up the ladder
+_WIDTHS = [10, 50, 250, 1000]
+_TARGET_E6 = 900_000
+
+
+def q_privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive generalization search over a ladder of value-band widths:
+    per width, the share of rows surviving the (k=5, l=3) gate, and the
+    smallest width meeting the 90% retention target — one corpus pass
+    (widths exploded into the group key), not one scan per width."""
+    ev = load(spark, sf_dir, "events")
+    qi = ev.select("event_type", F.to_date(event_ts()).alias("day"), "value", "user_id")
+    return generalization_ladder(
+        qi,
+        ["event_type", "day"],
+        "value",
+        _WIDTHS,
+        "user_id",
+        k=_K,
+        l_div=_L,
+        target_share_e6=_TARGET_E6,
+    )
+
+
+_W_VALUES = ", ".join(f"({w})" for w in _WIDTHS)
+
+SQL_GENERALIZATION = f"""
+WITH widths(band_width) AS (VALUES {_W_VALUES}),
+qi AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value, user_id FROM events
+),
+expanded AS (
+    SELECT w.band_width, qi.event_type, qi.day,
+           CAST(floor(qi.value / w.band_width) AS BIGINT) * w.band_width
+               AS value_band,
+           qi.user_id
+    FROM qi CROSS JOIN widths w
+),
+census AS (
+    SELECT band_width, event_type, day, value_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+    FROM expanded GROUP BY 1, 2, 3, 4
+),
+scored AS (
+    SELECT band_width,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_rows) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN n_rows >= {_K} AND n_sensitive >= {_L}
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS n_retained,
+           (CAST(sum(CASE WHEN n_rows >= {_K} AND n_sensitive >= {_L}
+                     THEN n_rows ELSE 0 END) AS BIGINT) * 1000000)
+               // CAST(sum(n_rows) AS BIGINT) AS retained_share_e6
+    FROM census GROUP BY 1
+),
+best AS (
+    SELECT min(band_width) AS bw FROM scored
+    WHERE retained_share_e6 >= {_TARGET_E6}
+)
+SELECT CAST(band_width AS BIGINT) AS band_width,
+       n_groups, n_total, n_retained, retained_share_e6,
+       CAST(CASE WHEN retained_share_e6 >= {_TARGET_E6} THEN 1 ELSE 0 END AS BIGINT)
+           AS meets_target,
+       CAST(CASE WHEN band_width = (SELECT bw FROM best) THEN 1 ELSE 0 END AS BIGINT)
+           AS chosen
+FROM scored
+"""
+
 # ------------------------------------------------------- shard manifest
 
 _N_SHARDS = 8
@@ -147,5 +220,6 @@ FROM assigned GROUP BY 1
 GOVERNANCE_QUERIES = {
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANONYMITY),
     "privacy_suppression": (q_privacy_suppression, SQL_SUPPRESSION),
+    "privacy_generalization": (q_privacy_generalization, SQL_GENERALIZATION),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
 }

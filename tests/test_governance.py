@@ -142,3 +142,39 @@ def test_manifest_checksum_detects_mutation(docs):
     after = {r["shard_id"]: r["content_xor"] for r in EX.shard_manifest(mutated, "shard_id").collect()}
     changed = [s for s in base if base[s] != after[s]]
     assert changed == [some_id["shard_id"]]
+
+
+def test_generalization_ladder_semantics(spark, sf_dir):
+    from sample_deepbook_margin_dune_dbt_spark.queries.governanceq import (
+        q_privacy_generalization,
+    )
+
+    rows = {r["band_width"]: r for r in q_privacy_generalization(spark, sf_dir).collect()}
+    assert set(rows) == {10, 50, 250, 1000}
+    # NESTED ladder: coarser bands exactly merge finer ones, so group
+    # count is non-increasing and retention non-decreasing up the ladder
+    widths = sorted(rows)
+    for a, b in zip(widths, widths[1:]):
+        assert rows[a]["n_groups"] >= rows[b]["n_groups"]
+        assert rows[a]["retained_share_e6"] <= rows[b]["retained_share_e6"]
+    # every width censuses the same row population
+    assert len({r["n_total"] for r in rows.values()}) == 1
+    # chosen = the smallest width meeting the target, or nothing
+    meeting = [w for w in widths if rows[w]["meets_target"] == 1]
+    chosen = [w for w in widths if rows[w]["chosen"] == 1]
+    assert chosen == ([min(meeting)] if meeting else [])
+
+
+def test_generalization_ladder_rejects_bad_widths(spark, sf_dir):
+    from sample_deepbook_margin_dune_dbt_spark.operators.privacy import (
+        generalization_ladder,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.queries.governanceq import (
+        _events_with_qi,
+    )
+
+    qi = _events_with_qi(spark, sf_dir)
+    with pytest.raises(ValueError):
+        generalization_ladder(qi, ["event_type"], "value_band", [], "user_id")
+    with pytest.raises(ValueError):
+        generalization_ladder(qi, ["event_type"], "value_band", [10, 10], "user_id")

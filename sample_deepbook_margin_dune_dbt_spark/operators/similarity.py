@@ -271,15 +271,19 @@ def _anchor_cosines_vectorized(
         n_rows, dim = m.shape if m.ndim == 2 else (len(s), 0)
         if n_rows == 0 or dim == 0:
             return pd.Series([[] for _ in range(len(s))])
+        # dim-major contiguous layout: the d-sequential loops read mt[d]
+        # contiguously instead of striding the row-major matrix (same
+        # values, same IEEE operation order — layout, not math)
+        mt = np.ascontiguousarray(m.T)
         nacc = np.zeros(n_rows)
         for d in range(dim):
-            nacc = nacc + m[:, d] * m[:, d]
+            nacc = nacc + mt[d] * mt[d]
         norms = np.sqrt(nacc)
         res = np.empty((n_rows, len(qvecs)))
         for j, qv in enumerate(qvecs):
             acc = np.zeros(n_rows)
             for d in range(dim):
-                acc = acc + m[:, d] * qv[d]
+                acc = acc + mt[d] * qv[d]
             res[:, j] = acc / (qnorms[j] * norms)
         return pd.Series([row.tolist() for row in res])
 
@@ -293,6 +297,81 @@ def _anchor_cosines_vectorized(
             "neighbor_id",
             "cosine",
         )
+    )
+
+
+def max_cosine_vs_anchors(
+    vectors: DataFrame,
+    anchors_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchor_vec_col: str,
+    vectorized: bool = True,
+) -> DataFrame:
+    """(id, max_cosine): each vector's maximum cosine against an anchor
+    set — the semantic-decontamination / benchmark-proximity screen shape.
+
+    ``vectorized=True`` ships the anchor matrix in an Arrow UDF closure
+    and keeps a RUNNING max across anchors inside the batch pass — O(rows)
+    working memory however many anchors (unlike materializing the full
+    rows × anchors cosine frame), one narrow map, no corpus shuffle.
+    BIT-parity with the HOF form: per-anchor cosines reproduce the
+    ``_dot``/``_norm`` fold's IEEE operation order exactly (the
+    :func:`_anchor_cosines_vectorized` contract — IEEE multiplication
+    commutes, so the denominator's factor order is immaterial), and the
+    max of identical doubles is order-independent. ``vectorized=False``
+    keeps the crossJoin(broadcast) × HOF fold + per-id MAX aggregate —
+    the engine-portable oracle-shape reference.
+    """
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rows = anchors_df.select(anchor_vec_col).collect()
+        qvecs = [np.asarray(list(r[0]), dtype=np.float64) for r in rows]
+        qnorms = []
+        for qv in qvecs:
+            acc = 0.0
+            for x in qv:
+                acc += x * x
+            qnorms.append(float(np.sqrt(acc)))
+
+        q_mat = np.asarray(qvecs)  # (n_anchors, dim)
+        qn_arr = np.asarray(qnorms)
+
+        @pandas_udf("double")
+        def _maxcos(s: pd.Series) -> pd.Series:  # type: ignore[no-untyped-def]
+            m = np.asarray([np.asarray(a, dtype=np.float64) for a in s])
+            n_rows, dim = m.shape if m.ndim == 2 else (len(s), 0)
+            if n_rows == 0 or dim == 0:
+                return pd.Series([float("nan")] * len(s))
+            # dim-major contiguous layout: the d-sequential loops read
+            # mt[d] contiguously instead of striding a row-major matrix
+            # (same values, same operation order — layout, not math)
+            mt = np.ascontiguousarray(m.T)
+            nacc = np.zeros(n_rows)
+            for d in range(dim):
+                nacc = nacc + mt[d] * mt[d]
+            norms = np.sqrt(nacc)
+            best = np.full(n_rows, -np.inf)
+            for j in range(q_mat.shape[0]):
+                qv, qn = q_mat[j], qn_arr[j]
+                acc = np.zeros(n_rows)
+                for d in range(dim):
+                    acc = acc + mt[d] * qv[d]
+                best = np.maximum(best, acc / (qn * norms))
+            return pd.Series(best)
+
+        return vectors.select(
+            F.col(id_col), _maxcos(F.col(vec_col)).alias("max_cosine")
+        )
+    a = anchors_df.select(F.col(anchor_vec_col).alias("_av"))
+    return (
+        vectors.join(F.broadcast(a))
+        .select(id_col, cosine(F.col(vec_col), F.col("_av")).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("max_cosine"))
     )
 
 

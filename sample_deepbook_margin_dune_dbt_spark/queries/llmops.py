@@ -892,14 +892,17 @@ def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     A corpus row is contaminated when its max cosine against ANY
     benchmark vector ≥ 0.95.
 
-    Scale shape: the benchmark matrix BROADCASTS (like the Bloom tier's
-    constant filter); the corpus×benchmark cosine stream pipelines into a
-    map-side-combined per-id MAX, so the only exchange carries one
-    partial row per corpus vector — the corpus never shuffles its
-    payload, and nothing all-pairs materializes. The cosine is the
-    sequential ``F.aggregate`` expression (not a vectorized matmul) ON
-    PURPOSE: DuckDB sums in the same order, so ``floor(max·10⁶)`` is
-    cross-engine exact — a SIMD/pairwise matmul would not be.
+    Scale shape: the benchmark matrix ships in the Arrow UDF closure
+    (``operators/similarity.py::max_cosine_vs_anchors`` — the
+    anchor-cosine twin pattern) and ONE narrow batch pass keeps a RUNNING
+    max across benchmark vectors, so working memory is O(rows) however
+    large the benchmark and the corpus never shuffles its payload.
+    Cross-engine exactness is preserved: the twin reproduces the HOF
+    fold's IEEE operation order per anchor (bit-parity pinned), DuckDB
+    sums in the same order, and a max of identical doubles is
+    order-independent, so ``floor(max·10⁶)`` stays exact. The
+    crossJoin(broadcast) × HOF form remains as the ``vectorized=False``
+    oracle-shape twin.
     """
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -915,11 +918,8 @@ def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = base.unionByName(planted)
-    scored = (
-        corpus.join(F.broadcast(bench))
-        .select("vec_id", S.cosine(F.col("v"), F.col("b_v")).alias("c"))
-        .groupBy("vec_id")
-        .agg(F.max("c").alias("max_c"))
+    scored = S.max_cosine_vs_anchors(corpus, bench, "vec_id", "v", "b_v").select(
+        "vec_id", F.col("max_cosine").alias("max_c")
     )
     return scored.select(
         "vec_id",

@@ -267,3 +267,29 @@ def test_hard_negatives_vectorized_bit_parity(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_max_cosine_vs_anchors_bit_parity(spark, sf_dir):
+    """The running-max Arrow twin must be BIT-identical to the
+    crossJoin(broadcast) × HOF fold + MAX aggregate: per-anchor cosines
+    reproduce the fold's IEEE operation order, and a max of identical
+    doubles is order-independent."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.similarity import (
+        max_cosine_vs_anchors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("v").alias("av")
+    )
+    a = {
+        r["vec_id"]: r["max_cosine"]
+        for r in max_cosine_vs_anchors(emb, anchors, "vec_id", "v", "av", vectorized=True).collect()
+    }
+    b = {
+        r["vec_id"]: r["max_cosine"]
+        for r in max_cosine_vs_anchors(emb, anchors, "vec_id", "v", "av", vectorized=False).collect()
+    }
+    assert a == b and len(a) == emb.count()

@@ -57,12 +57,52 @@ def make_documents(copies: int = 10) -> str:
         f"docs0.1x{copies}",
     )
     os.makedirs(out, exist_ok=True)
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    pq.write_table(tbl, f"{out}/documents.parquet", row_group_size=8192)
     for name in DOC_SIBLINGS + ["embeddings"]:
         dst = f"{out}/{name}.parquet"
         if not os.path.islink(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
     print(f"{out}: {tbl.num_rows} documents")
+    return out
+
+
+def make_documents_streamed(copies: int = 1000) -> str:
+    """Large-N documents fixture WITHOUT materializing copies in RAM:
+    the same per-copy token-prefix transform as :func:`make_documents`,
+    written copy-by-copy through a ParquetWriter — memory stays one copy
+    regardless of N (1000× ≈ 5M docs / ~0.5 GB parquet)."""
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    rows = t.to_pylist()
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_fixtures",
+        f"docs0.1x{copies}",
+    )
+    os.makedirs(out, exist_ok=True)
+    n = 0
+    with pq.ParquetWriter(f"{out}/documents.parquet", t.schema) as w:
+        for c in range(copies):
+            out_rows = []
+            for r in rows:
+                txt = r["text"]
+                if c > 0:
+                    txt = " ".join(f"c{c}_{tok}" for tok in txt.split())
+                out_rows.append(
+                    {
+                        "doc_id": r["doc_id"] + c * 10_000_000,
+                        "text": txt,
+                        "lang": r["lang"],
+                        "source": r["source"],
+                        "n_chars": len(txt),
+                    }
+                )
+            w.write_table(pa.Table.from_pylist(out_rows, schema=t.schema))
+            n += len(out_rows)
+    for name in DOC_SIBLINGS + ["embeddings"]:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.islink(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"{out}: {n} documents")
     return out
 
 
@@ -98,7 +138,7 @@ def make_events(copies: int = 10) -> str:
         f"events0.1x{copies}",
     )
     os.makedirs(out, exist_ok=True)
-    pq.write_table(tbl, f"{out}/events.parquet")
+    pq.write_table(tbl, f"{out}/events.parquet", row_group_size=262144)
     for name in [s for s in SIBLINGS if s != "events"] + ["embeddings"]:
         dst = f"{out}/{name}.parquet"
         if not os.path.islink(dst):
@@ -136,7 +176,7 @@ def main(copies: int = 10) -> str:
         f"sf0.1x{copies}",
     )
     os.makedirs(out, exist_ok=True)
-    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    pq.write_table(tbl, f"{out}/embeddings.parquet", row_group_size=4096)
     for name in SIBLINGS:
         dst = f"{out}/{name}.parquet"
         if not os.path.islink(dst):
@@ -147,7 +187,8 @@ def main(copies: int = 10) -> str:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "documents":
-        make_documents(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        (make_documents_streamed if n > 100 else make_documents)(n)
     elif len(sys.argv) > 1 and sys.argv[1] == "events":
         make_events(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:

@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "privacy_suppression",
     "privacy_generalization",
     "corpus_shard_manifest",
+    # events → training-corpus bridge: sessionized logs rendered as docs
+    "corpus_from_events",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import event_ts, load
+from .common import event_ts, event_ts_us, load
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -385,8 +385,100 @@ FROM conv
 """
 
 
+# ----------------------------------- events → training-corpus bridge
+
+#: session gap (µs) and the value band used for the rendered tokens
+_C4E_GAP_US = 30 * 60 * 1_000_000
+_C4E_BAND = 50
+
+
+def q_corpus_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured logs → training documents: gap-sessionize the event
+    stream (30-min gap) and render each (user, session) as ONE text
+    document of time-ordered ``event_type:value_band`` tokens — the
+    bridge that turns behavioural telemetry into sequence-model training
+    data (next-action modelling, session LMs), after which every corpus
+    operator (dedup, sampling, packing, export) applies as-is.
+
+    Determinism: tokens are assembled by ``array_sort`` over
+    (ts_us, event_id, token) structs — a total order, independent of
+    partitioning — and the DuckDB twin orders its ``string_agg`` by the
+    same keys.
+
+    Scale shape: the sessionize windows and the per-(user, session)
+    assembly all cluster by user_id, so ONE exchange serves the window
+    pass AND the aggregation (hash-partitioning by user satisfies the
+    (user, session) clustering); token rendering is a narrow map; output
+    is |sessions| rows. A pathological single user is one hot partition
+    — the documented skew case, salted upstream if real data has one.
+    """
+    from ..operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        event_ts_us().alias("ts_us"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            (F.floor(F.col("value") / _C4E_BAND).cast("long") * _C4E_BAND).cast(
+                "string"
+            ),
+        ).alias("tok"),
+    )
+    sess = sessionize(ev, "user_id", "ts_us", gap=_C4E_GAP_US, extra_cols=["event_id", "tok"])
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_us", "event_id", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select("user_id", "session_id", "n_events", "text")
+    )
+
+
+SQL_CORPUS_FROM_EVENTS = f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_type || ':' ||
+               CAST(CAST(floor(value / {_C4E_BAND}) AS BIGINT) * {_C4E_BAND} AS VARCHAR)
+               AS tok
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts_us, tok,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > {_C4E_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+    SELECT user_id, event_id, ts_us, tok,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(tok, ' ' ORDER BY ts_us, event_id, tok) AS text
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 EVENTSEQ_QUERIES = {
     "events_funnel": (q_events_funnel, SQL_FUNNEL),
+    "corpus_from_events": (q_corpus_from_events, SQL_CORPUS_FROM_EVENTS),
     "events_retention": (q_events_retention, SQL_RETENTION),
     "events_cohort_value": (q_events_cohort_value, SQL_COHORT_VALUE),
     "events_attribution": (q_events_attribution, SQL_ATTRIBUTION),

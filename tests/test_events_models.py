@@ -170,3 +170,32 @@ def test_retention_rerun_idempotent(retention_runs):
     assert _rows(inc, "events_user_first_seen", ["user_id"]) == before_dim
     assert _rows(inc, "events_retention_daily", ["cohort_date", "day_offset"]) == before
     assert runner.test("+events_retention_daily") == {}
+
+
+def test_corpus_from_events_renders_sessions(spark, sf_dir):
+    """Every session document carries exactly its session's events as
+    time-ordered tokens, and the (user, session) keys match the
+    sessionize query's."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sample_deepbook_margin_dune_dbt_spark.queries.eventseq import (
+        q_corpus_from_events,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.queries.parity import q_sessionize
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    docs = q_corpus_from_events(spark, sf_dir).collect()
+    total_events = load(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in docs) == total_events
+    pat = re.compile(r"^[a-z_]+:-?\d+$")
+    for r in docs:
+        toks = r["text"].split(" ")
+        assert len(toks) == r["n_events"]
+        assert all(pat.match(t) for t in toks), toks[:3]
+    keys = {(r["user_id"], r["session_id"]) for r in docs}
+    sess_keys = {
+        (r["user_id"], r["session_id"]) for r in q_sessionize(spark, sf_dir).collect()
+    }
+    assert keys == sess_keys

@@ -19,7 +19,7 @@
   and ``events_transitions`` took the data-selection / events-family
   rows from the r8-green ``corpus_mixture_select`` /
   ``events_cohort_value``. Everything rotated out stays oracle-checked
-  by ``tests/test_oracle_parity.py`` over the full 126-query inventory
+  by ``tests/test_oracle_parity.py`` over the full 147-query inventory (140 oracle-bearing + 7 rows-only)
   under the r8-tightened type gate (no TIMESTAMPTZ leniency; exact
   decimal precision/scale).
 

@@ -123,7 +123,7 @@ def suppression_report(
     census shuffle.
     """
     census = k_anonymity_census(df, qi_cols, sensitive_col, k=k, l_div=l_div)
-    if report_col not in [c for c in census.columns]:
+    if report_col not in qi_cols:
         raise ValueError(f"report_col {report_col!r} must be one of qi_cols {qi_cols}")
     return (
         census.groupBy(report_col)

@@ -330,6 +330,11 @@ def max_cosine_vs_anchors(
 
         rows = anchors_df.select(anchor_vec_col).collect()
         qvecs = [np.asarray(list(r[0]), dtype=np.float64) for r in rows]
+        if not qvecs:
+            # the crossJoin oracle form returns zero rows against an empty
+            # anchor set; a silent -inf-per-row answer would diverge, so
+            # an empty benchmark is a caller error here
+            raise ValueError("max_cosine_vs_anchors: empty anchor set")
         qnorms = []
         for qv in qvecs:
             acc = 0.0
@@ -339,28 +344,42 @@ def max_cosine_vs_anchors(
 
         q_mat = np.asarray(qvecs)  # (n_anchors, dim)
         qn_arr = np.asarray(qnorms)
+        q_dim = int(q_mat.shape[1])
 
         @pandas_udf("double")
         def _maxcos(s: pd.Series) -> pd.Series:  # type: ignore[no-untyped-def]
-            m = np.asarray([np.asarray(a, dtype=np.float64) for a in s])
-            n_rows, dim = m.shape if m.ndim == 2 else (len(s), 0)
-            if n_rows == 0 or dim == 0:
-                return pd.Series([float("nan")] * len(s))
+            n_rows = len(s)
+            if n_rows == 0:
+                return pd.Series([], dtype="float64")
+            # per-row degenerate masking (null / dim-mismatched embeddings
+            # get NaN individually) so one bad row can't poison its whole
+            # Arrow batch — results must not depend on batch composition
+            m = np.zeros((n_rows, q_dim))
+            valid = np.zeros(n_rows, dtype=bool)
+            for i, a in enumerate(s):
+                if a is None:
+                    continue
+                v = np.asarray(a, dtype=np.float64)
+                if v.ndim == 1 and v.shape[0] == q_dim:
+                    m[i] = v
+                    valid[i] = True
             # dim-major contiguous layout: the d-sequential loops read
             # mt[d] contiguously instead of striding a row-major matrix
             # (same values, same operation order — layout, not math)
             mt = np.ascontiguousarray(m.T)
             nacc = np.zeros(n_rows)
-            for d in range(dim):
+            for d in range(q_dim):
                 nacc = nacc + mt[d] * mt[d]
-            norms = np.sqrt(nacc)
-            best = np.full(n_rows, -np.inf)
-            for j in range(q_mat.shape[0]):
-                qv, qn = q_mat[j], qn_arr[j]
-                acc = np.zeros(n_rows)
-                for d in range(dim):
-                    acc = acc + mt[d] * qv[d]
-                best = np.maximum(best, acc / (qn * norms))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norms = np.sqrt(nacc)
+                best = np.full(n_rows, -np.inf)
+                for j in range(q_mat.shape[0]):
+                    qv, qn = q_mat[j], qn_arr[j]
+                    acc = np.zeros(n_rows)
+                    for d in range(q_dim):
+                        acc = acc + mt[d] * qv[d]
+                    best = np.maximum(best, acc / (qn * norms))
+            best[~valid] = np.nan
             return pd.Series(best)
 
         return vectors.select(

@@ -13,13 +13,33 @@ per-shard manifest delta folded into the accumulated manifest.
 Replay-idempotence is the design problem: foreachBatch is at-least-once,
 and the manifest combine (counts add, XOR composes) is NOT idempotent —
 re-applying a batch's delta would double counts and cancel checksums.
-The fix is the audit-table discipline of ``stream_dedup_ingest``: deltas
-are MERGE-keyed on ``(shard_id, batch_id)`` into a delta table (replay
-overwrites the identical row instead of re-adding), and the manifest is
-the groupBy-rollup of the delta table — |shards| × |batches| rows, so
-the rollup costs nothing while staying exactly equal to one batch
+The fix is the audit-table discipline of ``stream_dedup_ingest``, hardened
+in two ways over the naive ``(shard_id, batch_id)`` ledger:
+
+1. **Checkpoint-independent ledger key.** Deltas are MERGE-keyed on
+   ``(shard_id, batch_key)`` where ``batch_key`` is an order-independent
+   content hash (xor of ``xxhash64`` + count) of the batch's NEW doc_ids.
+   foreachBatch's ``batch_id`` restarts at 0 under a fresh checkpoint, so
+   keying on it lets a fresh-checkpoint run overwrite the original run's
+   batch-0 ledger rows with a delta covering only its own new docs —
+   silently losing the originally recorded counts/XOR. The content key
+   collides only when the new-doc set is literally identical, which is
+   exactly the replay case where overwriting the identical row is correct.
+2. **Ledger before corpus, rollup last.** The delta is merged BEFORE the
+   corpus merge, and the manifest rollup (a groupBy of the tiny ledger)
+   runs at the end of EVERY batch. A crash between the corpus merge and
+   the ledger write would otherwise make the replayed batch's docs look
+   already-ingested (corpus probe), skipping the delta forever — a
+   permanent manifest undercount. With ledger-first: a crash after the
+   ledger write replays to the identical new-doc set (corpus unchanged
+   for those docs) → identical delta rows overwrite themselves → the
+   corpus merge completes; a crash after the corpus merge replays to an
+   empty new set and the unconditional rollup repairs the manifest.
+
+The manifest therefore always equals one batch
 :func:`~..operators.export.shard_manifest` over the union of all drops
-(pinned by ``tests/test_streaming_export.py``).
+(pinned by ``tests/test_streaming_export.py``, including the simulated
+mid-batch-crash and fresh-checkpoint-with-new-files replays).
 
 Scale shape per micro-batch (batch ≪ corpus): the already-ingested probe
 scans the corpus once filtered by a BROADCAST of the batch's doc_ids
@@ -38,6 +58,75 @@ from ..engine.materialize import TableStore
 
 DELTAS_SUFFIX = "_shard_deltas"
 MANIFEST_SUFFIX = "_shard_manifest"
+
+
+def shard_export_batch(
+    batch_df: DataFrame,
+    store: TableStore,
+    corpus_table: str,
+    dlt_table: str,
+    man_table: str,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Process one micro-batch of dropped documents (the foreachBatch body,
+    public so crash-replay tests can drive partial failures directly).
+
+    Order of operations is the at-least-once contract (module docstring):
+    ledger delta (keyed on the new-doc content hash) → corpus merge →
+    manifest rollup, each step idempotent under replay of the same batch.
+    """
+    from ..operators.export import assign_shards, shard_manifest
+
+    batch = batch_df.dropDuplicates([id_col])
+    # first-occurrence-wins across drops: probe the corpus once,
+    # filtered by a broadcast of the batch's ids (hits ≤ batch size)
+    if store.exists(corpus_table):
+        seen = (
+            store.read(corpus_table)
+            .join(F.broadcast(batch.select(id_col).distinct()), id_col, "left_semi")
+            .select(id_col)
+        )
+        batch = batch.join(F.broadcast(seen), id_col, "left_anti")
+    new = assign_shards(batch, id_col, n_shards).cache()
+    try:
+        key_row = new.agg(
+            F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if key_row["n"] > 0:
+            batch_key = f"{key_row['x']}_{key_row['n']}"
+            delta = (
+                shard_manifest(new, "shard_id", text_col=text_col)
+                .join(
+                    new.groupBy("shard_id").agg(
+                        F.max(id_col).alias(f"max_{id_col}")
+                    ),
+                    "shard_id",
+                )
+                .withColumn("batch_key", F.lit(batch_key))
+            )
+            store.merge(delta, dlt_table, ["shard_id", "batch_key"])
+            store.merge(new, corpus_table, [id_col])
+    finally:
+        new.unpersist()
+    # the manifest is ALWAYS the rollup of the ledger — running it even on
+    # empty-new batches repairs a manifest left stale by a crash between
+    # the corpus merge and the rollup of a prior attempt
+    if store.exists(dlt_table):
+        manifest = (
+            store.read(dlt_table)
+            .groupBy("shard_id")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("n_chars").cast("long").alias("n_chars"),
+                F.bit_xor("content_xor").alias("content_xor"),
+                F.max(f"max_{id_col}").alias(f"max_{id_col}"),
+            )
+        )
+        store.merge(manifest, man_table, ["shard_id"])
 
 
 def stream_shard_export(
@@ -61,13 +150,13 @@ def stream_shard_export(
     - ``corpus_table``: ingested documents + their ``shard_id``, MERGE on
       ``id_col`` (a redelivered document upserts identically);
     - ``deltas_table``: per-(shard, batch) manifest deltas, MERGE on
-      ``(shard_id, batch_id)`` — the replay-idempotence ledger;
+      ``(shard_id, batch_key)`` where ``batch_key`` is the content hash
+      of the batch's new-doc set — the checkpoint-independent
+      replay-idempotence ledger;
     - ``manifest_table``: the accumulated per-shard manifest (rollup of
       the ledger), MERGE on ``shard_id`` — always equal to the batch
       manifest of everything ingested so far.
     """
-    from ..operators.export import assign_shards, shard_manifest
-
     dlt_table = deltas_table or corpus_table + DELTAS_SUFFIX
     man_table = manifest_table or corpus_table + MANIFEST_SUFFIX
 
@@ -79,46 +168,10 @@ def stream_shard_export(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.dropDuplicates([id_col])
-        # first-occurrence-wins across drops: probe the corpus once,
-        # filtered by a broadcast of the batch's ids (hits ≤ batch size)
-        if store.exists(corpus_table):
-            seen = (
-                store.read(corpus_table)
-                .join(F.broadcast(batch.select(id_col).distinct()), id_col, "left_semi")
-                .select(id_col)
-            )
-            batch = batch.join(F.broadcast(seen), id_col, "left_anti")
-        new = assign_shards(batch, id_col, n_shards).cache()
-        try:
-            if new.limit(1).count() == 0:
-                return
-            store.merge(new, corpus_table, [id_col])
-            delta = (
-                shard_manifest(new, "shard_id", text_col=text_col)
-                .join(
-                    new.groupBy("shard_id").agg(
-                        F.max(id_col).alias(f"max_{id_col}")
-                    ),
-                    "shard_id",
-                )
-                .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            )
-            store.merge(delta, dlt_table, ["shard_id", "batch_id"])
-            manifest = (
-                store.read(dlt_table)
-                .groupBy("shard_id")
-                .agg(
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                    F.sum("n_tokens").cast("long").alias("n_tokens"),
-                    F.sum("n_chars").cast("long").alias("n_chars"),
-                    F.bit_xor("content_xor").alias("content_xor"),
-                    F.max(f"max_{id_col}").alias(f"max_{id_col}"),
-                )
-            )
-            store.merge(manifest, man_table, ["shard_id"])
-        finally:
-            new.unpersist()
+        shard_export_batch(
+            batch_df, store, corpus_table, dlt_table, man_table,
+            n_shards, id_col, text_col,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

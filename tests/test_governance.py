@@ -78,6 +78,16 @@ def test_suppression_report_consistent_with_transform(qi):
         assert n_retained == actual.get(et, 0)
 
 
+def test_suppression_report_rejects_non_qi_report_col(qi):
+    """census metric columns (n_rows, k_ok, …) must not pass the guard —
+    grouping the audit by a metric would silently produce nonsense."""
+    import pytest
+
+    for bad in ("n_rows", "k_ok", "not_a_column"):
+        with pytest.raises(ValueError, match="must be one of qi_cols"):
+            PV.suppression_report(qi, QI, "user_id", report_col=bad, k=5)
+
+
 def test_generalize_band_int_and_float(spark):
     df = spark.createDataFrame(
         [(-0.5,), (0.0,), (49.99,), (50.0,), (123.4,)], ["v"]

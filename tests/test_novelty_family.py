@@ -293,3 +293,35 @@ def test_max_cosine_vs_anchors_bit_parity(spark, sf_dir):
         for r in max_cosine_vs_anchors(emb, anchors, "vec_id", "v", "av", vectorized=False).collect()
     }
     assert a == b and len(a) == emb.count()
+
+
+def test_max_cosine_vs_anchors_edge_inputs(spark):
+    """Edge contract: an empty anchor set raises (the crossJoin oracle
+    returns zero rows — a silent -inf answer would diverge), and a null /
+    dim-mismatched embedding gets NULL (pandas NaN → Arrow null) for THAT
+    row only, not for every row sharing its Arrow batch."""
+    import pytest
+
+    from sample_deepbook_margin_dune_dbt_spark.operators.similarity import (
+        max_cosine_vs_anchors,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0]), (4, [1.0, 2.0, 3.0])],
+        "vec_id INT, v ARRAY<DOUBLE>",
+    ).coalesce(1)  # one partition → one Arrow batch: the poisoning shape
+    anchors = spark.createDataFrame([([1.0, 0.0],)], "av ARRAY<DOUBLE>")
+
+    with pytest.raises(ValueError, match="empty anchor set"):
+        max_cosine_vs_anchors(
+            emb, anchors.filter(F.lit(False)), "vec_id", "v", "av", vectorized=True
+        )
+
+    got = {
+        r["vec_id"]: r["max_cosine"]
+        for r in max_cosine_vs_anchors(
+            emb, anchors, "vec_id", "v", "av", vectorized=True
+        ).collect()
+    }
+    assert got[1] == 1.0 and got[3] == 0.0
+    assert got[2] is None and got[4] is None

@@ -1,7 +1,10 @@
 """Streaming shard export (``streaming/export.py``): drop-by-drop manifest
 maintenance equals the batch manifest of everything ingested, re-dropped
-documents don't perturb it, and a fresh-checkpoint replay over the same
-landing directory is idempotent (the (shard_id, batch_id) delta ledger)."""
+documents don't perturb it, and replays are idempotent under the
+content-hash-keyed delta ledger — including a fresh checkpoint over the
+same landing directory, a fresh checkpoint that ALSO picks up new files,
+and simulated mid-batch crashes at every step boundary (after the ledger
+write, after the corpus merge)."""
 
 from __future__ import annotations
 
@@ -102,6 +105,92 @@ def test_fresh_checkpoint_replay_is_idempotent(spark, tmp_path):
     # manifest unchanged
     _run(spark, landing, store, str(tmp_path / "ckpt2"))
     assert _manifest(store) == before
+
+
+def test_fresh_checkpoint_with_new_files_keeps_old_ledger(spark, tmp_path):
+    """A fresh checkpoint re-reads every file as batch 0; with NEW files
+    present its delta must NOT overwrite the original run's ledger rows
+    (the batch_id-keyed ledger bug: both runs' first batch was batch 0)."""
+    landing = str(tmp_path / "landing")
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    _drop(landing, "a.jsonl", [1, 2, 3])
+    _run(spark, landing, store, str(tmp_path / "ckpt1"))
+
+    # fresh checkpoint + a new file: batch 0 again, covering {1..5}
+    _drop(landing, "b.jsonl", [4, 5])
+    _run(spark, landing, store, str(tmp_path / "ckpt2"))
+    assert _manifest(store) == _batch_twin(spark, [1, 2, 3, 4, 5])
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == {1, 2, 3, 4, 5}
+
+
+class _CrashStore(TableStore):
+    """TableStore that raises on the Nth merge call (crash injection)."""
+
+    def __init__(self, spark, root, crash_on_merge_call: int):
+        super().__init__(spark, root)
+        self._merge_calls = 0
+        self._crash_at = crash_on_merge_call
+
+    def merge(self, updates, name, unique_key, **kwargs):  # noqa: D102
+        self._merge_calls += 1
+        if self._merge_calls == self._crash_at:
+            raise RuntimeError("injected crash")
+        return super().merge(updates, name, unique_key, **kwargs)
+
+
+def _batch_df(spark, ids):
+    return spark.createDataFrame([(i, DOCS[i]) for i in ids], ["doc_id", "text"])
+
+
+def _apply(store, batch_df):
+    from sample_deepbook_margin_dune_dbt_spark.streaming.export import (
+        shard_export_batch,
+    )
+
+    shard_export_batch(
+        batch_df, store, "corpus", "corpus_shard_deltas",
+        "corpus_shard_manifest", N_SHARDS, "doc_id", "text",
+    )
+
+
+def test_crash_after_ledger_before_corpus_heals_on_replay(spark, tmp_path):
+    """Crash between the delta merge and the corpus merge: the replayed
+    batch recomputes the identical new-doc set (corpus unchanged), the
+    content-keyed delta overwrites itself, and the corpus merge completes
+    — no undercount, no double count."""
+    root = str(tmp_path / "wh")
+    _apply(TableStore(spark, root), _batch_df(spark, [1, 2, 3]))
+
+    crashy = _CrashStore(spark, root, crash_on_merge_call=2)  # corpus merge
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _apply(crashy, _batch_df(spark, [4, 5]))
+    # ledger has {4,5}'s delta but the corpus does not — replay heals both
+    store = TableStore(spark, root)
+    _apply(store, _batch_df(spark, [4, 5]))
+    assert _manifest(store) == _batch_twin(spark, [1, 2, 3, 4, 5])
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == {1, 2, 3, 4, 5}
+
+
+def test_crash_after_corpus_before_rollup_heals_on_replay(spark, tmp_path):
+    """Crash between the corpus merge and the manifest rollup: the replayed
+    batch sees an empty new set, but the unconditional end-of-batch rollup
+    repairs the stale manifest (the permanent-undercount bug under the old
+    corpus-first ordering)."""
+    root = str(tmp_path / "wh")
+    _apply(TableStore(spark, root), _batch_df(spark, [1, 2, 3]))
+
+    crashy = _CrashStore(spark, root, crash_on_merge_call=3)  # manifest rollup
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _apply(crashy, _batch_df(spark, [4, 5]))
+    store = TableStore(spark, root)
+    assert _manifest(store) == _batch_twin(spark, [1, 2, 3])  # stale but sane
+    _apply(store, _batch_df(spark, [4, 5]))  # at-least-once redelivery
+    assert _manifest(store) == _batch_twin(spark, [1, 2, 3, 4, 5])
 
 
 def test_stream_matches_batch_shard_assignment(spark, tmp_path):

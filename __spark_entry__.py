@@ -7,21 +7,23 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
   structural contract — DERIVED from k since r6, not hardcoded;
-  tolerance-boolean contract for sketch ops). The r9 window rotates
-  driver evidence onto the r1-vintage families that had gone 7 rounds
-  without a driver row plus the never-driver rows — a5_cube,
-  a5_grouping_sets, j_semi_anti, o5_set_ops, p_scalar_subquery,
-  a_pivot, a_unpivot, tpch_q11/q16/q20 — rotating out r8-green rows
-  whose families stay represented (a5_rollup, a_percentiles,
-  o4_union_all, tpch_q4/q7/q14, text_langid, j2_left_join,
-  events_retention, w_hopping_agg; the full rationale is in
-  ``queries/__init__.py``). Late-r9 additions: ``corpus_dsir_select``
-  and ``events_transitions`` took the data-selection / events-family
-  rows from the r8-green ``corpus_mixture_select`` /
-  ``events_cohort_value``. Everything rotated out stays oracle-checked
-  by ``tests/test_oracle_parity.py`` over the full 147-query inventory (140 oracle-bearing + 7 rows-only)
-  under the r8-tightened type gate (no TIMESTAMPTZ leniency; exact
-  decimal precision/scale).
+  tolerance-boolean contract for sketch ops). The r10 window rotates
+  driver evidence onto the 14 never-driver families per VERDICT r9
+  item 1 — text_novelty, retrieval_rrf_fusion, emb_hard_negatives,
+  dedup_containment, dedup_cluster_trust, corpus_datasheet,
+  sample_split_cluster_safe, privacy_suppression, corpus_from_events,
+  linkage_blocked_report, curation_source_gate, the NEW
+  corpus_shard_audit (export→re-read→verify round-trip), and the
+  r1-stale tpch_q15/q19 — rotating out r9-green rows whose families
+  stay represented (text_tfidf_topterms, text_bm25_topk,
+  ann_cosine_topk, dedup_edit_distance, dedup_canonical_select,
+  corpus_profile, sample_split_leakage_safe, privacy_k_anonymity,
+  events_funnel, corpus_curation_report, decontaminate_spans,
+  tpch_q11/q16/q20; the full rationale is in ``queries/__init__.py``).
+  Everything rotated out stays oracle-checked by
+  ``tests/test_oracle_parity.py`` over the full 148-query inventory
+  (141 oracle-bearing + 7 rows-only) under the r8-tightened type gate
+  (no TIMESTAMPTZ leniency; exact decimal precision/scale).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

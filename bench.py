@@ -203,6 +203,12 @@ BENCH_QUERIES = [
     "corpus_shard_manifest",
     # events → training-corpus bridge: sessionized logs rendered as docs
     "corpus_from_events",
+    # r10: the export→re-read→verify round-trip audit (includes a real
+    # partitioned parquet write — the timing IS the export cost) + the
+    # r1-stale TPC-H pair rotated back into the driver window
+    "corpus_shard_audit",
+    "tpch_q15",
+    "tpch_q19",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

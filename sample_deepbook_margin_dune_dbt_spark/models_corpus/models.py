@@ -928,3 +928,77 @@ def corpus_training_shards(ctx: ModelContext) -> DataFrame:
             ),
         )
     return delta.withColumn("updated_at", ctx.now())
+
+
+@model(
+    "corpus_shard_export_audit",
+    unique_key=["shard_id"],
+    materialized="table",
+    deps=["corpus_training_shards"],
+    tags=["corpus"],
+    not_null=["shard_id", "docs_ok", "xor_ok"],
+)
+def corpus_shard_export_audit(ctx: ModelContext) -> DataFrame:
+    """Cross-run shard-export VERIFICATION node: per shard, prove the
+    incrementally-maintained manifest (``corpus_training_shards`` — N
+    watermark-delta merges) still equals a manifest recomputed from the
+    full current corpus (counts + XOR checksum).
+
+    This turns the "N incremental runs ≡ full rebuild" pytest invariant
+    into a queryable, scheduled audit a pipeline can gate on: any drift —
+    a missed delta, a double-applied merge, a mutated historical document
+    (the incremental ledger NEVER re-reads history, so an in-place edit
+    behind the watermark is exactly what this catches), or checksum
+    corruption — produces ``*_ok = 0`` rows, and the ``not_null`` +
+    downstream ``accepted_values``-style gates fail the run.
+
+    Scale shape: the recompute is one narrow map (md5 assignment +
+    tokenize) into a map-side-combined n_shards-key groupBy — the same
+    single corpus scan any full audit needs by definition; the compare
+    joins n_shards × n_shards rows. Nothing collects.
+    """
+    from ..operators.export import assign_shards, shard_manifest
+
+    n_shards = int(ctx.var("n_shards", 8))
+    ledger = ctx.ref("corpus_training_shards").select(
+        "shard_id", "n_docs", "n_tokens", "n_chars", "content_xor", "max_doc_id"
+    )
+    assigned = assign_shards(ctx.source("main", "documents"), "doc_id", n_shards)
+    fresh = (
+        shard_manifest(assigned, "shard_id")
+        .join(
+            assigned.groupBy("shard_id").agg(F.max("doc_id").alias("max_doc_id")),
+            "shard_id",
+        )
+        .select(
+            "shard_id",
+            F.col("n_docs").alias("n_docs_fresh"),
+            F.col("n_tokens").alias("n_tokens_fresh"),
+            F.col("n_chars").alias("n_chars_fresh"),
+            F.col("content_xor").alias("content_xor_fresh"),
+            F.col("max_doc_id").alias("max_doc_id_fresh"),
+        )
+    )
+    ok = lambda a, b: (  # noqa: E731
+        F.when(F.col(a) == F.col(b), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    return (
+        ledger.join(fresh, "shard_id", "full")
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_docs_fresh",
+            "n_tokens",
+            "n_tokens_fresh",
+            "n_chars",
+            "n_chars_fresh",
+            "content_xor",
+            "content_xor_fresh",
+            "max_doc_id",
+            "max_doc_id_fresh",
+            ok("n_docs", "n_docs_fresh").alias("docs_ok"),
+            ok("n_tokens", "n_tokens_fresh").alias("tokens_ok"),
+            ok("content_xor", "content_xor_fresh").alias("xor_ok"),
+        )
+        .withColumn("updated_at", ctx.now())
+    )

@@ -274,6 +274,43 @@ driver query moved to ``EXTRA_QUERIES``:
   (trust propagation through duplicate closures) joins EXTRA
   oracle-verified.
 
+- round 10 (per VERDICT r9 item 1): rotate driver evidence onto the 14
+  never-driver families, each incoming query re-verified against the
+  DuckDB oracle at sf0.001 + sf0.01 this session before declaring. In:
+  ``text_novelty`` (first-occurrence shingle novelty),
+  ``retrieval_rrf_fusion`` (integer RRF of BM25 + query-likelihood),
+  ``emb_hard_negatives`` (band-excluded top-k negative mining),
+  ``dedup_containment`` (asymmetric shingle containment),
+  ``dedup_cluster_trust`` (trust propagation through dup closures),
+  ``corpus_datasheet`` (one-row dataset card),
+  ``sample_split_cluster_safe`` (closure-keyed fuzzy-dup-safe split),
+  ``privacy_suppression`` (census-derived retention audit),
+  ``corpus_from_events`` (events→training-corpus bridge),
+  ``linkage_blocked_report`` (blocked record linkage),
+  ``curation_source_gate`` (per-source quality gating),
+  ``corpus_shard_audit`` (NEW this round: real export→re-read→verify
+  round-trip), and the r1-stale ``tpch_q15``/``tpch_q19``. Out (all
+  r9-green, family stays represented): ``text_tfidf_topterms`` (text
+  family keeps bigram-LM/pii/bloom/quality + incoming novelty),
+  ``text_bm25_topk`` (RRF's oracle recomputes the full BM25 + QL
+  rankings), ``ann_cosine_topk`` (ANN keeps ``ann_ivf_pq``; the incoming
+  hard-negatives row is the anchor-top-k shape), ``dedup_edit_distance``
+  (incoming ``linkage_blocked_report`` is the Levenshtein-verify
+  family), ``dedup_canonical_select`` (incoming ``dedup_cluster_trust``
+  consumes the same CC closure; ``dedup_clusters`` stays),
+  ``corpus_profile`` (profile family held by incoming
+  ``corpus_datasheet``), ``sample_split_leakage_safe`` (incoming
+  cluster-safe split is the tier above; ``sample_hash_bernoulli``
+  stays), ``privacy_k_anonymity`` (incoming ``privacy_suppression``
+  recomputes the census), ``events_funnel`` (events keeps
+  attribution/transitions/sessionize/asof + incoming bridge),
+  ``corpus_curation_report`` (curation held by incoming
+  ``curation_source_gate`` + ``text_tfidf``'s EXTRA oracle),
+  ``decontaminate_spans`` (decontamination keeps
+  ``text_bloom_decontaminate``; span family keeps
+  ``dedup_repeated_spans``), ``tpch_q11``/``tpch_q16``/``tpch_q20``
+  (TPC-H keeps q13/q18/q21 + incoming q15/q19).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -323,23 +360,35 @@ DRIVER_QUERY_ORDER = [
     "flagship_daily_user_fact",
     # LLM-data-pipeline block
     "dedup_exact",
-    "corpus_profile",
-    "text_tfidf_topterms",
+    # r10: datasheet takes the profile row (one-row dataset card)
+    "corpus_datasheet",
+    # r10: first-occurrence shingle novelty takes the tfidf text row
+    "text_novelty",
     "text_bigram_lm",
     "dedup_repeated_spans",
-    "decontaminate_spans",
+    # r10: asymmetric containment takes the span-decontam row
+    # (decontamination family keeps text_bloom_decontaminate)
+    "dedup_containment",
     "dedup_clusters",
-    "dedup_edit_distance",
-    "ann_cosine_topk",
+    # r10: blocked record linkage takes the edit-distance row (same
+    # Levenshtein-verify family, candidates-in/verdicts-out contract)
+    "linkage_blocked_report",
+    # r10: band-excluded hard-negative mining takes the ANN cosine row
+    "emb_hard_negatives",
     "dedup_embedding_cosine",
     "multimodal_meta",
-    "text_bm25_topk",
+    # r10: integer RRF hybrid fusion takes the BM25 row (its oracle
+    # recomputes the full BM25 + query-likelihood rankings)
+    "retrieval_rrf_fusion",
     "ann_ivf_pq",
     "a_approx_tier",
     "sample_hash_bernoulli",
-    "sample_split_leakage_safe",
+    # r10: closure-keyed cluster-safe split takes the leakage-safe row
+    "sample_split_cluster_safe",
     "chunk_token_windows",
-    "dedup_canonical_select",
+    # r10: trust propagation takes the canonical-select row (same CC
+    # closure consumer family)
+    "dedup_cluster_trust",
     "chunk_pack_bestfit",
     "text_pii_redact",
     "emb_quantize_int8",
@@ -348,12 +397,13 @@ DRIVER_QUERY_ORDER = [
     # held in EXTRA; the mitigated path keeps the driver row)
     "skew_salted_agg",
     "events_attribution",
-    # composed curation rollup
-    "corpus_curation_report",
+    # r10: per-source quality gate takes the curation-report row
+    "curation_source_gate",
     # custom operators / window & join shapes
     "sessionize",
     "asof_join",
-    "events_funnel",
+    # r10: the events→training-corpus bridge takes the funnel row
+    "corpus_from_events",
     # r9-new Markov transition kernel takes the events family's fourth
     # row; cohort_value (r8-green) moves to EXTRA
     "events_transitions",
@@ -367,21 +417,23 @@ DRIVER_QUERY_ORDER = [
     "a5_cube",
     "a_pivot",
     "o5_set_ops",
-    # governance family (late r9): QI census + deterministic shard manifest
-    "privacy_k_anonymity",
+    # governance family: census-derived suppression audit (r10, takes the
+    # k-anonymity row which it recomputes) + shard manifest + the NEW
+    # export→re-read→verify round-trip audit
+    "privacy_suppression",
     "corpus_shard_manifest",
+    "corpus_shard_audit",
     # data-selection family: the r9-new DSIR importance-selection row
     # replaces the r3 greedy budget tier (corpus_mixture_select, r8-green,
     # moves to EXTRA; plan/sample rows already live there)
     "corpus_dsir_select",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
-    # TPC-H
-    "tpch_q11",
+    # TPC-H (r10: r1-stale q15/q19 take the r9-green q11/q16/q20 rows)
     "tpch_q13",
-    "tpch_q16",
+    "tpch_q15",
     "tpch_q18",
-    "tpch_q20",
+    "tpch_q19",
     "tpch_q21",
 ]
 

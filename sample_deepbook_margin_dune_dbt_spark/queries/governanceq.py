@@ -217,9 +217,99 @@ FROM assigned GROUP BY 1
 """
 
 
+# ------------------------------------------------------- shard export audit
+
+
+def q_corpus_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run shard-export VERIFICATION: actually export the corpus as
+    hash-sharded parquet, re-read the exported files, and prove per shard
+    that the written manifest equals a manifest recomputed from what a
+    loader would read back (counts + XOR checksum).
+
+    This closes the export loop as a verified query surface: the Spark
+    side performs a REAL ``write_training_shards`` round-trip (partitioned
+    parquet write → partition-discovery re-read → independent
+    ``shard_manifest`` recompute), so a dropped row, a corrupted file, a
+    mis-assigned shard, or a lossy type round-trip in the export path
+    diverges from the oracle (which pins the expected manifest values and
+    all-ok verdicts from the source table). Scale shape: the write IS the
+    one export shuffle (repartition on shard_id); both manifests are
+    map-side-combined n_shards-key groupBys; the compare joins
+    n_shards × n_shards rows.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.export import write_training_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="corpus_shard_audit_")
+    # the exported files must outlive this call (the returned DataFrame is
+    # lazy — the driver evaluates it later); reclaim at interpreter exit
+    atexit.register(shutil.rmtree, path, True)
+    write_training_shards(docs, path, "doc_id", _N_SHARDS, salt=_SHARD_SALT)
+
+    written = spark.read.parquet(f"{path}/_manifest").select(
+        "shard_id", "n_docs", "n_tokens", "n_chars", "content_xor"
+    )
+    reread = spark.read.parquet(f"{path}/data").withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+    recomputed = shard_manifest(reread, "shard_id", text_col="text").select(
+        F.col("shard_id"),
+        F.col("n_docs").alias("n_docs_reread"),
+        F.col("n_tokens").alias("n_tokens_reread"),
+        F.col("n_chars").alias("n_chars_reread"),
+        F.col("content_xor").alias("content_xor_reread"),
+    )
+    return written.join(recomputed, "shard_id", "full").select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "content_xor",
+        "n_docs_reread",
+        "n_tokens_reread",
+        "n_chars_reread",
+        "content_xor_reread",
+        F.when(F.col("n_docs") == F.col("n_docs_reread"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("docs_ok"),
+        F.when(F.col("content_xor") == F.col("content_xor_reread"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("xor_ok"),
+    )
+
+
+#: oracle: the export round-trip must reproduce the source-table manifest
+#: exactly on both sides, every shard verified (ok = 1)
+SQL_SHARD_AUDIT = f"""
+WITH m AS (
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS content_xor
+    FROM (
+        SELECT CAST(floor({_U_DOC} * {_N_SHARDS}) AS BIGINT) AS shard_id, text
+        FROM documents
+    ) GROUP BY 1
+)
+SELECT shard_id, n_docs, n_tokens, n_chars, content_xor,
+       n_docs AS n_docs_reread, n_tokens AS n_tokens_reread,
+       n_chars AS n_chars_reread, content_xor AS content_xor_reread,
+       CAST(1 AS BIGINT) AS docs_ok, CAST(1 AS BIGINT) AS xor_ok
+FROM m
+"""
+
+
 GOVERNANCE_QUERIES = {
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANONYMITY),
     "privacy_suppression": (q_privacy_suppression, SQL_SUPPRESSION),
     "privacy_generalization": (q_privacy_generalization, SQL_GENERALIZATION),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
+    "corpus_shard_audit": (q_corpus_shard_audit, SQL_SHARD_AUDIT),
 }

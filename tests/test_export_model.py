@@ -86,6 +86,51 @@ def test_n_shards_var(spark, slices, tmp_path):
     assert got == _batch_twin(spark, slices[0], n_shards=4)
 
 
+AUDIT_SEL = "+corpus_shard_export_audit"
+
+
+def test_audit_node_all_ok_across_growth(spark, slices, tmp_path):
+    """The audit node proves ledger ≡ fresh recompute after every growth
+    step — the pytest growth invariant as a queryable DAG node."""
+    store = TableStore(spark, str(tmp_path / "aud"))
+    for p in slices:
+        Runner(spark, store, {"main.documents": p}).run(AUDIT_SEL)
+        rows = store.read("corpus_shard_export_audit").collect()
+        assert rows and all(
+            r["docs_ok"] == 1 and r["tokens_ok"] == 1 and r["xor_ok"] == 1
+            for r in rows
+        )
+        assert all(r["content_xor"] == r["content_xor_fresh"] for r in rows)
+
+
+def test_audit_node_catches_mutated_history(spark, slices, tmp_path):
+    """An in-place edit BEHIND the watermark (which the incremental ledger
+    never re-reads) must surface as xor_ok=0 / tokens mismatch."""
+    store = TableStore(spark, str(tmp_path / "mut"))
+    Runner(spark, store, {"main.documents": slices[0]}).run(SEL)
+
+    # rewrite the source with one historical document's text mutated
+    docs = spark.read.parquet(slices[0])
+    first_id = docs.agg(F.min("doc_id")).first()[0]
+    mutated_path = str(tmp_path / "mutated_docs")
+    docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == first_id, F.concat(F.col("text"), F.lit(" TAMPERED"))
+        ).otherwise(F.col("text")),
+    ).write.parquet(mutated_path)
+
+    Runner(spark, store, {"main.documents": mutated_path}).run(AUDIT_SEL)
+    bad = [
+        r
+        for r in store.read("corpus_shard_export_audit").collect()
+        if r["xor_ok"] == 0
+    ]
+    assert len(bad) == 1, "exactly the tampered document's shard must fail"
+    assert bad[0]["n_docs"] == bad[0]["n_docs_fresh"]  # counts agree
+    assert bad[0]["content_xor"] != bad[0]["content_xor_fresh"]
+
+
 def test_cli_drive(spark, slices, tmp_path):
     from sample_deepbook_margin_dune_dbt_spark.__main__ import main
 

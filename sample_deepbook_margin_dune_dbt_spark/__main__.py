@@ -20,7 +20,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .engine import Runner, TableStore, all_models, get_spark
+from .engine import Runner, TableStore, VersionedTableStore, all_models, get_spark
 from . import models_deepbook  # noqa: F401  (registers the 7 reference models)
 from . import models_corpus  # noqa: F401  (registers the corpus-curation DAG)
 from . import models_events  # noqa: F401  (registers the event-analytics DAG)
@@ -115,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
             "build of one model reads its unbuilt upstreams from here",
         )
         p.add_argument("--schema-suffix", default="", help="dev/PR schema isolation suffix")
+        p.add_argument(
+            "--versioned",
+            action="store_true",
+            help="use the manifest-versioned table store (Delta-style "
+            "snapshots: time travel, snapshot-isolated reads, retention "
+            "vacuum — engine/versioned.py)",
+        )
         p.add_argument("--backfill-days", type=int, default=30)
         p.add_argument("--lookback-days", type=int, default=7)
         p.add_argument(
@@ -285,7 +292,8 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"engine-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
-    store = TableStore(spark, args.warehouse, schema_suffix=args.schema_suffix)
+    store_cls = VersionedTableStore if getattr(args, "versioned", False) else TableStore
+    store = store_cls(spark, args.warehouse, schema_suffix=args.schema_suffix)
 
     if args.cmd == "docs":
         # dbt docs generate: manifest (declared DAG) + catalog (what is

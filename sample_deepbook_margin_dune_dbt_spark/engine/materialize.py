@@ -235,16 +235,10 @@ class TableStore:
             result = kept.unionByName(updates.select(*old.columns))
             if out_scope is not None:
                 result = out_scope.unionByName(result)
-            # full rewrite via staging swap; can't stream onto the dir being read,
-            # so materialize the result first
-            staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
-            writer = result.write.mode("overwrite")
-            if partition_by and not result.isEmpty():
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(staging)
-            final = self.path(name)
-            shutil.rmtree(final)
-            os.replace(staging, final)
+            # full rewrite; write_full stages then swaps, so the result
+            # (which reads the current table files) materializes before
+            # the old directory is replaced
+            self.write_full(result, name, partition_by)
 
     def replace_scope(
         self,
@@ -276,16 +270,9 @@ class TableStore:
             scope_keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         )
         result = kept.unionByName(updates.select(*old.columns))
-        # full rewrite via staging swap (same constraint as merge: cannot
-        # stream onto the directory being read)
-        staging = self.path(f".staging-{name}-{uuid.uuid4().hex[:8]}")
-        writer = result.write.mode("overwrite")
-        if partition_by and not result.isEmpty():
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-        final = self.path(name)
-        shutil.rmtree(final)
-        os.replace(staging, final)
+        # full rewrite via write_full's staging swap (same constraint as
+        # merge: cannot stream onto the directory being read)
+        self.write_full(result, name, partition_by)
 
     def insert_overwrite(
         self,

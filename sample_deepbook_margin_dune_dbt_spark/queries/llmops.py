@@ -550,6 +550,25 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-candidate tier of the embedding near-dup family
+    (``operators/similarity.py::cosine_pairs_ivf``): spherical-k-means
+    coarse cells + multi-probe self-pairing + the same exact shuffle-hash
+    refine. Shares the all-pairs oracle with ``dedup_embedding_cosine``,
+    so a hash match proves the IVF candidates recalled every qualifying
+    pair on the fixture — the measured form of the "swap the candidate
+    generator at 100 TB, keep the tail" contract (VERDICT r9 item 2;
+    scale measurements in PERF.md r10)."""
+    raw = load(spark, sf_dir, "embeddings")
+    emb = _augment_near_dups(raw)
+    pairs = S.cosine_pairs_ivf(
+        emb, "vec_id", "embedding", 0.9, n_vectors=_augmented_count(raw)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cosine_e6")
+    )
+
+
 SQL_EMB_DEDUP = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 aug AS (
@@ -1280,6 +1299,7 @@ LLMOPS_QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_DEDUP),
+    "dedup_embedding_cosine_ivf": (q_dedup_embedding_cosine_ivf, SQL_EMB_DEDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_SUMMARY),
     "ann_ivf": (q_ann_ivf, SQL_ANN_SUMMARY),

@@ -259,6 +259,34 @@ def test_lsh_pairs_equal_exact_on_fixtures(spark, fixture_dir):
     )
 
 
+@pytest.mark.parametrize("fixture_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_pairs_equal_exact_on_fixtures(spark, fixture_dir):
+    """Recall pin for the IVF candidate generator (the asserted 100 TB
+    swap for the embedding near-dup tier, VERDICT r9 item 2): on the
+    driver fixtures with the planted-near-dup augmentation, IVF-candidate
+    pairs + exact refine must equal the exact all-pairs set — including
+    the 1.5×-SCALED duplicates, which is what the spherical (L2-normalized)
+    cell assignment exists for."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.llmops import _augment_near_dups
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    aug = _augment_near_dups(load(spark, fixture_dir, "embeddings"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs(aug, "vec_id", "embedding", 0.9).collect()
+    }
+    assert exact, "augmentation must plant qualifying pairs"
+    ivf = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.cosine_pairs_ivf(aug, "vec_id", "embedding", 0.9).collect()
+    }
+    assert set(ivf) == set(exact), (
+        f"IVF missed {sorted(set(exact) - set(ivf))[:5]} on {fixture_dir}"
+    )
+    # refined cosines are the same exact arithmetic as the brute tier
+    assert all(abs(ivf[k] - exact[k]) == 0.0 for k in ivf)
+
+
 def test_hyperplane_signature_paths_agree(spark, sf_dir):
     """Expression and vectorized signatures must agree bit-for-bit — they
     share the same float64 weight literals and differ only in summation

@@ -843,7 +843,7 @@ def cosine_pairs_ivf(
     vec_col: str,
     threshold: float,
     n_lists: int | None = None,
-    n_probes: int = 2,
+    n_probes: int = 4,
     max_bucket_size: int = 10_000,
     train_sample: int = 100_000,
     target_occupancy: int = 128,
@@ -854,6 +854,17 @@ def cosine_pairs_ivf(
     exact shuffle-hash refine as :func:`cosine_pairs_lsh` — the opt-in
     candidate generator the 100 TB contract promises for the embedding
     near-dup tier (VERDICT r9 item 2: measure the asserted swap).
+
+    ``n_probes=4`` is the MEASURED operating point (PERF.md r10, 100×/
+    500k vectors): p=2 ran 370 s but recalled only 69/75 planted pairs —
+    the misses are the loosest planted duplicates (cos 0.917, right at
+    the 0.9 threshold), where two near-boundary vectors can rank 4096
+    fine cells into disjoint 2-probe sets; p=4 recovers 75/75 at 446 s
+    vs the LSH tier's 615 s same-session. Unlike LSH's distribution-free
+    band bound, IVF recall at threshold-adjacent cosines is an empirical
+    property of the trained cells — which is why the LSH tier stays the
+    default for the hash-exact dedup contract and the recall pin here is
+    a fixture test, not a formula.
 
     Construction (the candidate stage of :func:`ivf_pq_ann_topk`, adapted
     from query→corpus probing to corpus self-pairing):

@@ -304,6 +304,37 @@ class VersionedTableStore(TableStore):
         finally:
             updates.unpersist()
 
+    def diff(
+        self,
+        name: str,
+        id_col: str,
+        content_cols: list[str],
+        v_old: int | None = None,
+        v_new: int | None = None,
+    ) -> DataFrame:
+        """Per-id diff between two committed versions (defaults: previous
+        vs current) — the lakehouse "what changed in this commit?" audit,
+        built on :func:`~..operators.snapshot.snapshot_diff` over the two
+        immutable snapshots. Both sides reduce to (id, fingerprint)
+        narrow maps before one full-outer equi-join; payloads never
+        shuffle."""
+        from ..operators.snapshot import snapshot_diff
+
+        vs = self._manifests(name)
+        if v_new is None:
+            v_new = vs[-1]
+        if v_old is None:
+            older = [v for v in vs if v < v_new]
+            if not older:
+                raise ValueError(f"{name!r} has no version before {v_new}")
+            v_old = older[-1]
+        return snapshot_diff(
+            self.read(name, version=v_old),
+            self.read(name, version=v_new),
+            id_col,
+            content_cols,
+        )
+
     # --------------------------------------------------------- maintenance
 
     def _current_snap(self, name: str) -> str | None:

@@ -223,6 +223,25 @@ def test_cli_versioned_flag(spark, tmp_path, sf_dir):
     assert len(vs) >= 1 and store.read("corpus_training_shards").count() > 0
 
 
+def test_version_diff(spark, store):
+    """store.diff defaults to previous-vs-current and classifies
+    added/removed/changed/unchanged per id across commits."""
+    store.write_full(_df(spark, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]), "t")
+    store.merge(_df(spark, [(2, "B", "d1"), (4, "d", "d2")]), "t", ["k"])
+    got = {r["k"]: r["status"] for r in store.diff("t", "k", ["v", "day"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "added"}
+
+    store.merge(_df(spark, [(9, "z", "d9")]), "t", ["k"])
+    # explicit version endpoints: v1 → v3 sees both commits
+    got13 = {
+        r["k"]: r["status"]
+        for r in store.diff("t", "k", ["v", "day"], v_old=1, v_new=3).collect()
+    }
+    assert got13[2] == "changed" and got13[4] == "added" and got13[9] == "added"
+    with pytest.raises(ValueError, match="no version before"):
+        store.diff("t", "k", ["v"], v_new=1)
+
+
 def test_optimize_commits_new_version(spark, store):
     rows = [(i, f"v{i}", f"d{i % 3}") for i in range(50)]
     store.write_full(_df(spark, rows).repartition(8), "t")

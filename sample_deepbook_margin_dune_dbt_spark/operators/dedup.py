@@ -1295,6 +1295,7 @@ def contaminated_spans(
     bench_id_col: str,
     bench_text_col: str,
     k: int = 8,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """SPAN-LEVEL benchmark decontamination — ExactSubstr against a
     held-out set: mark the exact token extents where corpus documents
@@ -1308,20 +1309,30 @@ def contaminated_spans(
 
     Scale shape: the benchmark window-fingerprint set is bounded by
     benchmark size (tiny by nature — thousands of documents), so it is
-    PINNED to broadcast with an explicit hint and the corpus never
-    shuffles on content: one narrow window map + broadcast semi-join +
-    per-document island merge. The hint is mandatory, not advisory — a
-    benchmark too large for executor memory fails loudly at the
-    broadcast rather than degrading; remove the hint (one line) to let
-    Catalyst fall back to a shuffled semi-join on the fingerprint if a
-    benchmark ever genuinely outgrows broadcast.
+    PINNED to broadcast with an explicit hint by default and the corpus
+    never shuffles on content: one narrow window map + broadcast
+    semi-join + per-document island merge. The hint is mandatory, not
+    advisory — a benchmark too large for executor memory fails loudly at
+    the broadcast rather than degrading. ``broadcast_bench=False`` is
+    the measured fallback for a benchmark that genuinely outgrows
+    broadcast (the r10 1000×-fixture probe, whose synthetic benchmark
+    scales WITH the corpus, hit exactly this: the pinned broadcast
+    failed loudly at ~500k benchmark docs and the shuffled 8-byte-
+    fingerprint semi-join completed — numbers in PERF.md r10): windows
+    exchange only (id, n_tokens, pos, fp) — never text — hashed on the
+    fingerprint, the same narrow-exchange discipline as the span tiers'
+    two-phase candidate pass.
     """
     wins = _window_rows(df, id_col, text_col, k)
-    bench_fps = F.broadcast(
+    bench_fps = (
         _window_rows(bench, bench_id_col, bench_text_col, k)
         .select("_fp")
         .distinct()
     )
+    if broadcast_bench:
+        bench_fps = F.broadcast(bench_fps)
+    else:
+        bench_fps = bench_fps.hint("shuffle_hash")
     hits = wins.join(bench_fps, "_fp", "left_semi").select(
         id_col, "n_tokens", "pos"
     )
@@ -1345,6 +1356,7 @@ def scrub_contaminated_spans(
     bench_id_col: str,
     bench_text_col: str,
     k: int = 8,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Apply tier of span-level decontamination: cut every token extent
     where a corpus document reproduces a k-word window of the benchmark
@@ -1352,13 +1364,15 @@ def scrub_contaminated_spans(
     surgical alternative to dropping contaminated documents wholesale.
 
     Same plan as detection (narrow window map + broadcast semi probe —
-    the corpus never shuffles on content) plus the shared span-cut tail:
-    one per-doc span collect and one narrow reassembly map. Output:
-    ``(id_col, text_clean, n_tokens, n_dropped)`` per input document in
-    normalized token space; clean documents pass through with
-    ``n_dropped = 0``.
+    the corpus never shuffles on content; ``broadcast_bench=False`` for
+    the oversized-benchmark fallback, see :func:`contaminated_spans`)
+    plus the shared span-cut tail: one per-doc span collect and one
+    narrow reassembly map. Output: ``(id_col, text_clean, n_tokens,
+    n_dropped)`` per input document in normalized token space; clean
+    documents pass through with ``n_dropped = 0``.
     """
     spans = contaminated_spans(
-        df, id_col, text_col, bench, bench_id_col, bench_text_col, k
+        df, id_col, text_col, bench, bench_id_col, bench_text_col, k,
+        broadcast_bench=broadcast_bench,
     ).select(id_col, "span_start", "span_end")
     return _cut_spans_from_docs(df, spans, id_col, text_col)

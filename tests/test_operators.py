@@ -1048,6 +1048,31 @@ def test_contaminated_spans_planted(spark):
     assert rows == {(1, 2, 7)}
 
 
+def test_contaminated_spans_shuffled_fallback_parity(spark, sf_dir):
+    """``broadcast_bench=False`` (the oversized-benchmark fallback the
+    1000× probe forced — PERF.md r10) must produce the identical span
+    set as the pinned-broadcast default on the real fixture."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    a = {
+        tuple(r)
+        for r in D.contaminated_spans(
+            corpus, "doc_id", "text", bench, "doc_id", "text", k=8
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in D.contaminated_spans(
+            corpus, "doc_id", "text", bench, "doc_id", "text", k=8,
+            broadcast_bench=False,
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_scrub_contaminated_spans_planted(spark):
     """Apply tier of span decontamination: the contaminated extent is cut
     at exact token boundaries, clean docs pass through (normalized token

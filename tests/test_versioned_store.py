@@ -198,7 +198,12 @@ def test_full_dag_builds_on_versioned_store(spark, tmp_path):
     out = {}
     for cls, sub in ((TableStore, "p"), (VersionedTableStore, "v")):
         store = cls(spark, str(tmp_path / sub))
-        Runner(spark, store, src, fixed_now=dt.datetime(2026, 2, 1)).run()
+        # select the deepbook DAG explicitly: under the full suite other
+        # test modules have registered the corpus/events DAGs, whose
+        # sources this fixture set does not provide
+        Runner(spark, store, src, fixed_now=dt.datetime(2026, 2, 1)).run(
+            "+fct_deepbook_margin_pool_daily"
+        )
         out[sub] = _content(
             store.read("fct_deepbook_margin_pool_daily").drop("updated_at")
         )

@@ -157,7 +157,21 @@ def _intersect_shingle_rows(df, id_col, text_col, n, sh_fn):
     per-doc size aggregate) — without it Spark re-executes the Arrow
     shingle batch once per branch (the ``text_novelty`` restaging
     lesson; PERF.md r9 continuation 5). At warehouse scale the same
-    staging is a persisted projection table."""
+    staging is a persisted projection table.
+
+    The checkpoint is DISK_ONLY (r10): the default MEMORY_AND_DISK
+    blocks pin the unified memory region against the downstream
+    ``shuffle_hash`` builds (PERF.md r10 finding 2 — at the 1000×
+    fixture, ~10⁹ fingerprints). Measured honestly: DISK_ONLY alone
+    does NOT rescue an 8 GB heap at 32 shuffle partitions — the builds
+    themselves (~|sh|/partitions rows each) are the binding constraint,
+    and the cure is partitions scaling with data (what AQE and cluster
+    sizing do; PERF.md r10 finding 2 records the sp/heap matrix). The
+    staging level still belongs on disk: it returns the unified region
+    to the build pool at zero bench-scale cost (the projection is read
+    back sequentially through the OS page cache)."""
+    from pyspark.storagelevel import StorageLevel
+
     staged = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
         .select(
@@ -166,7 +180,7 @@ def _intersect_shingle_rows(df, id_col, text_col, n, sh_fn):
                 sh_fn(F.col(text_col), n), lambda c: F.xxhash64(c)
             ).alias("_fps"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     sh = staged.select("_id", F.explode("_fps").alias("_fp"))
     # per-doc set sizes come from the ARRAY SIZE — no explode, no
@@ -177,20 +191,37 @@ def _intersect_shingle_rows(df, id_col, text_col, n, sh_fn):
     return sh, sizes
 
 
-def _shingle_self_intersections(sh: DataFrame) -> DataFrame:
+def _shingle_self_intersections(
+    sh: DataFrame, strategy: str = "shuffle_hash"
+) -> DataFrame:
     """Per-pair shingle intersection counts ``(id_a, id_b, n_inter)``
     from (_id, _fp) rows — the shared tail of the exact jaccard and
     containment tiers.
 
-    The self-join is hinted ``shuffle_hash``: an unhinted SMJ sorts both
-    ~corpus-sized shingle sides, and the sort (not the join) went
-    superlinear at the 100× documents fixture (120 s for the containment
-    scan; ~30 s hashed) — the same SMJ-spill failure mode the r9 cosine
-    refine fix pinned. A per-partition hash build of 8-byte keys is flat
-    in the second decade; hot stopword shingles remain AQE-skew-split
-    territory exactly as before."""
+    The self-join is hinted ``shuffle_hash`` by default: an unhinted SMJ
+    sorts both ~corpus-sized shingle sides, and the sort (not the join)
+    went superlinear at the 100× documents fixture (120 s for the
+    containment scan; ~30 s hashed) — the same SMJ-spill failure mode
+    the r9 cosine refine fix pinned. A per-partition hash build of
+    8-byte keys is flat in the second decade; hot stopword shingles
+    remain AQE-skew-split territory exactly as before.
+
+    ``strategy="merge"`` selects the spill-tolerant sort-merge plan
+    (r10): hash builds cannot spill, and at the 1000× fixture (~10⁹
+    fingerprints) they exhaust an 8 GB heap at ANY shuffle-partition
+    count. Measured honestly, merge is NOT a magic rescue either — at
+    8 GB ÷ 32 concurrent tasks (0.25 GB/task) the sort+agg working
+    pages also exhaust (PERF.md r10 finding 2 records the full
+    strategy × heap × partitions matrix; 48 GB completes). The knob
+    exists for the in-between regime where per-task memory covers sort
+    pages but not a resident hash build; below that floor the only
+    lever is memory ∝ data per core, which is how a real cluster is
+    sized.
+    """
+    if strategy not in ("shuffle_hash", "merge"):
+        raise ValueError(f"strategy must be shuffle_hash|merge, got {strategy!r}")
     a = sh.alias("a")
-    b = sh.hint("shuffle_hash").alias("b")
+    b = sh.hint(strategy).alias("b")
     return (
         a.join(b, (F.col("a._fp") == F.col("b._fp")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -205,6 +236,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     vectorized: bool = True,
+    join_strategy: str = "shuffle_hash",
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingles.
 
@@ -220,7 +252,7 @@ def ngram_jaccard_pairs(
     """
     _sh_fn = shingles_vectorized if vectorized else shingles
     sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
-    inter = _shingle_self_intersections(sh).withColumnRenamed("n_inter", "_inter")
+    inter = _shingle_self_intersections(sh, join_strategy).withColumnRenamed("n_inter", "_inter")
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"))
     return (
@@ -242,6 +274,7 @@ def shingle_containment_pairs(
     n: int = 3,
     threshold_e6: int = 800_000,
     vectorized: bool = True,
+    join_strategy: str = "shuffle_hash",
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by shingle containment:
     ``C = |A∩B| / min(|A|, |B|)`` — the smaller document's coverage.
@@ -263,7 +296,7 @@ def shingle_containment_pairs(
     """
     _sh_fn = shingles_vectorized if vectorized else shingles
     sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
-    inter = _shingle_self_intersections(sh)
+    inter = _shingle_self_intersections(sh, join_strategy)
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))
     return (

@@ -87,11 +87,16 @@ def shingle_novelty(
     # materialization Spark recomputes the Arrow batch once per branch
     # (the n_shingles scan AND the owners exchange), which doubled the
     # dominant cost at the 100× fixture. At warehouse scale the same
-    # staging is a persisted projection table.
+    # staging is a persisted projection table. DISK_ONLY (r10): the
+    # default MEMORY_AND_DISK blocks pin the unified region against
+    # downstream hash builds at the fourth decade — PERF.md r10
+    # finding 2 (the jaccard staging hit it first; same shape here).
+    from pyspark.storagelevel import StorageLevel
+
     staged = base.select(
         "id",
         F.transform(mk(F.col("_t"), n), lambda c: F.xxhash64(c)).alias("_fps"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sh = staged.select("id", F.explode("_fps").alias("s"))
     # first owner per shingle, then novel counts per owner — pure
     # HASH-aggregates, both map-side combined. The previous min-only

@@ -1048,6 +1048,28 @@ def test_contaminated_spans_planted(spark):
     assert rows == {(1, 2, 7)}
 
 
+def test_jaccard_merge_strategy_parity(spark, sf_dir):
+    """``join_strategy="merge"`` (the memory-starved spill-tolerant
+    fallback of the shingle self-join — PERF.md r10 finding 2) must
+    produce the identical pair set as the default shuffle-hash plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, join_strategy="merge"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shuffle_hash|merge"):
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", join_strategy="broadcast")
+
+
 def test_contaminated_spans_shuffled_fallback_parity(spark, sf_dir):
     """``broadcast_bench=False`` (the oversized-benchmark fallback the
     1000× probe forced — PERF.md r10) must produce the identical span

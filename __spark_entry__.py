@@ -21,8 +21,8 @@
   events_funnel, corpus_curation_report, decontaminate_spans,
   tpch_q11/q16/q20; the full rationale is in ``queries/__init__.py``).
   Everything rotated out stays oracle-checked by
-  ``tests/test_oracle_parity.py`` over the full 148-query inventory
-  (141 oracle-bearing + 7 rows-only) under the r8-tightened type gate
+  ``tests/test_oracle_parity.py`` over the full 149-query inventory
+  (142 oracle-bearing + 7 rows-only) under the r8-tightened type gate
   (no TIMESTAMPTZ leniency; exact decimal precision/scale).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.

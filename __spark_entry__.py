@@ -7,23 +7,25 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
   structural contract — DERIVED from k since r6, not hardcoded;
-  tolerance-boolean contract for sketch ops). The r10 window rotates
-  driver evidence onto the 14 never-driver families per VERDICT r9
-  item 1 — text_novelty, retrieval_rrf_fusion, emb_hard_negatives,
-  dedup_containment, dedup_cluster_trust, corpus_datasheet,
-  sample_split_cluster_safe, privacy_suppression, corpus_from_events,
-  linkage_blocked_report, curation_source_gate, the NEW
-  corpus_shard_audit (export→re-read→verify round-trip), and the
-  r1-stale tpch_q15/q19 — rotating out r9-green rows whose families
-  stay represented (text_tfidf_topterms, text_bm25_topk,
-  ann_cosine_topk, dedup_edit_distance, dedup_canonical_select,
-  corpus_profile, sample_split_leakage_safe, privacy_k_anonymity,
-  events_funnel, corpus_curation_report, decontaminate_spans,
-  tpch_q11/q16/q20; the full rationale is in ``queries/__init__.py``).
-  Everything rotated out stays oracle-checked by
-  ``tests/test_oracle_parity.py`` over the full 149-query inventory
-  (142 oracle-bearing + 7 rows-only) under the r8-tightened type gate
-  (no TIMESTAMPTZ leniency; exact decimal precision/scale).
+  tolerance-boolean contract for sketch ops). The r11 window EMPTIES
+  the rotation backlog per VERDICT r10 item 1: the 8 r1-stale drills
+  (a2_scalar_agg, a5_grouping_sets, o3_topn_limit, p2_filter_eq,
+  p7_in_list, s1_scan_project, tpch_q17, tpch_q22) and the 9
+  never-driver oracle-bearing queries (a_unpivot, chunk_content_defined,
+  corpus_mixture_plan, corpus_mixture_sample, corpus_zorder_stats,
+  dedup_embedding_cosine_ivf — same all-pairs oracle as the LSH
+  default, so a driver hash match is a recall-1.0 pin for the IVF
+  candidate generator — events_time_to_convert, privacy_generalization,
+  sample_weighted) rotate in, all 17 re-verified against the DuckDB
+  oracle at sf0.001 + sf0.01 this session before declaring; 17
+  r10-green rows whose capabilities stay represented rotate out (the
+  full per-query rationale is in ``queries/__init__.py``). After this
+  window every oracle-bearing query in the inventory has driver-green
+  history — from r12 the window cycles on age alone. Everything rotated
+  out stays oracle-checked by ``tests/test_oracle_parity.py`` over the
+  full 149-query inventory (142 oracle-bearing + 7 rows-only) under the
+  r8-tightened type gate (no TIMESTAMPTZ leniency; exact decimal
+  precision/scale).
 
 Implementation lives in ``sample_deepbook_margin_dune_dbt_spark.queries``.
 """

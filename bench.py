@@ -209,6 +209,21 @@ BENCH_QUERIES = [
     "corpus_shard_audit",
     "tpch_q15",
     "tpch_q19",
+    # r11: the backlog-emptying rotation (VERDICT r10 item 1) — every
+    # driver-window query keeps a bench row; the parity drills are
+    # sub-0.5 s each, the IVF twin times the measured candidate
+    # generator alternative against its LSH default round-over-round
+    "corpus_mixture_sample",
+    "corpus_mixture_plan",
+    "dedup_embedding_cosine_ivf",
+    "chunk_content_defined",
+    "p2_filter_eq",
+    "p7_in_list",
+    "s1_scan_project",
+    "a2_scalar_agg",
+    "o3_topn_limit",
+    "tpch_q17",
+    "tpch_q22",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

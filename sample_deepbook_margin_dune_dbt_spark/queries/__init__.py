@@ -311,6 +311,45 @@ driver query moved to ``EXTRA_QUERIES``:
   ``dedup_repeated_spans``), ``tpch_q11``/``tpch_q16``/``tpch_q20``
   (TPC-H keeps q13/q18/q21 + incoming q15/q19).
 
+- round 11 (per VERDICT r10 item 1 — this EMPTIES the rotation backlog:
+  after this window every oracle-bearing query in the inventory has
+  driver-green history; from r12 the window cycles on age alone). In
+  (all 17 re-verified against the DuckDB oracle at sf0.001 + sf0.01
+  this session before declaring): the 8 r1-stale drills
+  ``a2_scalar_agg``, ``a5_grouping_sets``, ``o3_topn_limit``,
+  ``p2_filter_eq``, ``p7_in_list``, ``s1_scan_project``, ``tpch_q17``,
+  ``tpch_q22`` and the 9 never-driver oracle-bearing queries
+  ``a_unpivot``, ``chunk_content_defined``, ``corpus_mixture_plan``,
+  ``corpus_mixture_sample``, ``corpus_zorder_stats``,
+  ``dedup_embedding_cosine_ivf`` (shares the all-pairs oracle with
+  ``dedup_embedding_cosine`` — a driver-level hash match IS a fixture
+  recall-1.0 pin for the IVF candidate generator),
+  ``events_time_to_convert``, ``privacy_generalization``,
+  ``sample_weighted``. Out (all r10-green, capability stays
+  represented in-window or by a same-family oracle): ``a5_cube`` (A5
+  family → incoming ``a5_grouping_sets``), ``a_pivot`` (→ incoming
+  ``a_unpivot``), ``chunk_token_windows`` (chunking keeps
+  ``chunk_pack_bestfit`` + incoming ``chunk_content_defined``),
+  ``dedup_embedding_cosine`` (→ the IVF twin on the SAME oracle),
+  ``events_attribution`` (events keeps transitions/asof/bridge +
+  incoming time-to-convert), ``privacy_suppression`` (→ incoming
+  ``privacy_generalization``; both recompute the census),
+  ``sample_hash_bernoulli`` (sampling keeps cluster-safe split +
+  incoming ``sample_weighted``), ``corpus_dsir_select``
+  (data-selection → incoming mixture plan+sample rows),
+  ``dedup_repeated_spans`` (dedup keeps exact/containment/clusters/
+  cluster-trust; span capability oracle-held in EXTRA),
+  ``text_bigram_lm`` (text keeps quality-model/novelty/pii/bloom),
+  ``p10_case_trycast`` (CASE + try_cast run inside the in-window
+  flagship, reference daily.sql:29-41), ``p_scalar_subquery`` (scalar
+  subquery held by ``p4_watermark``; scalar agg → incoming
+  ``a2_scalar_agg``), ``j_semi_anti`` (semi/anti shapes run inside
+  in-window ``dedup_exact`` (left_semi) and
+  ``text_bloom_decontaminate`` (anti)), ``sessionize`` (events family
+  as above; the gap-window shape stays oracle-verified in EXTRA), and
+  ``tpch_q13``/``tpch_q18``/``tpch_q21`` (TPC-H keeps q15/q19 +
+  incoming q17/q22; top-N held by incoming ``o3_topn_limit``).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -360,34 +399,29 @@ DRIVER_QUERY_ORDER = [
     "flagship_daily_user_fact",
     # LLM-data-pipeline block
     "dedup_exact",
-    # r10: datasheet takes the profile row (one-row dataset card)
     "corpus_datasheet",
-    # r10: first-occurrence shingle novelty takes the tfidf text row
     "text_novelty",
-    "text_bigram_lm",
-    "dedup_repeated_spans",
-    # r10: asymmetric containment takes the span-decontam row
-    # (decontamination family keeps text_bloom_decontaminate)
+    # r11: z-order locality stats take the bigram-LM text row
+    "corpus_zorder_stats",
+    # r11: deterministic mixture sampler takes the repeated-spans row
+    # (span capability oracle-held in EXTRA; dedup keeps 4 rows)
+    "corpus_mixture_sample",
     "dedup_containment",
     "dedup_clusters",
-    # r10: blocked record linkage takes the edit-distance row (same
-    # Levenshtein-verify family, candidates-in/verdicts-out contract)
     "linkage_blocked_report",
-    # r10: band-excluded hard-negative mining takes the ANN cosine row
     "emb_hard_negatives",
-    "dedup_embedding_cosine",
+    # r11: IVF candidate generator on the SAME all-pairs oracle as the
+    # LSH default — a driver hash match doubles as a recall-1.0 pin
+    "dedup_embedding_cosine_ivf",
     "multimodal_meta",
-    # r10: integer RRF hybrid fusion takes the BM25 row (its oracle
-    # recomputes the full BM25 + query-likelihood rankings)
     "retrieval_rrf_fusion",
     "ann_ivf_pq",
     "a_approx_tier",
-    "sample_hash_bernoulli",
-    # r10: closure-keyed cluster-safe split takes the leakage-safe row
+    # r11: A-res weighted reservoir sampling takes the bernoulli row
+    "sample_weighted",
     "sample_split_cluster_safe",
-    "chunk_token_windows",
-    # r10: trust propagation takes the canonical-select row (same CC
-    # closure consumer family)
+    # r11: content-defined chunking takes the token-window row
+    "chunk_content_defined",
     "dedup_cluster_trust",
     "chunk_pack_bestfit",
     "text_pii_redact",
@@ -396,45 +430,46 @@ DRIVER_QUERY_ORDER = [
     # skew-mitigation family (plain-agg twin shares salted_agg's oracle,
     # held in EXTRA; the mitigated path keeps the driver row)
     "skew_salted_agg",
-    "events_attribution",
-    # r10: per-source quality gate takes the curation-report row
+    # r11: time-to-convert percentiles take the attribution row
+    "events_time_to_convert",
     "curation_source_gate",
     # custom operators / window & join shapes
-    "sessionize",
+    # r11: r1-stale IN-list drill takes the sessionize row (events
+    # family keeps transitions/time-to-convert/asof/bridge)
+    "p7_in_list",
     "asof_join",
-    # r10: the events→training-corpus bridge takes the funnel row
     "corpus_from_events",
-    # r9-new Markov transition kernel takes the events family's fourth
-    # row; cohort_value (r8-green) moves to EXTRA
     "events_transitions",
     "text_quality_model",
     "j1_foj_volume_chain",
-    "j_semi_anti",
+    # r11: r1-stale scan/project drill takes the semi/anti row (those
+    # shapes run inside dedup_exact (left_semi) and bloom (anti))
+    "s1_scan_project",
     "j4_seed_ci_join",
     "p4_watermark",
-    "p10_case_trycast",
-    "p_scalar_subquery",
-    "a5_cube",
-    "a_pivot",
+    # r11: r1-stale drills take the CASE/trycast + scalar-subquery rows
+    # (flagship runs both CASE and try_cast; p4 keeps scalar subquery)
+    "p2_filter_eq",
+    "a2_scalar_agg",
+    # r11: grouping-sets/unpivot take the cube/pivot twins' rows
+    "a5_grouping_sets",
+    "a_unpivot",
     "o5_set_ops",
-    # governance family: census-derived suppression audit (r10, takes the
-    # k-anonymity row which it recomputes) + shard manifest + the NEW
-    # export→re-read→verify round-trip audit
-    "privacy_suppression",
+    # r11: generalization-ladder audit takes the suppression row
+    "privacy_generalization",
     "corpus_shard_manifest",
     "corpus_shard_audit",
-    # data-selection family: the r9-new DSIR importance-selection row
-    # replaces the r3 greedy budget tier (corpus_mixture_select, r8-green,
-    # moves to EXTRA; plan/sample rows already live there)
-    "corpus_dsir_select",
+    # r11: the mixture PLAN row takes the DSIR data-selection slot
+    "corpus_mixture_plan",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
-    # TPC-H (r10: r1-stale q15/q19 take the r9-green q11/q16/q20 rows)
-    "tpch_q13",
+    # TPC-H (r11: r1-stale q17/q22 + the o3 top-N drill take the
+    # r10-green q13/q18/q21 rows)
+    "tpch_q17",
     "tpch_q15",
-    "tpch_q18",
+    "tpch_q22",
     "tpch_q19",
-    "tpch_q21",
+    "o3_topn_limit",
 ]
 
 DRIVER_WINDOW = 50

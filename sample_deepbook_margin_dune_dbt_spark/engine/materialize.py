@@ -65,6 +65,29 @@ def _split_merge_scope(
     return old.filter(in_scope), old.filter(~in_scope)
 
 
+def _touched_partition_predicate(touched_rows, partition_by: list[str]) -> F.Column:
+    """OR-of-ANDs predicate selecting exactly the touched partitions.
+
+    Uses NULL-SAFE equality (``<=>``): a NULL partition value lands in
+    Hive's ``__HIVE_DEFAULT_PARTITION__`` directory and must select that
+    partition's existing rows into the merge slice — plain ``=`` never
+    matches NULL, which would exclude the null partition from the
+    old-slice read while the new snapshot still overwrites (or, in the
+    versioned store, skip-links) its directory, silently dropping every
+    non-updated key there (ADVICE r10). Catalyst prunes partitions on
+    ``EqualNullSafe`` the same as on ``EqualTo``, so the predicate still
+    reaches the scan as partition pruning.
+    """
+    pred = None
+    for row in touched_rows:
+        clause = None
+        for c in partition_by:
+            cond = F.col(c).eqNullSafe(F.lit(row[c]))
+            clause = cond if clause is None else (clause & cond)
+        pred = clause if pred is None else (pred | clause)
+    return pred
+
+
 class TableStore:
     """A named-table store rooted at a directory; tables are parquet dirs.
 
@@ -107,12 +130,24 @@ class TableStore:
             "=" in f and os.path.isdir(os.path.join(p, f)) for f in os.listdir(p)
         )
 
-    def write_full(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+    def write_full(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        op: str = "overwrite",
+    ) -> None:
         """CREATE TABLE AS (first run / full refresh; SURVEY §2.1 S7, C8).
 
         Writes to a staging dir then atomically swaps, so a failed job never
         leaves a half-written table (the reference gets this from Trino CTAS
         atomicity).
+
+        ``op`` labels what the full rewrite IS semantically ("merge",
+        "replace_scope", "optimize", …); the plain store ignores it, the
+        versioned store records it in the commit manifest so the history
+        can distinguish a MERGE that took the full-rewrite path from a
+        user full refresh (ADVICE r10).
 
         Empty-input edge: a *partitioned* write of zero rows produces no
         files at all (no partition dirs, no schema), which would leave a
@@ -238,7 +273,7 @@ class TableStore:
             # full rewrite; write_full stages then swaps, so the result
             # (which reads the current table files) materializes before
             # the old directory is replaced
-            self.write_full(result, name, partition_by)
+            self.write_full(result, name, partition_by, op="merge")
 
     def replace_scope(
         self,
@@ -272,7 +307,7 @@ class TableStore:
         result = kept.unionByName(updates.select(*old.columns))
         # full rewrite via write_full's staging swap (same constraint as
         # merge: cannot stream onto the directory being read)
-        self.write_full(result, name, partition_by)
+        self.write_full(result, name, partition_by, op="replace_scope")
 
     def insert_overwrite(
         self,
@@ -330,13 +365,7 @@ class TableStore:
         if not touched:
             updates.unpersist()
             return
-        pred = None
-        for row in touched:
-            clause = None
-            for c in partition_by:
-                cond = F.col(c) == F.lit(row[c])
-                clause = cond if clause is None else (clause & cond)
-            pred = clause if pred is None else (pred | clause)
+        pred = _touched_partition_predicate(touched, partition_by)
 
         old_slice = self.read(name).filter(pred)
         old_slice, out_scope = _split_merge_scope(old_slice, incremental_predicates)
@@ -467,13 +496,13 @@ class TableStore:
             out = df.repartition(n, *[F.col(c) for c in parts])
             if cluster:
                 out = out.sortWithinPartitions(*[F.col(c) for c in parts], *cluster)
-            self.write_full(out, name, parts)
+            self.write_full(out, name, parts, op="optimize")
         else:
             if cluster:
                 out = df.repartitionByRange(n, *cluster).sortWithinPartitions(*cluster)
             else:
                 out = df.repartition(n)
-            self.write_full(out, name)
+            self.write_full(out, name, op="optimize")
 
     def vacuum(self, name: str, retain_hours: int = 168) -> None:
         """Snapshot cleanup (reference ``vacuum_table.sql:1-6``).

@@ -913,10 +913,20 @@ def cosine_pairs_ivf(
         .collect()
     )
     sample.sort(key=lambda r: r["i"])
+    if not sample:
+        raise ValueError(
+            "cosine_pairs_ivf: no vectors to train on (empty input or an "
+            "all-filtered training sample) — the IVF tier needs a non-empty "
+            "corpus; use the exact tier for degenerate inputs"
+        )
     x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0.0, 1.0, norms)
     centers = _np_kmeans_fast(x, min(n_lists, len(x)), seed=seed)
+    # the TRAINED center count is min(n_lists, |sample|); a corpus smaller
+    # than n_probes would otherwise push argpartition's kth out of bounds
+    # (ADVICE r10)
+    n_probes = min(n_probes, len(centers))
 
     # ---- 2. one Arrow pass: each vector → its n_probes nearest cells
     from pyspark.sql.functions import pandas_udf

@@ -36,10 +36,21 @@ in two ways over the naive ``(shard_id, batch_id)`` ledger:
    corpus merge completes; a crash after the corpus merge replays to an
    empty new set and the unconditional rollup repairs the manifest.
 
+3. **Fresh-checkpoint reconciliation.** The one hole the content key
+   leaves open: a crash BETWEEN the ledger merge and the corpus merge
+   orphans a ledger row, and a restart under a fresh checkpoint with
+   DIFFERENT batch composition (new files landed) ingests those docs
+   under a new batch_key while the orphan survives — overcounting the
+   manifest. :func:`reconcile_shard_ledger` recomputes the per-shard
+   truth from the corpus at fresh-checkpoint stream start (the only
+   window the hole can bite; the single writer is provably idle) and
+   rewrites ledger + manifest only on mismatch.
+
 The manifest therefore always equals one batch
 :func:`~..operators.export.shard_manifest` over the union of all drops
 (pinned by ``tests/test_streaming_export.py``, including the simulated
-mid-batch-crash and fresh-checkpoint-with-new-files replays).
+mid-batch-crash, fresh-checkpoint-with-new-files, and
+crash-then-fresh-checkpoint-with-new-files replays).
 
 Scale shape per micro-batch (batch ≪ corpus): the already-ingested probe
 scans the corpus once filtered by a BROADCAST of the batch's doc_ids
@@ -58,6 +69,79 @@ from ..engine.materialize import TableStore
 
 DELTAS_SUFFIX = "_shard_deltas"
 MANIFEST_SUFFIX = "_shard_manifest"
+
+
+def reconcile_shard_ledger(
+    store: TableStore,
+    corpus_table: str,
+    dlt_table: str,
+    man_table: str,
+    id_col: str,
+    text_col: str,
+) -> bool:
+    """Reconcile the delta ledger against the corpus; returns True if a
+    repair was applied.
+
+    Closes the one replay hole the content-keyed ledger leaves open
+    (ADVICE r10): a crash between the ledger merge and the corpus merge
+    leaves an ORPHAN ledger row (counts for docs never ingested). Under
+    the SAME checkpoint the replayed batch recomputes the identical doc
+    set → the identical ``batch_key`` overwrites the orphan — healed. But
+    under a FRESH checkpoint with DIFFERENT batch composition (new files
+    landed), the replay ingests those docs under a NEW batch_key while
+    the orphan row survives — a permanent manifest overcount.
+
+    The repair recomputes the per-shard truth from the corpus itself (the
+    corpus already carries ``shard_id``, so this is one scan + tokenize —
+    the cost of one batch manifest build) and, ONLY on mismatch, rewrites
+    the ledger as one ``batch_key='reconciled'`` row per shard and the
+    manifest to match. Called at fresh-checkpoint stream start — exactly
+    the scenario that can orphan a row, and a moment when the single
+    writer is provably not mid-batch; steady-state batches never pay the
+    corpus scan.
+    """
+    from ..operators.export import shard_manifest
+
+    if not store.exists(dlt_table):
+        return False
+    if not store.exists(corpus_table):
+        # ledger rows but no corpus at all: a first-batch crash left pure
+        # orphans — every row refers to docs never ingested
+        store.drop(dlt_table)
+        if store.exists(man_table):
+            store.drop(man_table)
+        return True
+
+    corpus = store.read(corpus_table)
+    truth = shard_manifest(corpus, "shard_id", text_col=text_col).join(
+        corpus.groupBy("shard_id").agg(F.max(id_col).alias(f"max_{id_col}")),
+        "shard_id",
+    )
+    folded = (
+        store.read(dlt_table)
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.bit_xor("content_xor").alias("content_xor"),
+            F.max(f"max_{id_col}").alias(f"max_{id_col}"),
+        )
+    )
+    cols = ["n_docs", "n_tokens", "n_chars", "content_xor", f"max_{id_col}"]
+    t = truth.alias("t")
+    l = folded.alias("l")
+    agree = None
+    for c in cols:
+        eq = F.col(f"t.{c}").eqNullSafe(F.col(f"l.{c}"))
+        agree = eq if agree is None else (agree & eq)
+    mismatches = t.join(l, "shard_id", "full_outer").filter(~agree).count()
+    if mismatches == 0:
+        return False
+    rebuilt = truth.withColumn("batch_key", F.lit("reconciled"))
+    store.write_full(rebuilt, dlt_table)
+    store.write_full(truth, man_table)
+    return True
 
 
 def shard_export_batch(
@@ -159,6 +243,15 @@ def stream_shard_export(
     """
     dlt_table = deltas_table or corpus_table + DELTAS_SUFFIX
     man_table = manifest_table or corpus_table + MANIFEST_SUFFIX
+
+    import os
+
+    if not os.path.isdir(checkpoint_dir):
+        # fresh checkpoint: the one moment an orphaned ledger row (crash
+        # between ledger merge and corpus merge, then a restart with
+        # DIFFERENT batch composition) could become a permanent manifest
+        # overcount — sweep it before the first batch (ADVICE r10)
+        reconcile_shard_ledger(store, corpus_table, dlt_table, man_table, id_col, text_col)
 
     stream = (
         spark.readStream.schema(schema)

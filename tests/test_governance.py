@@ -188,3 +188,26 @@ def test_generalization_ladder_rejects_bad_widths(spark, sf_dir):
         generalization_ladder(qi, ["event_type"], "value_band", [], "user_id")
     with pytest.raises(ValueError):
         generalization_ladder(qi, ["event_type"], "value_band", [10, 10], "user_id")
+
+
+def test_shard_audit_export_dir_cached_per_process(spark, sf_dir):
+    """ADVICE r10: repeated q_corpus_shard_audit invocations in one
+    session must reuse one export dir per (sf_dir, n_shards, salt)
+    instead of accumulating corpus-sized mkdtemp copies; results are
+    unchanged and all verdicts stay ok."""
+    from sample_deepbook_margin_dune_dbt_spark.queries import governanceq as G
+
+    G._AUDIT_EXPORT_CACHE.clear()
+    first = G.q_corpus_shard_audit(spark, sf_dir)
+    rows1 = sorted(map(tuple, first.collect()))
+    assert len(G._AUDIT_EXPORT_CACHE) == 1
+    path1 = next(iter(G._AUDIT_EXPORT_CACHE.values()))
+
+    second = G.q_corpus_shard_audit(spark, sf_dir)
+    rows2 = sorted(map(tuple, second.collect()))
+    assert len(G._AUDIT_EXPORT_CACHE) == 1
+    assert next(iter(G._AUDIT_EXPORT_CACHE.values())) == path1
+    assert rows2 == rows1
+    # earlier invocations' lazy DataFrames still evaluate (same files)
+    assert sorted(map(tuple, first.collect())) == rows1
+    assert all(r["docs_ok"] == 1 and r["xor_ok"] == 1 for r in second.collect())

@@ -1240,3 +1240,27 @@ def test_cosine_cap_loss_accounting_property(spark):
         assert exact.count() == len(group_sizes) + 2
 
     check()
+
+
+def test_ivf_pairs_tiny_and_empty_inputs(spark):
+    """ADVICE r10: n_probes must clamp to the TRAINED center count (a
+    corpus smaller than n_probes pushed argpartition's kth out of
+    bounds), and an empty input must raise a clear ValueError instead of
+    crashing k-means at rng.choice(0)."""
+    import pytest as _pytest
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_ivf(
+            tiny, "vec_id", "embedding", 0.9, n_lists=2, n_probes=8
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+    empty = tiny.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="no vectors to train"):
+        S.cosine_pairs_ivf(empty, "vec_id", "embedding", 0.9)

@@ -207,3 +207,84 @@ def test_stream_matches_batch_shard_assignment(spark, tmp_path):
         for r in assign_shards(df, "doc_id", N_SHARDS).collect()
     }
     assert got == want, "stream and batch must agree on every document's shard"
+
+
+def test_crash_then_fresh_checkpoint_with_new_files_reconciles(spark, tmp_path):
+    """ADVICE r10: crash BETWEEN the ledger merge and the corpus merge,
+    then restart under a FRESH checkpoint after NEW files landed. The
+    replayed batch has different composition (new batch_key), so the
+    orphaned ledger row (counts for docs never ingested) would survive
+    and overcount the manifest forever — the fresh-checkpoint
+    reconciliation sweep must repair it."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "wh")
+
+    _drop(landing, "a.jsonl", [1, 2, 3])
+    _run(spark, landing, TableStore(spark, root), str(tmp_path / "ckpt1"))
+
+    # crash between ledger merge (call 1) and corpus merge (call 2)
+    crashy = _CrashStore(spark, root, crash_on_merge_call=2)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _apply(crashy, _batch_df(spark, [4, 5]))
+
+    # new file lands; the restart uses a FRESH checkpoint → batch 0 covers
+    # {1..6}, whose new set {4,5,6} gets a batch_key ≠ the orphan's {4,5}
+    _drop(landing, "b.jsonl", [4, 5])
+    _drop(landing, "c.jsonl", [6])
+    store = TableStore(spark, root)
+    _run(spark, landing, store, str(tmp_path / "ckpt2"))
+
+    assert _manifest(store) == _batch_twin(spark, [1, 2, 3, 4, 5, 6])
+    assert {r["doc_id"] for r in store.read("corpus").collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_reconcile_noop_on_consistent_ledger(spark, tmp_path):
+    """The sweep must be a no-op (return False, tables untouched) when
+    ledger and corpus agree — fresh-checkpoint restarts of a healthy
+    store keep their batch-granular ledger history."""
+    from sample_deepbook_margin_dune_dbt_spark.streaming.export import (
+        reconcile_shard_ledger,
+    )
+
+    root = str(tmp_path / "wh")
+    store = TableStore(spark, root)
+    _apply(store, _batch_df(spark, [1, 2, 3]))
+    _apply(store, _batch_df(spark, [4, 5]))
+    keys_before = {
+        (r["shard_id"], r["batch_key"])
+        for r in store.read("corpus_shard_deltas").collect()
+    }
+    assert not reconcile_shard_ledger(
+        store, "corpus", "corpus_shard_deltas", "corpus_shard_manifest",
+        "doc_id", "text",
+    )
+    keys_after = {
+        (r["shard_id"], r["batch_key"])
+        for r in store.read("corpus_shard_deltas").collect()
+    }
+    assert keys_after == keys_before  # batch-granular history preserved
+
+
+def test_reconcile_first_batch_crash_orphans(spark, tmp_path):
+    """Ledger rows with NO corpus at all (first-batch crash) are pure
+    orphans: the sweep drops ledger + manifest so the fresh run starts
+    clean."""
+    from sample_deepbook_margin_dune_dbt_spark.streaming.export import (
+        reconcile_shard_ledger,
+    )
+
+    root = str(tmp_path / "wh")
+    crashy = _CrashStore(spark, root, crash_on_merge_call=2)  # corpus merge
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _apply(crashy, _batch_df(spark, [1, 2, 3]))
+    store = TableStore(spark, root)
+    assert store.exists("corpus_shard_deltas") and not store.exists("corpus")
+    assert reconcile_shard_ledger(
+        store, "corpus", "corpus_shard_deltas", "corpus_shard_manifest",
+        "doc_id", "text",
+    )
+    assert not store.exists("corpus_shard_deltas")

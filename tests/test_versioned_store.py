@@ -51,7 +51,10 @@ def test_every_sink_commits_a_version_and_time_travel(spark, store):
     store.append(_df(spark, [(4, "d", "d2")]), "t")
 
     assert [v["version"] for v in store.versions("t")] == [1, 2, 3]
-    assert [v["op"] for v in store.versions("t")] == ["overwrite", "overwrite", "append"]
+    # the unpartitioned MERGE routes through the full-rewrite path but is
+    # labeled as what it semantically IS (ADVICE r10: history must
+    # distinguish a MERGE from a user full refresh)
+    assert [v["op"] for v in store.versions("t")] == ["overwrite", "merge", "append"]
     assert _content(store.read("t", version=1)) == [(1, "a", "d1"), (2, "b", "d1")]
     assert _content(store.read("t", version=2)) == [
         (1, "a", "d1"), (2, "B", "d1"), (3, "c", "d2")
@@ -253,6 +256,114 @@ def test_optimize_commits_new_version(spark, store):
     before = store.file_count("t")
     store.optimize("t", target_files=1)
     assert store.file_count("t") == 1 and before > 1
-    assert [v["op"] for v in store.versions("t")][-1] == "overwrite"
+    assert [v["op"] for v in store.versions("t")][-1] == "optimize"
     assert len(_content(store.read("t"))) == 50
     assert len(_content(store.read("t", version=1))) == 50
+
+
+# --------------------------------------------------- r11: ADVICE/VERDICT r10
+
+
+def test_null_partition_values_survive_partitioned_merge(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__; a merge
+    touching that partition must carry its NON-updated keys forward
+    (plain `=` partition predicates never match NULL and silently dropped
+    them — ADVICE r10). Checked on BOTH stores against a full-refresh
+    oracle."""
+    rows0 = [(1, "a", "d1"), (2, "b", None), (3, "c", None), (4, "d", "d2")]
+    upd = [(2, "B", None), (5, "e", "d1")]
+    want_df = None
+    for cls, sub in ((TableStore, "p"), (VersionedTableStore, "v")):
+        store = cls(spark, str(tmp_path / sub))
+        store.write_full(_df(spark, rows0), "t", partition_by=["day"])
+        store.merge(_df(spark, upd), "t", ["k"], partition_by=["day"])
+        got = _content(store.read("t").select("k", "v", "day"))
+        # k=3 lives in the null partition and was NOT updated: must survive
+        assert got == [
+            (1, "a", "d1"), (2, "B", None), (3, "c", None),
+            (4, "d", "d2"), (5, "e", "d1"),
+        ], f"{cls.__name__}: null-partition rows lost"
+        if want_df is None:
+            want_df = got
+        else:
+            assert got == want_df
+
+
+def test_concurrent_second_writer_fails_loudly(spark, store):
+    """VERDICT r10 item 3: the single-writer contract is self-enforcing —
+    a lock held by another (live) process makes every sink raise
+    ConcurrentWriteError instead of silently orphaning a snapshot."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.versioned import (
+        ConcurrentWriteError,
+    )
+
+    store.write_full(_df(spark, [(1, "a", "d1")]), "t")
+    # simulate a live concurrent writer: a lock owned by THIS pid but held
+    # by a DIFFERENT store instance (instance-level re-entrancy must not
+    # bypass the file check)
+    lock = store._lock_path("t")
+    with open(lock, "w") as f:
+        f.write(f"pid={os.getpid()} ts={time.time()}")
+    try:
+        other = VersionedTableStore(spark, store.root)
+        with pytest.raises(ConcurrentWriteError, match="locked by another writer"):
+            other.write_full(_df(spark, [(2, "b", "d1")]), "t")
+        with pytest.raises(ConcurrentWriteError):
+            other.merge(_df(spark, [(2, "b", "d1")]), "t", ["k"])
+        with pytest.raises(ConcurrentWriteError):
+            other.append(_df(spark, [(2, "b", "d1")]), "t")
+    finally:
+        os.remove(lock)
+    # lock released → writes proceed, history is clean
+    store.merge(_df(spark, [(2, "b", "d1")]), "t", ["k"])
+    assert len(store.versions("t")) == 2
+
+
+def test_stale_lock_reclaimed_by_vacuum(spark, store):
+    """A lock left by a CRASHED writer (dead pid) blocks writes until
+    vacuum reclaims it; a lock with a LIVE owner survives vacuum."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.versioned import (
+        ConcurrentWriteError,
+    )
+
+    store.write_full(_df(spark, [(1, "a", "d1")]), "t")
+    lock = store._lock_path("t")
+    with open(lock, "w") as f:
+        f.write("pid=999999999 ts=0")  # no such pid
+    other = VersionedTableStore(spark, store.root)
+    with pytest.raises(ConcurrentWriteError):
+        other.write_full(_df(spark, [(2, "b", "d1")]), "t")
+    store.vacuum("t")  # dead owner → reclaimed
+    assert not os.path.exists(lock)
+    other.write_full(_df(spark, [(2, "b", "d1")]), "t")
+    assert len(store.versions("t")) == 2
+    # live-owner lock: vacuum must NOT touch it
+    with open(lock, "w") as f:
+        f.write(f"pid={os.getpid()} ts={time.time()}")
+    store.vacuum("t")
+    assert os.path.exists(lock)
+    os.remove(lock)
+
+
+def test_crash_inside_locked_commit_releases_lock(spark, store):
+    """The lock is released on ANY exit from the commit window — a failed
+    write must not wedge the table."""
+    store.write_full(_df(spark, [(1, "a", "d1")]), "t")
+    bad = _df(spark, [(2, "b", "d1")]).selectExpr("k", "assert_true(k < 0) as v", "day")
+    with pytest.raises(Exception):
+        store.merge(bad, "t", ["k"])
+    assert not os.path.exists(store._lock_path("t"))
+    store.merge(_df(spark, [(2, "b", "d1")]), "t", ["k"])
+    assert len(store.versions("t")) == 2
+
+
+def test_diff_empty_history_raises_cleanly(spark, store):
+    with pytest.raises(ValueError, match="no committed versions"):
+        store.diff("nope", "k", ["v"])
+
+
+def test_replace_scope_op_label(spark, store):
+    store.write_full(_df(spark, [(1, "a", "d1"), (2, "b", "d1")]), "t")
+    scope = _df(spark, [(1, "a", "d1")]).select("k")
+    store.replace_scope(_df(spark, [(1, "A", "d1")]), "t", scope, ["k"])
+    assert [v["op"] for v in store.versions("t")] == ["overwrite", "replace_scope"]

@@ -23,7 +23,7 @@
   window every oracle-bearing query in the inventory has driver-green
   history — from r12 the window cycles on age alone. Everything rotated
   out stays oracle-checked by ``tests/test_oracle_parity.py`` over the
-  full 149-query inventory (142 oracle-bearing + 7 rows-only) under the
+  full 150-query inventory (143 oracle-bearing + 7 rows-only) under the
   r8-tightened type gate (no TIMESTAMPTZ leniency; exact decimal
   precision/scale).
 

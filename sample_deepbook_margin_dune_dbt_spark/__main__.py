@@ -36,6 +36,27 @@ def _parse_sources(pairs: list[str]) -> dict[str, str]:
     return out
 
 
+def _parse_as_of(raw: str) -> float:
+    """``--as-of`` value → epoch seconds: a float literal passes through;
+    otherwise ISO-8601 (a naive timestamp is read as UTC, matching the
+    engine's pinned session timezone)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(raw)
+    except ValueError:
+        raise SystemExit(
+            f"--as-of expects epoch seconds or ISO-8601, got {raw!r}"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 def _parse_vars(pairs: list[str]) -> dict[str, object]:
     """dbt ``--vars``: either repeatable ``key=value`` pairs (values stay
     strings) or a single ``'{k: v}'`` YAML/JSON mapping literal (values
@@ -199,6 +220,18 @@ def main(argv: list[str] | None = None) -> int:
     show_p.add_argument("--schema-suffix", default="")
     show_p.add_argument("--inline", required=True, help="SQL to run")
     show_p.add_argument("--limit", type=int, default=20)
+    show_p.add_argument(
+        "--versioned",
+        action="store_true",
+        help="read a manifest-versioned warehouse (enables --as-of)",
+    )
+    show_p.add_argument(
+        "--as-of",
+        default=None,
+        help="time-travel: run the SQL against every table AS OF this "
+        "instant (epoch seconds or ISO-8601, naive = UTC) — Delta "
+        "TIMESTAMP AS OF over the whole warehouse; requires --versioned",
+    )
 
     ls_p = sub.add_parser("ls", help="list registered models")
     ls_p.add_argument("--select", default=None, help="selector (same syntax as run)")
@@ -307,6 +340,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "show":
         # reference lifecycle entry point 3: dbt show --inline / ad-hoc SELECT
+        as_of = getattr(args, "as_of", None)
+        if as_of is not None:
+            if not getattr(args, "versioned", False):
+                print("--as-of requires --versioned (the plain store keeps no history)")
+                return 2
+            store.sql(args.inline, as_of_ts=_parse_as_of(as_of)).show(
+                args.limit, truncate=False
+            )
+            return 0
         store.sql(args.inline).show(args.limit, truncate=False)
         return 0
 

@@ -394,11 +394,31 @@ class ModelContext:
             reader = reader.schema(spec["schema"])
         return reader.load(spec["path"])
 
-    def ref(self, name: str) -> DataFrame:
+    def ref(
+        self,
+        name: str,
+        as_of: float | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """dbt ``ref()``; on a versioned store it additionally accepts the
+        Delta time-travel selectors (``SELECT … TIMESTAMP AS OF`` /
+        ``VERSION AS OF`` — the "build against yesterday's upstream"
+        move): ``as_of`` (epoch seconds) or ``version``. On a plain store
+        a time-travel request fails loudly rather than silently reading
+        the current table."""
         if name not in self.current.deps:
             raise ValueError(
                 f"model {self.current.name!r} refs {name!r} but does not declare it in deps"
             )
+        if as_of is not None or version is not None:
+            try:
+                return self.store.read(name, version=version, as_of_ts=as_of)
+            except TypeError:
+                raise ValueError(
+                    f"ref({name!r}, as_of/version=…) requires a versioned "
+                    "store (run with --versioned); the plain TableStore "
+                    "keeps no history"
+                ) from None
         if (
             self.defer_store is not None
             and not self.store.exists(name)

@@ -494,3 +494,26 @@ class VersionedTableStore(TableStore):
         return sorted(
             f for f in os.listdir(base) if not f.startswith(".") and self.exists(f)
         )
+
+    # ----------------------------------------------------- ad hoc time travel
+
+    def register_views(self, as_of_ts: float | None = None) -> list[str]:
+        """Register warehouse tables as temp views, optionally AT a past
+        instant — the "query the warehouse as it was yesterday" move
+        (Delta ``TIMESTAMP AS OF`` applied uniformly to every view).
+        Tables that did not exist yet at ``as_of_ts`` are skipped."""
+        if as_of_ts is None:
+            return super().register_views()
+        names: list[str] = []
+        for name in self.tables():
+            try:
+                df = self.read(name, as_of_ts=as_of_ts)
+            except ValueError:  # no version existed at that instant
+                continue
+            df.createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    def sql(self, query: str, as_of_ts: float | None = None) -> DataFrame:
+        self.register_views(as_of_ts)
+        return self.spark.sql(query)

@@ -650,6 +650,53 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", ["text", "lang"])
 
 
+# per-process cache for q_corpus_version_diff: abs sf_dir -> (warehouse, store)
+_VDIFF_STORE_CACHE: dict[str, object] = {}
+
+
+def q_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-diff THROUGH the manifest-versioned store's commit history
+    (VERDICT r10 item 4): the same two deterministic corpus snapshots as
+    :func:`q_corpus_snapshot_diff`, but committed as VERSION 1 and
+    VERSION 2 of one ``VersionedTableStore`` table and diffed via
+    ``store.diff(v_old=1, v_new=2)`` — the lakehouse "what changed in
+    this commit?" audit as a consumer-facing query. The oracle is
+    byte-identical to the path-pair variant's, so a driver/parity hash
+    match pins ``diff(v1, v2) ≡ snapshot_diff`` of materialized copies.
+
+    The tiny versioned warehouse is cached per-process per sf_dir (same
+    lifecycle discipline as ``q_corpus_shard_audit``): versions are
+    immutable, so later invocations and earlier lazy DataFrames all read
+    the same committed snapshots.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.versioned import VersionedTableStore
+
+    key = os.path.abspath(sf_dir)
+    store = _VDIFF_STORE_CACHE.get(key)
+    if store is None:
+        root = tempfile.mkdtemp(prefix="corpus_version_diff_")
+        atexit.register(shutil.rmtree, root, True)
+        store = VersionedTableStore(spark, root)
+        docs = load(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 13 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        new = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text", "lang")
+        store.write_full(old, "corpus_snap")
+        store.write_full(new, "corpus_snap")
+        _VDIFF_STORE_CACHE[key] = store
+    return store.diff("corpus_snap", "doc_id", ["text", "lang"], v_old=1, v_new=2)
+
+
 SQL_SNAPSHOT_DIFF = """
 WITH old AS (
     SELECT doc_id,
@@ -676,6 +723,7 @@ CURATION_QUERIES = {
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "corpus_curriculum": (q_corpus_curriculum, _curriculum_sql()),
     "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "corpus_version_diff": (q_corpus_version_diff, SQL_SNAPSHOT_DIFF),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII),
     "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE),

@@ -71,6 +71,17 @@ DELTAS_SUFFIX = "_shard_deltas"
 MANIFEST_SUFFIX = "_shard_manifest"
 
 
+def _mismatch_count(a: DataFrame, b: DataFrame, key: str, cols: list[str]) -> int:
+    """Rows where two keyed tiny tables disagree on any of ``cols``
+    (null-safe, full-outer — a key present on one side only counts)."""
+    ta, tb = a.alias("a"), b.alias("b")
+    agree = None
+    for c in cols:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        agree = eq if agree is None else (agree & eq)
+    return ta.join(tb, key, "full_outer").filter(~agree).count()
+
+
 def reconcile_shard_ledger(
     store: TableStore,
     corpus_table: str,
@@ -129,14 +140,7 @@ def reconcile_shard_ledger(
         )
     )
     cols = ["n_docs", "n_tokens", "n_chars", "content_xor", f"max_{id_col}"]
-    t = truth.alias("t")
-    l = folded.alias("l")
-    agree = None
-    for c in cols:
-        eq = F.col(f"t.{c}").eqNullSafe(F.col(f"l.{c}"))
-        agree = eq if agree is None else (agree & eq)
-    mismatches = t.join(l, "shard_id", "full_outer").filter(~agree).count()
-    if mismatches == 0:
+    if _mismatch_count(truth, folded, "shard_id", cols) == 0:
         return False
     rebuilt = truth.withColumn("batch_key", F.lit("reconciled"))
     store.write_full(rebuilt, dlt_table)
@@ -197,7 +201,12 @@ def shard_export_batch(
         new.unpersist()
     # the manifest is ALWAYS the rollup of the ledger — running it even on
     # empty-new batches repairs a manifest left stale by a crash between
-    # the corpus merge and the rollup of a prior attempt
+    # the corpus merge and the rollup of a prior attempt. The merge itself
+    # is guarded by a tiny (n_shards-row) no-change compare so an
+    # at-least-once REPLAY of an identical batch writes nothing — on a
+    # VersionedTableStore that is what keeps version count == distinct
+    # effective batches (VERDICT r10 item 7) instead of one no-op version
+    # per redelivery.
     if store.exists(dlt_table):
         manifest = (
             store.read(dlt_table)
@@ -210,6 +219,11 @@ def shard_export_batch(
                 F.max(f"max_{id_col}").alias(f"max_{id_col}"),
             )
         )
+        cols = ["n_docs", "n_tokens", "n_chars", "content_xor", f"max_{id_col}"]
+        if store.exists(man_table) and _mismatch_count(
+            manifest, store.read(man_table), "shard_id", cols
+        ) == 0:
+            return
         store.merge(manifest, man_table, ["shard_id"])
 
 

@@ -898,7 +898,20 @@ def cosine_pairs_ivf(
 
     n = n_vectors if n_vectors is not None else df.count()
     if n_lists is None:
-        n_lists = max(8, min(4096, int(math.ceil(n * n_probes / target_occupancy))))
+        wanted = max(8, int(math.ceil(n * n_probes / target_occupancy)))
+        n_lists = min(4096, wanted)
+        if wanted > n_lists:
+            import warnings
+
+            warnings.warn(
+                f"cosine_pairs_ivf: n_lists clamp binds ({wanted} wanted, "
+                f"{n_lists} used) — expected bucket occupancy rises to "
+                f"~{n * n_probes / n_lists:.0f} vs target {target_occupancy}, "
+                "and in-bucket pair expansion is QUADRATIC in occupancy; "
+                "pass n_lists explicitly (train_sample must stay ≥ n_lists) "
+                "for corpora this size",
+                stacklevel=2,
+            )
     n_probes = min(n_probes, n_lists)
 
     # ---- 1. train spherical k-means on a bounded deterministic sample

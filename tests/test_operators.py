@@ -1264,3 +1264,26 @@ def test_ivf_pairs_tiny_and_empty_inputs(spark):
     empty = tiny.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="no vectors to train"):
         S.cosine_pairs_ivf(empty, "vec_id", "embedding", 0.9)
+
+
+def test_ivf_n_lists_clamp_warns(spark):
+    """The 4096 n_lists cap must warn when it binds (the r8 lsh_autotune
+    clamp discipline): occupancy — the quadratic axis — silently rising
+    past target is the corpus-scale failure mode the 1000x probe hit."""
+    import warnings as _warnings
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        # n_vectors lies high so the wanted sizing exceeds the cap without
+        # building a huge fixture (the warning fires at sizing time,
+        # before training — a later tiny-sample error is irrelevant here)
+        try:
+            S.cosine_pairs_ivf(
+                df, "vec_id", "embedding", 0.9, n_vectors=2_000_000, train_sample=50
+            )
+        except ValueError:
+            pass
+        assert any("n_lists clamp binds" in str(x.message) for x in w)

@@ -106,6 +106,59 @@ def make_documents_streamed(copies: int = 1000) -> str:
     return out
 
 
+def make_embeddings_streamed(copies: int = 1000) -> str:
+    """Large-N embeddings fixture WITHOUT materializing all copies in RAM:
+    the same per-copy random-orthogonal rotation as :func:`main` (every
+    within-copy pairwise cosine preserved, copies decorrelated), written
+    copy-by-copy through a ParquetWriter — memory stays one copy
+    regardless of N (1000× ≈ 2M vectors / ~0.5 GB parquet)."""
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    e = np.array([np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()])
+    lab = np.asarray(t["label"].to_pylist(), dtype=np.int32)
+    vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    rng = np.random.RandomState(7)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_fixtures",
+        f"sf0.1x{copies}",
+    )
+    os.makedirs(out, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    n = 0
+    with pq.ParquetWriter(f"{out}/embeddings.parquet", schema) as w:
+        for c in range(copies):
+            if c == 0:
+                ec = e
+            else:
+                q, _ = np.linalg.qr(rng.standard_normal((e.shape[1], e.shape[1])))
+                ec = (e @ q).astype(np.float32)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(vid + c * 10_000_000, pa.int64()),
+                        "embedding": pa.array(
+                            [v.tolist() for v in ec], pa.list_(pa.float32())
+                        ),
+                        "label": pa.array(lab, pa.int32()),
+                    },
+                    schema=schema,
+                )
+            )
+            n += len(ec)
+    for name in SIBLINGS:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.islink(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"{out}: {n} embeddings")
+    return out
+
+
 def make_events(copies: int = 10) -> str:
     """N× events fixture for the event-analytics scale study: copy c
     offsets user_id (and event_id) by c·10⁷, keeping timestamps, types,
@@ -192,4 +245,5 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "events":
         make_events(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
-        main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        (make_embeddings_streamed if n > 100 else main)(n)

@@ -217,11 +217,46 @@ def _shingle_self_intersections(
     pages but not a resident hash build; below that floor the only
     lever is memory ∝ data per core, which is how a real cluster is
     sized.
+
+    ``strategy="bucketed"`` (r11) stages the (_id, _fp) projection ONCE as
+    a bucketed+sorted managed table (``bucketBy(_fp) sortBy(_fp)``) and
+    self-joins two reads of it: the join plans as a bucket-local
+    sort-merge — NO exchange, NO sort, NO resident hash build — which is
+    the measured fix for the fourth-decade per-task memory floor
+    (PERF.md r11: the 1000× fixture's self-join PASSES at the 8 GB heap
+    every shuffle strategy failed at, 1 Exchange in the whole plan). At
+    warehouse scale this is the "maintain the fingerprint projection as
+    a bucketed table" design — the write amortizes across every dedup
+    query that self-joins on the fingerprint.
     """
-    if strategy not in ("shuffle_hash", "merge"):
-        raise ValueError(f"strategy must be shuffle_hash|merge, got {strategy!r}")
-    a = sh.alias("a")
-    b = sh.hint(strategy).alias("b")
+    if strategy == "bucketed":
+        import os
+        import shutil
+
+        from ..engine.bucketing import write_bucketed
+
+        spark = sh.sparkSession
+        tbl = "_dedup_fp_bucketed_staging"
+        # a fresh session's in-memory catalog forgets the table but its
+        # warehouse dir survives on disk; clear both or the CTAS errors
+        # with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(wh.removeprefix("file:"), tbl)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(sh, tbl, n_buckets, ["_fp"], sort_by=["_fp"])
+        sh = spark.table(tbl)
+        a = sh.alias("a")
+        b = sh.alias("b")
+    elif strategy in ("shuffle_hash", "merge"):
+        a = sh.alias("a")
+        b = sh.hint(strategy).alias("b")
+    else:
+        raise ValueError(
+            f"strategy must be shuffle_hash|merge|bucketed, got {strategy!r}"
+        )
     return (
         a.join(b, (F.col("a._fp") == F.col("b._fp")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))

@@ -224,6 +224,15 @@ BENCH_QUERIES = [
     "o3_topn_limit",
     "tpch_q17",
     "tpch_q22",
+    # r11 continuation: the new eval-governance family — exact-integer
+    # IR metrics (run + qrels + metrics in one plan) and the
+    # reverse-direction benchmark-leakage containment report
+    "retrieval_eval_metrics",
+    "benchmark_leakage_report",
+    # r11 continuation: commit-history version diff (first call builds
+    # the two-version store — cached per process, same discipline as
+    # corpus_shard_audit; the timed runs measure the diff read path)
+    "corpus_version_diff",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -22,7 +22,7 @@ shuffle equi-join on the shingle — the code path is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _spread, shingles, shingles_vectorized
@@ -73,4 +73,97 @@ def ngram_overlap(
         agg.withColumn("overlap", overlap)
         .withColumn("contaminated", F.col("overlap") >= threshold)
         .select(id_col, "n_shingles", "n_hits", "overlap", "contaminated")
+    )
+
+
+def benchmark_leakage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_e6: int = 500_000,
+    vectorized: bool = True,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """REVERSE-direction decontamination: per BENCHMARK document, the
+    evidence that the training corpus leaks it.
+
+    :func:`ngram_overlap` answers the corpus-side question ("which
+    training docs must be dropped"); this answers the eval-governance
+    one ("which benchmark items are compromised, and by whom") — the
+    artifact an eval owner reads before trusting a score. For each
+    benchmark document: how many corpus documents contain ≥
+    ``threshold_e6``/1e6 of its distinct n-gram shingles (asymmetric
+    containment ``|S_b ∩ S_c| · 1e6 div |S_b|`` — exact integer,
+    cross-engine hash-stable), plus the worst offender (max containment,
+    lowest corpus id on ties) and a ``leaked`` verdict. Benchmark rows
+    with no leak still appear (n_leaking_docs = 0, top_doc_id = -1).
+
+    Scale shape: the benchmark's (bench_id, shingle) rows broadcast
+    (suites are bounded by nature — same contract as
+    :func:`ngram_overlap`); the corpus streams map-side through the
+    probe, so the only corpus-proportional exchange is the matched-row
+    groupBy keyed (bench_id, corpus_id) — benchmark-bounded × dup
+    factor. ``broadcast_bench=False`` is the measured fallback for
+    benchmark sets that outgrow broadcast (the r10 fourth-decade finding
+    on ``decontaminate_spans``): a shuffle-hash equi-join on the shingle
+    with identical output, pinned by parity test.
+    """
+    _sh_fn = shingles_vectorized if vectorized else shingles
+    bench_sh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(_sh_fn(F.col(text_col), n)).alias("_s"),
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    corpus_sh = _spread(corpus.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(_sh_fn(F.col(text_col), n)).alias("_s"),
+    )
+    probe = F.broadcast(bench_sh) if broadcast_bench else bench_sh.hint("shuffle_hash")
+    inter = (
+        corpus_sh.join(probe, "_s")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    leaks = (
+        inter.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "containment_e6",
+            F.expr("(n_inter * 1000000L) div n_shingles").cast("long"),
+        )
+        .filter(F.col("containment_e6") >= threshold_e6)
+    )
+    top_w = Window.partitionBy("bench_id").orderBy(
+        F.desc("containment_e6"), F.asc("corpus_id")
+    )
+    per_bench = (
+        leaks.withColumn("_rn", F.row_number().over(top_w))
+        .groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leaking_docs"),
+            F.max(
+                F.when(F.col("_rn") == 1, F.col("corpus_id"))
+            ).alias("top_doc_id"),
+            F.max(
+                F.when(F.col("_rn") == 1, F.col("containment_e6"))
+            ).alias("top_containment_e6"),
+        )
+    )
+    return (
+        bench_sizes.join(per_bench, "bench_id", "left")
+        .select(
+            "bench_id",
+            "n_shingles",
+            F.coalesce("n_leaking_docs", F.lit(0)).cast("long").alias(
+                "n_leaking_docs"
+            ),
+            F.coalesce("top_doc_id", F.lit(-1)).cast("long").alias("top_doc_id"),
+            F.coalesce("top_containment_e6", F.lit(0)).cast("long").alias(
+                "top_containment_e6"
+            ),
+            (F.coalesce("n_leaking_docs", F.lit(0)) > 0).alias("leaked"),
+        )
     )

@@ -350,6 +350,17 @@ driver query moved to ``EXTRA_QUERIES``:
   ``tpch_q13``/``tpch_q18``/``tpch_q21`` (TPC-H keeps q15/q19 +
   incoming q17/q22; top-N held by incoming ``o3_topn_limit``).
 
+- round 11 continuation (new capability family, EXTRA first per the
+  house protocol — new families enter EXTRA with two-SF oracle parity
+  and rotate into the driver window the following round):
+  ``retrieval_eval_metrics`` (exact-integer IR metrics — recall@k /
+  precision@k / MRR / MAP / nDCG@k — for a multi-query retrieval run
+  vs graded qrels, ``operators/ir_eval.py``: the eval side of the
+  retrieval loop) and ``benchmark_leakage_report``
+  (reverse-direction decontamination: per BENCHMARK doc, which corpus
+  docs contain it by asymmetric shingle containment, worst offender +
+  verdict — complements the corpus-side ``text_decontaminate``).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -360,6 +371,7 @@ from __future__ import annotations
 from .approx import APPROX_QUERIES
 from .chunkingq import CHUNKING_QUERIES
 from .curation import CURATION_QUERIES
+from .evalq import EVAL_QUERIES
 from .eventseq import EVENTSEQ_QUERIES
 from .governanceq import GOVERNANCE_QUERIES
 from .llmops import LLMOPS_QUERIES
@@ -391,6 +403,7 @@ _MERGED = {
     **RETRIEVAL_QUERIES,
     **NOVELTY_QUERIES,
     **GOVERNANCE_QUERIES,
+    **EVAL_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

@@ -1330,3 +1330,104 @@ def test_jaccard_bucketed_strategy_parity_and_plan(spark, sf_dir):
     # one exchange total (the pair agg); the join children are bucketed scans
     assert plan.count("Exchange") <= 1, plan
     assert "SortMergeJoin" in plan, plan
+
+
+# ------------------------------------------------------- IR eval metrics
+
+
+def test_ir_metrics_hand_computed(spark):
+    """Tiny hand-checked example: q1 perfect ranking, q2 one late hit,
+    q3 judged but never retrieved."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import ir_eval as IR
+
+    run = spark.createDataFrame(
+        [
+            ("q1", 10, 1), ("q1", 11, 2), ("q1", 99, 3),
+            ("q2", 98, 1), ("q2", 20, 2),
+        ],
+        "query_id string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10, 2), ("q1", 11, 1), ("q2", 20, 1), ("q3", 30, 1)],
+        "query_id string, doc_id long, rel long",
+    )
+    out = {r["query_id"]: r.asDict() for r in IR.ir_metrics(run, qrels, k=3).collect()}
+    assert set(out) == {"q1", "q2", "q3"}
+
+    w = IR.dcg_weights_e6(3)  # [1e6, 630930, 500000]
+    # q1: hits at ranks 1 (rel 2) and 2 (rel 1) -> recall 2/2, P@3 2/3
+    q1 = out["q1"]
+    assert q1["n_rel"] == 2 and q1["n_hits"] == 2
+    assert q1["recall_e6"] == 1_000_000
+    assert q1["precision_e6"] == 666_666
+    assert q1["rr_e6"] == 1_000_000
+    # AP = (1/1 + 2/2) / min(2,3) = 1.0 in micro-units (int div exact)
+    assert q1["ap_e6"] == 1_000_000
+    # DCG = 3*w1 + 1*w2 ; ideal ranking identical -> nDCG = 1
+    assert q1["ndcg_e6"] == 1_000_000
+    # q2: single relevant doc hit at rank 2
+    q2 = out["q2"]
+    assert q2["n_hits"] == 1 and q2["rr_e6"] == 500_000
+    assert q2["recall_e6"] == 1_000_000
+    assert q2["ap_e6"] == (1 * 1_000_000) // 2  # precision@2 / min(1,3)
+    assert q2["ndcg_e6"] == (1 * w[1]) * 1_000_000 // (1 * w[0])
+    # q3: judged, zero retrieved -> all zeros but present
+    q3 = out["q3"]
+    assert q3["n_hits"] == 0 and q3["rr_e6"] == 0 and q3["ndcg_e6"] == 0
+    assert q3["recall_e6"] == 0 and q3["ap_e6"] == 0
+
+
+def test_ir_metrics_ignores_ranks_beyond_k(spark):
+    from sample_deepbook_margin_dune_dbt_spark.operators import ir_eval as IR
+
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 3, 1)], "query_id string, doc_id long, rel long"
+    )
+    row = IR.ir_metrics(run, qrels, k=2).collect()[0]
+    # the only relevant doc sits at rank 3 — invisible at k=2
+    assert row["n_hits"] == 0 and row["recall_e6"] == 0
+
+
+# --------------------------------------------------- benchmark leakage
+
+
+def test_benchmark_leakage_verdicts_and_fallback_parity(spark):
+    from sample_deepbook_margin_dune_dbt_spark.operators import contamination as C
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # contains bench 100
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "totally different words about unrelated engine topics here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # leaked by 1 and 2
+            (200, "words never appearing anywhere in that training corpus x"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["bench_id"]: r.asDict()
+        for r in C.benchmark_leakage(corpus, bench, "doc_id", "text").collect()
+    }
+    assert rep[100]["leaked"] and rep[100]["n_leaking_docs"] == 2
+    # full containment in both; tiebreak picks the LOWEST corpus id
+    assert rep[100]["top_doc_id"] == 1
+    assert rep[100]["top_containment_e6"] == 1_000_000
+    assert not rep[200]["leaked"] and rep[200]["top_doc_id"] == -1
+
+    # shuffle fallback (the bounded-benchmark broadcast's measured escape
+    # hatch) must produce the identical report
+    fb = C.benchmark_leakage(
+        corpus, bench, "doc_id", "text", broadcast_bench=False
+    )
+    assert sorted(map(tuple, fb.collect())) == sorted(
+        map(tuple, C.benchmark_leakage(corpus, bench, "doc_id", "text").collect())
+    )

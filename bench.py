@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     # reverse-direction benchmark-leakage containment report
     "retrieval_eval_metrics",
     "benchmark_leakage_report",
+    # r11 continuation: forecasting-safe temporal split + straddle audit
+    "sample_split_temporal",
     # r11 continuation: commit-history version diff (first call builds
     # the two-version store — cached per process, same discipline as
     # corpus_shard_audit; the timed runs measure the diff read path)

@@ -172,3 +172,47 @@ def weighted_sample(
         .filter(F.col("_wrn") <= n)
         .drop("_wk", "_wrn")
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_us_col: F.Column | str,
+    train_frac_e6: int = 800_000,
+) -> DataFrame:
+    """Time-based train/holdout split: events before the cutoff train,
+    events at/after it are held out — the forecasting-safe split for
+    sequence/recommendation models, where a hash split (random in time)
+    leaks the future into training.
+
+    The cutoff is a pure integer function of the data's own time range:
+    ``min_us + (max_us − min_us) · train_frac_e6 div 1e6`` — exact on
+    both engines, stable under replay, no wall clock. Adds ``split``
+    ('train' | 'holdout') to every row.
+
+    Scale shape: one ungrouped min/max aggregation (map-side combined to
+    a single row — the watermark-scalar pattern), broadcast back via a
+    single-row crossJoin; the assignment itself is a narrow map. At
+    100 TB the scalar pass and the labeled pass both stream; persist the
+    scalar if the caller runs many splits.
+    """
+    ts = F.col(ts_us_col) if isinstance(ts_us_col, str) else ts_us_col
+    scalars = df.agg(
+        F.min(ts).cast("long").alias("_min_us"),
+        F.max(ts).cast("long").alias("_max_us"),
+    )
+    return (
+        df.crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "_cut_us",
+            F.expr(
+                f"_min_us + ((_max_us - _min_us) * {train_frac_e6}L) div 1000000L"
+            ),
+        )
+        .withColumn(
+            "split",
+            F.when(ts < F.col("_cut_us"), F.lit("train")).otherwise(
+                F.lit("holdout")
+            ),
+        )
+        .drop("_min_us", "_max_us", "_cut_us")
+    )

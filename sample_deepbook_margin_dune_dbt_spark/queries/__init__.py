@@ -360,6 +360,12 @@ driver query moved to ``EXTRA_QUERIES``:
   (reverse-direction decontamination: per BENCHMARK doc, which corpus
   docs contain it by asymmetric shingle containment, worst offender +
   verdict — complements the corpus-side ``text_decontaminate``).
+  Also ``sample_split_temporal`` (forecasting-safe time split with the
+  per-user straddle audit — the leakage mode hash splits can't see;
+  exact-integer cutoff from the data's own range) and
+  ``emb_diversity_coreset`` (k-center greedy farthest-first traversal,
+  rows-only: greedy recursion is not SQL-expressible; planted-cluster,
+  radius-monotonicity and NumPy-twin pins in tests).
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver

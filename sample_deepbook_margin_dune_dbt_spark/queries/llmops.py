@@ -1273,6 +1273,23 @@ GROUP BY doc_id, n_tokens, span_id
 """
 
 
+def q_emb_diversity_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy diversity selection over the embeddings table
+    (k=16): the coreset/farthest-first traversal — 16 maximally-diverse
+    representatives plus the covering-radius ladder
+    (``operators/coreset.py`` for the one-narrow-pass-per-round,
+    k-bounded-driver-traffic iterative shape). Rows-only in the driver
+    contract (greedy recursion is not SQL-expressible); the selection
+    semantics are pinned by planted-cluster, radius-monotonicity, and
+    NumPy-twin sequence-equality tests."""
+    from ..operators import coreset as CS
+
+    emb = load(spark, sf_dir, "embeddings")
+    return CS.kcenter_greedy(emb, "vec_id", "embedding", k=16).orderBy(
+        "center_rank"
+    )
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_boilerplate_segments": (
@@ -1309,4 +1326,6 @@ LLMOPS_QUERIES = {
     "ann_lsh_bucketed_detail": (q_ann_lsh_bucketed_detail, None),
     "ann_ivf_detail": (q_ann_ivf_detail, None),
     "ann_ivf_pq_detail": (q_ann_ivf_pq_detail, None),
+    # greedy recursion: not SQL-expressible — rows-only, pinned in tests
+    "emb_diversity_coreset": (q_emb_diversity_coreset, None),
 }

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling as SM
-from .common import load
+from .common import event_ts_us, load
 
 
 def q_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,6 +216,60 @@ GROUP BY 1
 """
 
 
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (forecasting-safe) split audit: events before the 80%
+    point of the corpus's own time range train, the rest are held out
+    (``operators/sampling.py::temporal_split`` — exact-integer cutoff,
+    no wall clock), reported per user: event counts per side and a
+    ``straddles`` flag marking users whose history crosses the boundary
+    — exactly the users a sequence model must NOT see whole (their
+    holdout events are the future of their training events; the flag
+    drives per-user truncation or exclusion downstream). The per-user
+    rollup is one map-side-combined groupBy on user_id."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", event_ts_us())
+    labeled = SM.temporal_split(ev, "ts_us", train_frac_e6=800_000)
+    return (
+        labeled.groupBy("user_id")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum((F.col("split") == "holdout").cast("long"))
+            .cast("long")
+            .alias("n_holdout"),
+        )
+        .withColumn(
+            "straddles", (F.col("n_train") > 0) & (F.col("n_holdout") > 0)
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_TEMPORAL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+s AS (
+    SELECT CAST(min(ts_us) AS BIGINT) AS mn, CAST(max(ts_us) AS BIGINT) AS mx
+    FROM ev
+),
+lab AS (
+    SELECT user_id,
+           CASE WHEN ts_us < mn + ((mx - mn) * 800000) // 1000000
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM ev CROSS JOIN s
+)
+SELECT user_id,
+       CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (split = 'holdout') AS BIGINT) AS n_holdout,
+       count(*) FILTER (split = 'train') > 0
+           AND count(*) FILTER (split = 'holdout') > 0 AS straddles
+FROM lab
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SAMPLING_QUERIES = {
     "sample_hash_bernoulli": (q_hash_bernoulli, _SQL_BERNOULLI),
     "sample_split_leakage_safe": (q_split_leakage_safe, _SQL_LEAKAGE_SAFE),
@@ -223,4 +277,5 @@ SAMPLING_QUERIES = {
     "sample_train_val_test": (q_train_val_test, _SQL_TVT),
     "sample_stratified_quota": (q_stratified_quota, _SQL_QUOTA),
     "sample_weighted": (q_weighted_sample, _SQL_WEIGHTED),
+    "sample_split_temporal": (q_split_temporal, _SQL_TEMPORAL),
 }

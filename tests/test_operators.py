@@ -1431,3 +1431,76 @@ def test_benchmark_leakage_verdicts_and_fallback_parity(spark):
     assert sorted(map(tuple, fb.collect())) == sorted(
         map(tuple, C.benchmark_leakage(corpus, bench, "doc_id", "text").collect())
     )
+
+
+# ------------------------------------------------- k-center greedy coreset
+
+
+def test_kcenter_planted_clusters(spark):
+    """Four orthogonal direction-clusters: ranks 1-4 must cover all four
+    (each pick is the farthest remaining point), and once every cluster
+    is covered the radius ladder collapses to ~0."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import coreset as CS
+
+    rows = []
+    for c in range(4):  # cluster c points along axis c, varying magnitude
+        for j in range(5):
+            vec = [0.0] * 4
+            vec[c] = 1.0 + 0.1 * j  # same direction -> cosine 1 within cluster
+            rows.append((c * 100 + j, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = CS.kcenter_greedy(df, "vec_id", "embedding", k=5).collect()
+    assert [r["center_rank"] for r in out] == [1, 2, 3, 4, 5]
+    # one representative per cluster in the first four picks
+    assert {r["vec_id"] // 100 for r in out[:4]} == {0, 1, 2, 3}
+    # seed carries the supremum sentinel; orthogonal clusters put picks
+    # 2-4 at cosine distance exactly 1.0
+    assert out[0]["dist_e6"] == 2_000_000
+    assert all(r["dist_e6"] == 1_000_000 for r in out[1:4])
+    # fifth pick duplicates a covered direction -> distance collapses
+    assert out[4]["dist_e6"] <= 1
+
+
+def test_kcenter_radius_ladder_monotone_on_fixture(spark, sf_dir):
+    from sample_deepbook_margin_dune_dbt_spark.operators import coreset as CS
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    out = CS.kcenter_greedy(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8
+    ).collect()
+    dists = [r["dist_e6"] for r in out]
+    assert len(dists) == 8
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    """Sequence equality against a straightforward NumPy twin on a
+    deterministic non-degenerate set (comparisons happen on floor-e6
+    ints with id tiebreaks, so the twin reproduces the exact picks)."""
+    import numpy as np
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import coreset as CS
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((60, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["vec_id"], r["dist_e6"])
+        for r in CS.kcenter_greedy(df, "vec_id", "embedding", k=6).collect()
+    ]
+
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    unit = vecs / norms[:, None]
+    max_sim = np.full(60, -1.0)
+    chosen = [(0, 2_000_000)]
+    for _ in range(5):
+        max_sim = np.maximum(max_sim, unit @ unit[chosen[-1][0]])
+        dist_e6 = np.floor((1.0 - max_sim) * 1_000_000).astype(np.int64)
+        mask = np.ones(60, bool)
+        mask[[c for c, _ in chosen]] = False
+        best = max(
+            (int(d), -i) for i, d in enumerate(dist_e6) if mask[i]
+        )  # max dist, min id
+        chosen.append((-best[1], best[0]))
+    assert got == chosen

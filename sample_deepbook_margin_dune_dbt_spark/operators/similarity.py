@@ -778,13 +778,26 @@ def _refine_candidate_pairs(
     )
 
 
+def _mm_block_rows(k: int, budget_bytes: int = 1 << 26) -> int:
+    """Row-block size whose (block × k) float64 distance intermediate
+    stays under ``budget_bytes`` (default 64 MB), floored at 128 rows so
+    BLAS still amortizes. The r11 fourth-decade probe found the fixed
+    16384-row block OOM-killing the host at n_lists = 62 502 (8.2 GB
+    per Python worker × 32 workers) — the same bug class as the r10
+    benchmark-broadcast finding: an intermediate scaling with a tuning
+    knob instead of being budgeted."""
+    return max(128, min(16384, budget_bytes // (8 * max(k, 1))))
+
+
 def _top_cells_mm(
-    x: "np.ndarray", centers: "np.ndarray", n_probes: int, block: int = 16384
+    x: "np.ndarray", centers: "np.ndarray", n_probes: int, block: int | None = None
 ) -> "np.ndarray":
     """Indices of each row's ``n_probes`` nearest centers by squared L2,
     via the ``−2xCᵀ + ‖c‖²`` matmul expansion (BLAS; the per-row ``‖x‖²``
     term is constant within a row so it can't change the ordering),
-    evaluated in row blocks to bound the (block × k) intermediate.
+    evaluated in row blocks to bound the (block × k) intermediate —
+    block rows budgeted by :func:`_mm_block_rows` so worker memory stays
+    ~64 MB at ANY ``n_lists``.
 
     This is the FAST distance path for the IVF pair-candidate tier, where
     cell assignment only needs to be *consistent across rows of the same
@@ -794,6 +807,8 @@ def _top_cells_mm(
     its pinned codebooks). At k = 4096 lists the broadcast form is ~dim×
     the flops and non-BLAS — minutes per Lloyd iteration vs ~a second.
     """
+    if block is None:
+        block = _mm_block_rows(len(centers))
     cc = (centers * centers).sum(1)[None, :]
     out = np.empty((len(x), n_probes), dtype=np.int32)
     for i in range(0, len(x), block):

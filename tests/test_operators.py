@@ -1504,3 +1504,29 @@ def test_kcenter_matches_numpy_greedy(spark):
         )  # max dist, min id
         chosen.append((-best[1], best[0]))
     assert got == chosen
+
+
+def test_top_cells_block_budgeted():
+    """The (block x k) distance intermediate must be BUDGETED, not fixed:
+    the fixed 16384-row block OOM-killed the host at n_lists=62502 (r11
+    fourth-decade probe)."""
+    import numpy as np
+
+    from sample_deepbook_margin_dune_dbt_spark.operators.similarity import (
+        _mm_block_rows,
+        _top_cells_mm,
+    )
+
+    assert _mm_block_rows(4096) * 4096 * 8 <= 1 << 26
+    assert _mm_block_rows(62502) * 62502 * 8 <= 1 << 26
+    assert _mm_block_rows(62502) >= 128  # BLAS still amortizes
+    assert _mm_block_rows(8) == 16384  # small k keeps the old block
+
+    # identical assignments whatever the block size
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal((500, 16))
+    centers = rng.standard_normal((40, 16))
+    a = _top_cells_mm(x, centers, 3, block=16384)
+    b = _top_cells_mm(x, centers, 3, block=128)
+    c = _top_cells_mm(x, centers, 3)  # budgeted default
+    assert (a == b).all() and (a == c).all()

@@ -864,11 +864,28 @@ def cosine_pairs_ivf(
     target_occupancy: int = 128,
     seed: int = 42,
     n_vectors: int | None = None,
+    refine: str = "exchange",
 ) -> DataFrame:
     """Near-duplicate pairs via IVF (coarse k-means) candidates + the same
     exact shuffle-hash refine as :func:`cosine_pairs_lsh` — the opt-in
     candidate generator the 100 TB contract promises for the embedding
     near-dup tier (VERDICT r9 item 2: measure the asserted swap).
+
+    ``refine`` picks the verification tail (identical output, pinned):
+
+    - ``'exchange'`` (default): :func:`_refine_candidate_pairs` — expand
+      id pairs, two shuffle-hash vector fetches. The second fetch
+      re-exchanges (pair + vector): at the fourth decade (r11 probe,
+      2M vectors, ~10⁹ candidates) that candidate×vector intermediate is
+      TB-scale logical and filled the probe box's disk.
+    - ``'bucket_local'``: :func:`_bucket_local_verified_pairs` — vectors
+      ride into their buckets (ONE corpus×n_probes exchange, linear in
+      the corpus), pairwise cosines computed in-task with the exact
+      IEEE operation order of ``_dot``/``_norm`` (bit-identical pairs),
+      only survivors + a survivor-sized distinct ever exchange again.
+      The quadratic candidate work becomes CPU, never network/disk —
+      the FAISS-style in-cell verification, and the measured fix for
+      the r11 finding.
 
     ``n_probes=4`` is the MEASURED operating point (PERF.md r10, 100×/
     500k vectors): p=2 ran 370 s but recalled only 69/75 planted pairs —
@@ -966,17 +983,113 @@ def cosine_pairs_ivf(
         xx = xx / np.where(nn == 0.0, 1.0, nn)
         return pd.Series(list(_top_cells_mm(xx, centers, n_probes)))
 
+    if refine == "exchange":
+        ids = df.select(
+            F.col(id_col).alias("_id"), F.explode(_cells(F.col(vec_col))).alias("_cell")
+        )
+        buckets = (
+            ids.groupBy("_cell")
+            .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        )
+        return _refine_candidate_pairs(
+            df, _expand_bucket_pairs(buckets), id_col, vec_col, threshold
+        )
+    if refine != "bucket_local":
+        raise ValueError(
+            f"refine must be 'exchange' or 'bucket_local', got {refine!r}"
+        )
+    # bucket-local verification: vectors ride INTO their buckets (one
+    # corpus×n_probes exchange — linear in the corpus) and the quadratic
+    # pair verification happens in-task; see _bucket_local_verified_pairs
     ids = df.select(
-        F.col(id_col).alias("_id"), F.explode(_cells(F.col(vec_col))).alias("_cell")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.explode(_cells(F.col(vec_col))).alias("_cell"),
     )
     buckets = (
         ids.groupBy("_cell")
-        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket_size))
+        .select(
+            F.transform("items", lambda s: s["_id"]).alias("ids"),
+            F.transform("items", lambda s: s["_v"]).alias("vecs"),
+        )
     )
-    return _refine_candidate_pairs(
-        df, _expand_bucket_pairs(buckets), id_col, vec_col, threshold
+    return _bucket_local_verified_pairs(buckets, threshold)
+
+
+def _bucket_local_verified_pairs(
+    buckets: DataFrame, threshold: float, block: int = 512
+) -> DataFrame:
+    """Exact-cosine pair verification INSIDE each candidate bucket.
+
+    Input: one row per bucket with aligned ``ids`` (sorted ascending)
+    and ``vecs`` arrays. Per bucket, the full pairwise cosine matrix is
+    computed in-task in (``block`` × occupancy) tiles — the quadratic
+    candidate volume never touches the shuffle system; only pairs
+    meeting ``threshold`` are emitted, then a survivor-sized
+    ``distinct`` collapses multi-probe duplicates (bit-identical
+    cosines, so distinct on the full row is exact).
+
+    BIT-parity with the exchange refine: accumulation runs
+    dimension-sequentially (``acc += col_d ⊗ col_d``), reproducing the
+    ``_dot`` fold's IEEE operation order per pair — same products, same
+    addition sequence, same ``sqrt`` and division — so both refine
+    tails emit identical doubles (pinned by parity test).
+
+    Memory: the tile is ``block × occupancy`` float64 ≤ block ×
+    max_bucket_size × 8 B (40 MB at the 512/10k defaults); the bucket's
+    own vectors are occupancy × dim — both bounded by the existing
+    ``max_bucket_size`` cap, independent of corpus size.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def _verify(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ids, vecs in zip(pdf["ids"], pdf["vecs"]):
+                ids = np.asarray(ids, dtype=np.int64)
+                m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+                if m.ndim != 2 or m.shape[0] < 2:
+                    continue
+                n_rows, dim = m.shape
+                mt = np.ascontiguousarray(m.T)
+                nacc = np.zeros(n_rows)
+                for d in range(dim):
+                    nacc = nacc + mt[d] * mt[d]
+                norms = np.sqrt(nacc)
+                for i0 in range(0, n_rows, block):
+                    i1 = min(i0 + block, n_rows)
+                    acc = np.zeros((i1 - i0, n_rows))
+                    for d in range(dim):
+                        col = mt[d]
+                        acc += col[i0:i1, None] * col[None, :]
+                    cos = acc / (norms[i0:i1, None] * norms[None, :])
+                    # strict upper triangle relative to GLOBAL indices:
+                    # ids are sorted, so j > i  ⇔  id_b > id_a
+                    ii, jj = np.nonzero(cos >= threshold)
+                    keep = jj > (ii + i0)
+                    ii, jj = ii[keep], jj[keep]
+                    out_a.extend(ids[ii + i0].tolist())
+                    out_b.extend(ids[jj].tolist())
+                    out_c.extend(cos[ii, jj].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return buckets.mapInPandas(_verify, schema=out_schema).distinct()
 
 
 def lsh_bucket_stats(

@@ -1530,3 +1530,25 @@ def test_top_cells_block_budgeted():
     b = _top_cells_mm(x, centers, 3, block=128)
     c = _top_cells_mm(x, centers, 3)  # budgeted default
     assert (a == b).all() and (a == c).all()
+
+
+def test_ivf_bucket_local_refine_bit_parity(spark, sf_dir):
+    """The bucket-local verification tail (r11: the fix for the fourth-
+    decade candidate x vector exchange filling the disk) must emit the
+    EXACT pair set of the exchange refine -- ids and cosine DOUBLES bit-
+    identical (the in-task accumulation reproduces _dot's IEEE order)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+    from sample_deepbook_margin_dune_dbt_spark.queries.llmops import (
+        _augment_near_dups,
+    )
+
+    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
+    kw = dict(n_lists=64, train_sample=2_000, n_probes=4)
+    a = S.cosine_pairs_ivf(emb, "vec_id", "embedding", 0.9, **kw)
+    b = S.cosine_pairs_ivf(
+        emb, "vec_id", "embedding", 0.9, refine="bucket_local", **kw
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert len(ra) > 0
+    assert ra == rb  # bit-exact, including the cosine doubles

@@ -13,7 +13,7 @@ expansion is quadratic in occupancy — the probe therefore passes
 clamp WARNING tells an operator to make) and records recall against the
 75 planted pairs.
 
-Usage: python tools/probe_ivf_1000x.py [n_lists] [train_sample]
+Usage: python tools/probe_ivf_1000x.py [n_lists] [train_sample] [refine]
 """
 
 from __future__ import annotations
@@ -28,9 +28,12 @@ sys.path.insert(0, REPO)
 FIXTURE = os.path.join(REPO, ".scale_fixtures", "sf0.1x1000")
 
 
-def main(n_lists: int | None, train_sample: int) -> None:
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
-    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "128"
+def main(n_lists: int | None, train_sample: int, refine: str = "exchange") -> None:
+    # default to the harness heap; overridable (the r11 run needed the
+    # r10 matrix's 48 GB PASS point — the refine tail's hash builds hit
+    # the same per-task memory floor as the shingle self-join family)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
     from pyspark.sql import functions as F
 
     from sample_deepbook_margin_dune_dbt_spark.engine.session import get_spark
@@ -56,6 +59,7 @@ def main(n_lists: int | None, train_sample: int) -> None:
         n_lists=n_lists,
         train_sample=train_sample,
         n_vectors=n,
+        refine=refine,
     )
     rows = pairs.count()
     wall = time.time() - t0
@@ -64,7 +68,7 @@ def main(n_lists: int | None, train_sample: int) -> None:
         (F.col("id_b") >= 1_000_000) & (F.col("id_b") < 3_000_000)
     ).count()
     print(
-        f"IVF_1000X pairs={rows} planted={planted} wall={wall:.1f}s",
+        f"IVF_1000X refine={refine} pairs={rows} planted={planted} wall={wall:.1f}s",
         flush=True,
     )
     spark.stop()
@@ -73,4 +77,5 @@ def main(n_lists: int | None, train_sample: int) -> None:
 if __name__ == "__main__":
     nl = int(sys.argv[1]) if len(sys.argv) > 1 else 62502
     ts = int(sys.argv[2]) if len(sys.argv) > 2 else 125_000
-    main(nl, ts)
+    rf = sys.argv[3] if len(sys.argv) > 3 else "exchange"
+    main(nl, ts, rf)

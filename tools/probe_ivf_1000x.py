@@ -13,7 +13,7 @@ expansion is quadratic in occupancy — the probe therefore passes
 clamp WARNING tells an operator to make) and records recall against the
 75 planted pairs.
 
-Usage: python tools/probe_ivf_1000x.py [n_lists] [train_sample] [refine]
+Usage: python tools/probe_ivf_1000x.py [n_lists] [train_sample] [refine] [n_probes]
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 FIXTURE = os.path.join(REPO, ".scale_fixtures", "sf0.1x1000")
 
 
-def main(n_lists: int | None, train_sample: int, refine: str = "exchange") -> None:
+def main(n_lists: int | None, train_sample: int, refine: str = "exchange", n_probes: int = 4) -> None:
     # default to the harness heap; overridable (the r11 run needed the
     # r10 matrix's 48 GB PASS point — the refine tail's hash builds hit
     # the same per-task memory floor as the shingle self-join family)
@@ -60,6 +60,7 @@ def main(n_lists: int | None, train_sample: int, refine: str = "exchange") -> No
         train_sample=train_sample,
         n_vectors=n,
         refine=refine,
+        n_probes=n_probes,
     )
     rows = pairs.count()
     wall = time.time() - t0
@@ -68,7 +69,7 @@ def main(n_lists: int | None, train_sample: int, refine: str = "exchange") -> No
         (F.col("id_b") >= 1_000_000) & (F.col("id_b") < 3_000_000)
     ).count()
     print(
-        f"IVF_1000X refine={refine} pairs={rows} planted={planted} wall={wall:.1f}s",
+        f"IVF_1000X refine={refine} p={n_probes} pairs={rows} planted={planted} wall={wall:.1f}s",
         flush=True,
     )
     spark.stop()
@@ -78,4 +79,5 @@ if __name__ == "__main__":
     nl = int(sys.argv[1]) if len(sys.argv) > 1 else 62502
     ts = int(sys.argv[2]) if len(sys.argv) > 2 else 125_000
     rf = sys.argv[3] if len(sys.argv) > 3 else "exchange"
-    main(nl, ts, rf)
+    np_ = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    main(nl, ts, rf, np_)

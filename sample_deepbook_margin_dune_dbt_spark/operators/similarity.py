@@ -660,8 +660,24 @@ def cosine_pairs_lsh(
     bands: int | None = None,
     max_bucket_size: int = 10_000,
     n_vectors: int | None = None,
+    refine: str = "bucket_local",
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: banded-LSH candidates + exact refine.
+
+    ``refine='bucket_local'`` (r11, the DEFAULT — measured) swaps step 3
+    for the in-bucket verification tail introduced on the IVF tier
+    (:func:`_bucket_local_verified_pairs`, bit-parity-pinned): vectors
+    ride into their (band, key) buckets — ONE corpus × ``bands``
+    exchange, linear in the corpus though ``bands``× heavier than IVF's
+    ``n_probes``× — and only threshold survivors exchange again. The
+    r11 fourth-decade probe showed the shared exchange refine's
+    candidate×vector intermediate filling a 250 GB disk at ~10⁹
+    candidates; at that scale the bucket-local tail is the one that
+    completes, and at bench scale it is ~2.3× faster too (0.95 s vs
+    2.17 s warm, sf0.1 — the fat exchange dominated there as well).
+    ``refine='exchange'`` keeps the two-shuffle-hash-join tail (the
+    historical default, step 3 below) as the parity twin for engines
+    where ``mapInPandas`` is unavailable.
 
     The production replacement for ``cosine_pairs``'s all-pairs cross join:
 
@@ -705,20 +721,42 @@ def cosine_pairs_lsh(
         auto_planes, auto_bands = lsh_autotune(n, threshold)
         band_planes = band_planes if band_planes is not None else auto_planes
         bands = bands if bands is not None else auto_bands
+    if refine == "exchange":
+        ids = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                band_signatures(F.col(vec_col), dim, band_planes, bands)
+            ).alias("_band", "_key"),
+        )
+        buckets = (
+            ids.groupBy("_band", "_key")
+            .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        )
+        return _refine_candidate_pairs(
+            df, _expand_bucket_pairs(buckets), id_col, vec_col, threshold
+        )
+    if refine != "bucket_local":
+        raise ValueError(
+            f"refine must be 'exchange' or 'bucket_local', got {refine!r}"
+        )
     ids = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(band_signatures(F.col(vec_col), dim, band_planes, bands)).alias(
-            "_band", "_key"
-        ),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.posexplode(
+            band_signatures(F.col(vec_col), dim, band_planes, bands)
+        ).alias("_band", "_key"),
     )
     buckets = (
         ids.groupBy("_band", "_key")
-        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket_size))
+        .select(
+            F.transform("items", lambda s: s["_id"]).alias("ids"),
+            F.transform("items", lambda s: s["_v"]).alias("vecs"),
+        )
     )
-    return _refine_candidate_pairs(
-        df, _expand_bucket_pairs(buckets), id_col, vec_col, threshold
-    )
+    return _bucket_local_verified_pairs(buckets, threshold)
 
 
 def _expand_bucket_pairs(buckets: DataFrame) -> DataFrame:

@@ -1552,3 +1552,24 @@ def test_ivf_bucket_local_refine_bit_parity(spark, sf_dir):
     rb = sorted(map(tuple, b.collect()))
     assert len(ra) > 0
     assert ra == rb  # bit-exact, including the cosine doubles
+
+
+def test_lsh_bucket_local_refine_bit_parity(spark, sf_dir):
+    """The bucket-local tail under the LSH bucketer must emit the exact
+    exchange-refine pair set, cosine doubles included."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+    from sample_deepbook_margin_dune_dbt_spark.queries.llmops import (
+        _augment_near_dups,
+    )
+
+    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    a = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=n)
+    b = S.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=n,
+        refine="bucket_local",
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert len(ra) > 0
+    assert ra == rb

@@ -272,12 +272,25 @@ def chunk_content_defined(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
         lambda i: (i == 0) | (F.pmod(fingerprint64(gram(i)), divisor) == 0),
     )
-    tokked = df.select(
+    # the boundary array must be computed ONCE: posexplode and the
+    # chunk-end lookup both reference it, and Catalyst's CollapseProject
+    # happily inlines the md5-per-token expression into EVERY reference
+    # (measured r11: 9.0 s -> 2.9 s at sf0.1 with the barrier). The
+    # never-consumed rand() column makes the projection non-collapsible,
+    # pinning one evaluation; output is untouched.
+    pre = df.select(
         F.col(id_col),
         toks.alias("_toks"),
         n.alias("_n"),
         starts.alias("_starts"),
-        F.posexplode(starts).alias("chunk_index", "_start"),
+        F.rand().alias("_no_collapse"),
+    )
+    tokked = pre.select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        "_starts",
+        F.posexplode(F.col("_starts")).alias("chunk_index", "_start"),
     )
     end = F.coalesce(
         F.element_at(F.col("_starts"), F.col("chunk_index") + 2), F.col("_n")

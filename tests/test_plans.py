@@ -524,3 +524,21 @@ def test_shingle_self_intersections_hashed_fp_join(spark, sf_dir):
         assert "Scan ExistingRDD[_id" in plan, name
         assert "ShuffledHashJoin [_fp" in plan, name
         assert "SortMergeJoin [_fp" not in plan, name
+
+
+def test_bucket_local_refine_plan_shape(spark, sf_dir):
+    """The near-dup tiers' DEFAULT verification tail (r11 bucket_local)
+    must never join candidates back to the vector table: no sort-merge
+    or shuffled-hash pair-fetch joins, no cartesian -- the only wide ops
+    are the bucket aggregation and the survivor-sized distinct. Guards
+    the fourth-decade fix (the exchange tail's candidate x vector
+    intermediate filled the probe host's disk, PERF.md r11)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES
+
+    for name in ("dedup_embedding_cosine", "dedup_embedding_cosine_ivf"):
+        fn, _ = FULL_QUERIES[name]
+        plan = explain_str(fn(spark, sf_dir), "simple")
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "MapInPandas" in plan, name  # the in-bucket verifier

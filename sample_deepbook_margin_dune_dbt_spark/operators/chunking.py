@@ -272,25 +272,33 @@ def chunk_content_defined(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
         lambda i: (i == 0) | (F.pmod(fingerprint64(gram(i)), divisor) == 0),
     )
-    # the boundary array must be computed ONCE: posexplode and the
-    # chunk-end lookup both reference it, and Catalyst's CollapseProject
-    # happily inlines the md5-per-token expression into EVERY reference
-    # (measured r11: 9.0 s -> 2.9 s at sf0.1 with the barrier). The
-    # never-consumed rand() column makes the projection non-collapsible,
-    # pinning one evaluation; output is untouched.
-    pre = df.select(
+    # the boundary array must be computed ONCE (md5 per token — it IS
+    # the operator's cost). Two things threaten that and are pinned by
+    # tests/test_plans.py::test_cdc_chunking_single_md5_evaluation:
+    # 1. CollapseProject inlines deterministic exprs into every
+    #    reference — computing _starts in its own select below the
+    #    Generate keeps the chunk-end element_at a symbolic reference
+    #    (the r11 3× fix; the rand() barrier used then is obsolete —
+    #    re-measured r12: the split alone holds, and rand() cost ~10%).
+    # 2. InferFiltersFromGenerate clones the WHOLE _starts expression
+    #    into a `size(_starts) > 0` filter below the Project — useless
+    #    here (_starts always contains index 0, so size ≥ 1) but it
+    #    doubled the md5 work (measured r12: 3.5 → 2.1 s at sf0.1).
+    #    posexplode_outer suppresses the inference; with the text
+    #    NOT NULL guard (scan-pushed) its semantics are identical,
+    #    since a non-null doc always yields a non-empty _starts.
+    pre = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         toks.alias("_toks"),
         n.alias("_n"),
         starts.alias("_starts"),
-        F.rand().alias("_no_collapse"),
     )
     tokked = pre.select(
         F.col(id_col),
         "_toks",
         "_n",
         "_starts",
-        F.posexplode(F.col("_starts")).alias("chunk_index", "_start"),
+        F.posexplode_outer(F.col("_starts")).alias("chunk_index", "_start"),
     )
     end = F.coalesce(
         F.element_at(F.col("_starts"), F.col("chunk_index") + 2), F.col("_n")

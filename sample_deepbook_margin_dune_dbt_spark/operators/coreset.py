@@ -58,8 +58,17 @@ def _cos_to_center(center_vec: list[float]):
     @pandas_udf("double")
     def _cos(s: pd.Series) -> pd.Series:  # type: ignore[no-untyped-def]
         m = np.asarray([np.asarray(a, dtype=np.float64) for a in s])
-        if m.ndim != 2 or m.shape[0] == 0:
+        if m.shape[0] == 0:
             return pd.Series([0.0] * len(s))
+        if m.ndim != 2:
+            # Ragged batch (mixed vector dims): np.asarray degrades to an
+            # object array. Silently returning 0.0 would corrupt _max_sim
+            # for every well-formed row in the batch (ADVICE r11) — fail.
+            dims = sorted({len(a) for a in s})
+            raise ValueError(
+                f"kcenter_greedy requires a uniform embedding dimension; "
+                f"batch mixes dims {dims}"
+            )
         mt = np.ascontiguousarray(m.T)
         n_rows, dim = m.shape
         nacc = np.zeros(n_rows)

@@ -189,12 +189,22 @@ def temporal_split(
     both engines, stable under replay, no wall clock. Adds ``split``
     ('train' | 'holdout') to every row.
 
+    The product form ``range · frac`` overflows int64 once the range
+    exceeds ~1.15e13 µs (~133 days at frac 800000), so the math is
+    decomposed as ``(range div 1e6)·frac + ((range % 1e6)·frac) div 1e6``
+    — algebraically identical (frac ≤ 1e6 keeps the first term ≤ range
+    and the second ≤ 1e12), overflow-safe for any epoch-µs range.
+
     Scale shape: one ungrouped min/max aggregation (map-side combined to
     a single row — the watermark-scalar pattern), broadcast back via a
     single-row crossJoin; the assignment itself is a narrow map. At
     100 TB the scalar pass and the labeled pass both stream; persist the
     scalar if the caller runs many splits.
     """
+    if not 0 <= train_frac_e6 <= 1_000_000:
+        raise ValueError(
+            f"train_frac_e6 must be in [0, 1000000], got {train_frac_e6}"
+        )
     ts = F.col(ts_us_col) if isinstance(ts_us_col, str) else ts_us_col
     scalars = df.agg(
         F.min(ts).cast("long").alias("_min_us"),
@@ -205,7 +215,10 @@ def temporal_split(
         .withColumn(
             "_cut_us",
             F.expr(
-                f"_min_us + ((_max_us - _min_us) * {train_frac_e6}L) div 1000000L"
+                f"_min_us"
+                f" + ((_max_us - _min_us) div 1000000L) * {train_frac_e6}L"
+                f" + (((_max_us - _min_us) % 1000000L) * {train_frac_e6}L)"
+                f" div 1000000L"
             ),
         )
         .withColumn(

@@ -811,7 +811,11 @@ def _refine_candidate_pairs(
         cands.join(a.hint("shuffle_hash"), "id_a")
         .join(b.hint("shuffle_hash"), "id_b")
         .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
-        .filter(F.col("cosine") >= threshold)
+        # zero-norm vectors make NaN cosines; Spark's NaN sorts ABOVE all
+        # doubles so `>= threshold` alone would KEEP them while the
+        # bucket-local tail's NumPy comparison drops them (ADVICE r11) —
+        # drop explicitly so both refine tails agree: no cosine, no pair.
+        .filter(~F.isnan(F.col("cosine")) & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -1119,11 +1123,16 @@ def _bucket_local_verified_pairs(
                     for d in range(dim):
                         col = mt[d]
                         acc += col[i0:i1, None] * col[None, :]
-                    cos = acc / (norms[i0:i1, None] * norms[None, :])
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cos = acc / (norms[i0:i1, None] * norms[None, :])
                     # strict upper triangle relative to GLOBAL indices:
-                    # ids are sorted, so j > i  ⇔  id_b > id_a
+                    # ids are sorted, so j > i  ⇔  id_b > id_a. NaN
+                    # (zero-norm) cosines fail the >= and are dropped —
+                    # matching the exchange tail's explicit ~isnan filter;
+                    # the id inequality drops self-pairs that duplicate
+                    # id rows would otherwise emit (ADVICE r11).
                     ii, jj = np.nonzero(cos >= threshold)
-                    keep = jj > (ii + i0)
+                    keep = (jj > (ii + i0)) & (ids[jj] != ids[ii + i0])
                     ii, jj = ii[keep], jj[keep]
                     out_a.extend(ids[ii + i0].tolist())
                     out_b.extend(ids[jj].tolist())

@@ -255,7 +255,8 @@ s AS (
 ),
 lab AS (
     SELECT user_id,
-           CASE WHEN ts_us < mn + ((mx - mn) * 800000) // 1000000
+           CASE WHEN ts_us < mn + ((mx - mn) // 1000000) * 800000
+                         + (((mx - mn) % 1000000) * 800000) // 1000000
                 THEN 'train' ELSE 'holdout' END AS split
     FROM ev CROSS JOIN s
 )

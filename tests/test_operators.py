@@ -1544,7 +1544,10 @@ def test_ivf_bucket_local_refine_bit_parity(spark, sf_dir):
 
     emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
     kw = dict(n_lists=64, train_sample=2_000, n_probes=4)
-    a = S.cosine_pairs_ivf(emb, "vec_id", "embedding", 0.9, **kw)
+    # ADVICE r11 (medium): pin refine='exchange' explicitly on side a —
+    # the module default is 'bucket_local', so omitting it would compare
+    # the new tail against itself (vacuous).
+    a = S.cosine_pairs_ivf(emb, "vec_id", "embedding", 0.9, refine="exchange", **kw)
     b = S.cosine_pairs_ivf(
         emb, "vec_id", "embedding", 0.9, refine="bucket_local", **kw
     )
@@ -1564,7 +1567,10 @@ def test_lsh_bucket_local_refine_bit_parity(spark, sf_dir):
 
     emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
     n = emb.count()
-    a = S.cosine_pairs_lsh(emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=n)
+    a = S.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=n,
+        refine="exchange",
+    )
     b = S.cosine_pairs_lsh(
         emb, "vec_id", "embedding", 0.9, dim=64, n_vectors=n,
         refine="bucket_local",
@@ -1573,3 +1579,28 @@ def test_lsh_bucket_local_refine_bit_parity(spark, sf_dir):
     rb = sorted(map(tuple, b.collect()))
     assert len(ra) > 0
     assert ra == rb
+
+
+def test_refine_tails_agree_on_degenerate_inputs(spark):
+    """ADVICE r11 (low): zero-norm vectors (NaN cosine — Spark's NaN
+    sorts above all doubles, NumPy's comparison drops it) and duplicated
+    id rows (self-pair candidates) must behave identically in both
+    refine tails: NaN pairs dropped, id_a == id_b never emitted."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1
+        (2, [1.0, 0.0, 0.0, 0.0]),   # duplicated id row
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: NaN against everything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=4, band_planes=1, bands=2, n_vectors=4)
+    for refine in ("exchange", "bucket_local"):
+        got = sorted(
+            map(tuple, S.cosine_pairs_lsh(
+                emb, "vec_id", "embedding", 0.9, refine=refine, **kw
+            ).collect())
+        )
+        assert all(a != b for a, b, _ in got), (refine, got)
+        assert all(c == c for _, _, c in got), (refine, got)  # no NaN
+        assert all(3 not in (a, b) for a, b, _ in got), (refine, got)
+        assert (1, 2, 1.0) in got, (refine, got)

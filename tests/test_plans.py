@@ -191,6 +191,22 @@ def test_cdc_chunking_is_narrow_map(spark, sf_dir):
     assert a["num_exchanges"] == 0, "CDC chunking must not shuffle"
 
 
+def test_cdc_chunking_single_md5_evaluation(spark, sf_dir):
+    """ADVICE r11 (low): the CDC boundary array (md5 per token — the
+    operator's entire cost) must be evaluated exactly ONCE per doc, and
+    that property must be pinned by plan shape, not by an optimizer-
+    internals barrier. Two historical regressions this guards:
+    CollapseProject inlining _starts into the chunk-end element_at
+    (md5 would appear ABOVE the Generate — r11, 3×), and
+    InferFiltersFromGenerate cloning it into a useless size()>0 filter
+    (a second md5 below — r12, 2×, fixed via posexplode_outer)."""
+    fn, _ = ALL_QUERIES["chunk_content_defined"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, plan
+    above_generate = plan.split("Generate ")[0]
+    assert "md5(" not in above_generate, above_generate
+
+
 def test_curation_queries_are_narrow_maps(spark, sf_dir):
     """Repetition metrics, PII scrub, and int8 quantization are per-row
     transforms — zero Exchange, so they stream at 100 TB."""

@@ -78,6 +78,29 @@ def test_sampling_is_map_only(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_temporal_split_wide_range_no_overflow(spark):
+    """ADVICE r11 (high): the naive ``range * frac`` cutoff wraps int64
+    once the time range exceeds ~1.15e13 µs (~133 days), silently
+    mislabeling train/holdout. The decomposed form must match the exact
+    Python-integer cutoff on a multi-year range (and on a sub-second
+    range, covering the remainder term)."""
+    for mn, mx in [
+        (1_500_000_000_000_000, 1_500_000_000_000_000 + 4_000_000_000_000_000),
+        (7, 999_991),  # range < 1e6: cutoff carried entirely by remainder
+    ]:
+        rng = mx - mn
+        cut = mn + (rng // 1_000_000) * 800_000 + ((rng % 1_000_000) * 800_000) // 1_000_000
+        probes = sorted({mn, mx, cut - 1, cut, cut + 1, mn + rng // 3})
+        probes = [t for t in probes if mn <= t <= mx]
+        df = spark.createDataFrame([(t,) for t in probes], "ts_us long")
+        got = {r["ts_us"]: r["split"] for r in SM.temporal_split(df, "ts_us").collect()}
+        for t in probes:
+            want = "train" if t < cut else "holdout"
+            assert got[t] == want, (mn, mx, t, cut, got[t])
+    with pytest.raises(ValueError):
+        SM.temporal_split(spark.range(1).select(F.col("id").alias("ts_us")), "ts_us", train_frac_e6=2_000_000)
+
+
 def test_fingerprint_split_never_straddles(spark, sf_dir):
     """Leakage-safe split invariant: a content fingerprint appears in
     exactly ONE split, however many doc ids carry it (the property the

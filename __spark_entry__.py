@@ -7,23 +7,21 @@
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every declared query
   (50/50 since r4: approximate ANN tiers project their deterministic
   structural contract — DERIVED from k since r6, not hardcoded;
-  tolerance-boolean contract for sketch ops). The r11 window EMPTIES
-  the rotation backlog per VERDICT r10 item 1: the 8 r1-stale drills
-  (a2_scalar_agg, a5_grouping_sets, o3_topn_limit, p2_filter_eq,
-  p7_in_list, s1_scan_project, tpch_q17, tpch_q22) and the 9
-  never-driver oracle-bearing queries (a_unpivot, chunk_content_defined,
-  corpus_mixture_plan, corpus_mixture_sample, corpus_zorder_stats,
-  dedup_embedding_cosine_ivf — same all-pairs oracle as the LSH
-  default, so a driver hash match is a recall-1.0 pin for the IVF
-  candidate generator — events_time_to_convert, privacy_generalization,
-  sample_weighted) rotate in, all 17 re-verified against the DuckDB
-  oracle at sf0.001 + sf0.01 this session before declaring; 17
-  r10-green rows whose capabilities stay represented rotate out (the
-  full per-query rationale is in ``queries/__init__.py``). After this
-  window every oracle-bearing query in the inventory has driver-green
-  history — from r12 the window cycles on age alone. Everything rotated
-  out stays oracle-checked by ``tests/test_oracle_parity.py`` over the
-  full 150-query inventory (143 oracle-bearing + 7 rows-only) under the
+  tolerance-boolean contract for sketch ops). The r12 window is the
+  first steady-state AGE rotation (the backlog emptied in r11): the 4
+  oracle-bearing queries added after the r11 declaration
+  (corpus_version_diff, retrieval_eval_metrics,
+  benchmark_leakage_report, sample_split_temporal) plus the r2/r3
+  oldest-evidence tiers (f_time_functions, p3_like_prefix,
+  text_quality, tpch_q5, w2_latest_per_group, dedup_ngram_jaccard,
+  skew_plain_agg, text_winnow) rotate in, all 12 re-verified against
+  the DuckDB oracle at sf0.001 + sf0.01 this session before declaring;
+  12 r11-green rows whose capabilities stay represented rotate out
+  (the full per-query rationale is in ``queries/__init__.py``).
+  Everything rotated out stays oracle-checked by
+  ``tests/test_oracle_parity.py`` over the full FULL_QUERIES inventory
+  (inventory counts are DERIVED — see the module self-check below, so
+  this docstring can no longer drift from the registry) under the
   r8-tightened type gate (no TIMESTAMPTZ leniency; exact decimal
   precision/scale).
 
@@ -40,7 +38,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sample_deepbook_margin_dune_dbt_spark.queries import ALL_QUERIES  # noqa: E402
+from sample_deepbook_margin_dune_dbt_spark.queries import (  # noqa: E402
+    ALL_QUERIES,
+    FULL_QUERIES,
+)
+
+# Derived inventory counts (VERDICT r11 item 5: the hand-written
+# 150/143/7 drifted from the real 154/146/8 — keep the numbers computed,
+# and pin the structural invariants the driver relies on at import time).
+N_QUERIES = len(FULL_QUERIES)
+N_ORACLE = sum(1 for _, sql in FULL_QUERIES.values() if sql is not None)
+N_ROWS_ONLY = N_QUERIES - N_ORACLE
+assert len(ALL_QUERIES) <= 50, len(ALL_QUERIES)
+assert all(sql is not None for _, sql in ALL_QUERIES.values()), (
+    "every driver-window query must carry an oracle"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

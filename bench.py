@@ -235,6 +235,13 @@ BENCH_QUERIES = [
     # the two-version store — cached per process, same discipline as
     # corpus_shard_audit; the timed runs measure the diff read path)
     "corpus_version_diff",
+    # r12 rotation: the five window entrants that had no bench row yet
+    # (every driver-window query must hold one)
+    "dedup_ngram_jaccard",
+    "text_winnow",
+    "f_time_functions",
+    "p3_like_prefix",
+    "w2_latest_per_group",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -367,6 +367,42 @@ driver query moved to ``EXTRA_QUERIES``:
   rows-only: greedy recursion is not SQL-expressible; planted-cluster,
   radius-monotonicity and NumPy-twin pins in tests).
 
+- round 12 (per VERDICT r11 item 1 — first steady-state AGE cycle; the
+  backlog is empty, so the window now rotates oldest-evidence tiers
+  plus whatever entered EXTRA since the last declaration). In (all 12
+  re-verified against the DuckDB oracle at sf0.001 + sf0.01 this
+  session before declaring): the 4 oracle-bearing queries added after
+  the r11 window was declared — ``corpus_version_diff`` (versioned-
+  store history diff), ``retrieval_eval_metrics`` (exact-integer IR
+  metrics), ``benchmark_leakage_report`` (reverse decontamination),
+  ``sample_split_temporal`` (forecasting-safe time split, r12
+  overflow-hardened cutoff) — plus the r2-evidence tier
+  ``f_time_functions``, ``p3_like_prefix``, ``text_quality``,
+  ``tpch_q5``, ``w2_latest_per_group`` and the r3-evidence tier
+  ``dedup_ngram_jaccard``, ``skew_plain_agg``, ``text_winnow``.
+  Out (all r11-green, capability stays in-window or oracle-held in
+  EXTRA): ``p7_in_list`` (IN-list runs in staying ``tpch_q19``),
+  ``s1_scan_project`` + ``p2_filter_eq`` (scan/project/equality-filter
+  run inside every surviving query incl. the flagship),
+  ``a2_scalar_agg`` (scalar MAX held by staying ``p4_watermark``),
+  ``a5_grouping_sets`` (A5 family r11-green; cube/rollup/grouping-sets
+  all oracle-held in EXTRA, ``a_unpivot`` keeps the Expand-adjacent
+  row), ``text_quality_model`` (→ incoming ``text_quality``, the same
+  quality-scoring capability; text keeps novelty/pii/bloom rows),
+  ``dedup_containment`` (→ incoming ``dedup_ngram_jaccard``, the
+  symmetric twin of the same shingle pair-verification shape; dedup
+  keeps exact/clusters/cluster-trust/ivf rows),
+  ``skew_salted_agg`` (→ incoming ``skew_plain_agg``, whose oracle is
+  byte-identical; the salted partition split stays pinned by
+  ``tests/test_skew.py``), ``sample_weighted`` (→ incoming
+  ``sample_split_temporal``; sampling keeps the cluster-safe split),
+  ``corpus_zorder_stats`` (→ incoming ``corpus_version_diff``; the
+  lake-audit family keeps shard manifest + audit rows),
+  ``tpch_q17`` (scalar-agg join held by ``p4_watermark`` + incoming
+  ``tpch_q5``'s multi-join), ``o3_topn_limit`` (the top-N plan shape
+  runs in staying ``retrieval_rrf_fusion``/``emb_hard_negatives``,
+  both TakeOrderedAndProject-pinned).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -420,12 +456,11 @@ DRIVER_QUERY_ORDER = [
     "dedup_exact",
     "corpus_datasheet",
     "text_novelty",
-    # r11: z-order locality stats take the bigram-LM text row
-    "corpus_zorder_stats",
-    # r11: deterministic mixture sampler takes the repeated-spans row
-    # (span capability oracle-held in EXTRA; dedup keeps 4 rows)
+    # r12: versioned-store history diff takes the z-order stats row
+    "corpus_version_diff",
     "corpus_mixture_sample",
-    "dedup_containment",
+    # r12: the symmetric jaccard pair twin takes the containment row
+    "dedup_ngram_jaccard",
     "dedup_clusters",
     "linkage_blocked_report",
     "emb_hard_negatives",
@@ -434,10 +469,15 @@ DRIVER_QUERY_ORDER = [
     "dedup_embedding_cosine_ivf",
     "multimodal_meta",
     "retrieval_rrf_fusion",
+    # r12: the eval side of the retrieval loop (IR metrics) + the
+    # reverse-decontamination leakage report rotate in
+    "retrieval_eval_metrics",
+    "benchmark_leakage_report",
     "ann_ivf_pq",
     "a_approx_tier",
-    # r11: A-res weighted reservoir sampling takes the bernoulli row
-    "sample_weighted",
+    # r12: the forecasting-safe temporal split (overflow-hardened this
+    # round) takes the weighted-sampling row
+    "sample_split_temporal",
     "sample_split_cluster_safe",
     # r11: content-defined chunking takes the token-window row
     "chunk_content_defined",
@@ -446,32 +486,30 @@ DRIVER_QUERY_ORDER = [
     "text_pii_redact",
     "emb_quantize_int8",
     "text_bloom_decontaminate",
-    # skew-mitigation family (plain-agg twin shares salted_agg's oracle,
-    # held in EXTRA; the mitigated path keeps the driver row)
-    "skew_salted_agg",
+    # r12: the plain-agg twin (byte-identical oracle) takes the salted
+    # row; the salted partition split stays pinned by tests/test_skew.py
+    "skew_plain_agg",
     # r11: time-to-convert percentiles take the attribution row
     "events_time_to_convert",
     "curation_source_gate",
-    # custom operators / window & join shapes
-    # r11: r1-stale IN-list drill takes the sessionize row (events
-    # family keeps transitions/time-to-convert/asof/bridge)
-    "p7_in_list",
+    # r12: r2-evidence winnowing fingerprints take the IN-list drill's
+    # row (IN-list runs in tpch_q19)
+    "text_winnow",
     "asof_join",
     "corpus_from_events",
     "events_transitions",
-    "text_quality_model",
+    # r12: the r2-evidence quality drill takes the quality-model row
+    # (same capability family)
+    "text_quality",
     "j1_foj_volume_chain",
-    # r11: r1-stale scan/project drill takes the semi/anti row (those
-    # shapes run inside dedup_exact (left_semi) and bloom (anti))
-    "s1_scan_project",
+    # r12: r2-evidence time-function drill takes the scan/project row
+    "f_time_functions",
     "j4_seed_ci_join",
     "p4_watermark",
-    # r11: r1-stale drills take the CASE/trycast + scalar-subquery rows
-    # (flagship runs both CASE and try_cast; p4 keeps scalar subquery)
-    "p2_filter_eq",
-    "a2_scalar_agg",
-    # r11: grouping-sets/unpivot take the cube/pivot twins' rows
-    "a5_grouping_sets",
+    # r12: r2-evidence LIKE-prefix + latest-per-group drills take the
+    # equality-filter / scalar-agg rows
+    "p3_like_prefix",
+    "w2_latest_per_group",
     "a_unpivot",
     "o5_set_ops",
     # r11: generalization-ladder audit takes the suppression row
@@ -482,13 +520,11 @@ DRIVER_QUERY_ORDER = [
     "corpus_mixture_plan",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
-    # TPC-H (r11: r1-stale q17/q22 + the o3 top-N drill take the
-    # r10-green q13/q18/q21 rows)
-    "tpch_q17",
+    # TPC-H (r12: r2-evidence q5 takes q17's scalar-agg-join row)
+    "tpch_q5",
     "tpch_q15",
     "tpch_q22",
     "tpch_q19",
-    "o3_topn_limit",
 ]
 
 DRIVER_WINDOW = 50

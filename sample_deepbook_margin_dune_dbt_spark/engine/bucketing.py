@@ -42,3 +42,36 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables on the bucket key (no shuffle planned)."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def mirror_table_name(model_name: str, schema_suffix: str = "") -> str:
+    """Catalog name of a model's bucketed mirror (``bucket_by`` config):
+    the store's schema suffix keeps dev/prod/PR mirrors isolated in the
+    shared session catalog exactly as the path store isolates parquet."""
+    prefix = f"{schema_suffix}_" if schema_suffix else ""
+    return f"{prefix}{model_name}_bucketed"
+
+
+def drop_bucketed_table(spark: SparkSession, table: str) -> None:
+    """DROP a managed bucketed table AND its surviving warehouse dir —
+    a fresh session's in-memory catalog forgets the table but the
+    warehouse directory persists, and a later CTAS errors with
+    LOCATION_ALREADY_EXISTS (the ``operators/dedup.py`` staging lesson)."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def read_mirror(spark: SparkSession, model_name: str, schema_suffix: str = "") -> DataFrame | None:
+    """The model's bucketed mirror as a DataFrame, or None if absent —
+    consumers (the dedup self-join family) fall back to building the
+    projection inline when no mirror is maintained."""
+    tbl = mirror_table_name(model_name, schema_suffix)
+    if not spark.catalog.tableExists(tbl):
+        return None
+    return spark.table(tbl)

@@ -93,6 +93,19 @@ class ModelConfig:
     # NOT MATCHED and inserted, so predicates must cover every window
     # the incremental build can emit.
     incremental_predicates: list[str] = field(default_factory=list)
+    # r12: maintain a bucketed managed-table MIRROR of this model
+    # (``<schema>_<name>_bucketed``, ``bucketBy(n_buckets, *bucket_by)
+    # sortBy(*bucket_by)``) alongside the parquet store table. The
+    # mirror is what makes self-joins on the bucket key plan
+    # bucket-local (zero Exchange on the join — the PERF.md r11 Part B
+    # shape, 1 Exchange total with the downstream groupBy); incremental
+    # 'append' runs append only the new slice, so the projection build
+    # amortizes across every consumer (the dedup family's
+    # fingerprint self-join). Only 'table' and incremental 'append'
+    # models can carry a mirror: MERGE/insert_overwrite rewrite
+    # arbitrary rows, which an append-maintained mirror cannot track.
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 128
 
 
 _REGISTRY: dict[str, ModelConfig] = {}
@@ -117,6 +130,8 @@ def model(
     contract: dict[str, str] | None = None,
     incremental_predicates: list[str] | None = None,
     description: str = "",
+    bucket_by: list[str] | None = None,
+    n_buckets: int = 128,
 ):
     """Register a model builder. The builder is ``(ctx) -> DataFrame``."""
     if materialized not in ("incremental", "table"):
@@ -151,6 +166,16 @@ def model(
             f"model {name!r}: incremental_predicates only apply to the "
             "'merge' strategy"
         )
+    if bucket_by:
+        if n_buckets < 1:
+            raise ValueError(f"model {name!r}: n_buckets must be >= 1")
+        if materialized == "incremental" and incremental_strategy != "append":
+            raise ValueError(
+                f"model {name!r}: bucket_by mirrors are append-maintained; "
+                "MERGE/insert_overwrite rewrite rows the mirror cannot "
+                "track — use materialized='table' or "
+                "incremental_strategy='append'"
+            )
 
     def deco(fn: Callable[["ModelContext"], DataFrame]):
         _REGISTRY[name] = ModelConfig(
@@ -173,6 +198,8 @@ def model(
             contract=contract,
             incremental_predicates=incremental_predicates or [],
             description=description,
+            bucket_by=bucket_by or [],
+            n_buckets=n_buckets,
         )
         return fn
 

@@ -591,7 +591,12 @@ class Runner:
             )
             self._post_hooks(cfg)
             return
-        if cfg.materialized == "incremental" and ctx.store.exists(cfg.name) and not full_refresh:
+        incremental_run = (
+            cfg.materialized == "incremental"
+            and ctx.store.exists(cfg.name)
+            and not full_refresh
+        )
+        if incremental_run:
             if cfg.incremental_strategy == "append":
                 self.store.append(df, cfg.name, cfg.partition_by)
             elif cfg.incremental_strategy == "insert_overwrite":
@@ -607,7 +612,43 @@ class Runner:
                 )
         else:
             self.store.write_full(df, cfg.name, cfg.partition_by)
+        if cfg.bucket_by:
+            self._sync_bucketed_mirror(cfg, df, incremental_append=incremental_run)
         self._post_hooks(cfg)
+
+    def _sync_bucketed_mirror(
+        self, cfg: ModelConfig, df: DataFrame, incremental_append: bool
+    ) -> None:
+        """Maintain the model's bucketed managed-table mirror
+        (``bucket_by`` config; ``engine/bucketing.py``).
+
+        Incremental 'append' runs append ONLY the new slice — re-running
+        the builder's narrow plan for the slice, never re-projecting the
+        accumulated table — so the bucketed layout's write cost
+        amortizes across runs the way the reference's incremental MERGE
+        amortizes the daily fact rebuild
+        (``models/fct_deepbook_margin_pool_daily.sql:33-35``). Fresh
+        builds and --full-refresh rebuild the mirror from the store
+        table. Appends keep the bucket spec (Spark validates) but leave
+        multiple files per bucket, so plans keep the Exchange-free join
+        and re-sort within tasks — the optimize post-hook analog for
+        mirrors is a full rebuild, which ``--full-refresh`` provides.
+        """
+        from .bucketing import drop_bucketed_table, mirror_table_name, write_bucketed
+
+        spark = self.store.spark
+        tbl = mirror_table_name(cfg.name, self.store.schema_suffix)
+        if incremental_append and spark.catalog.tableExists(tbl):
+            write_bucketed(
+                df, tbl, cfg.n_buckets, cfg.bucket_by,
+                sort_by=cfg.bucket_by, mode="append",
+            )
+        else:
+            drop_bucketed_table(spark, tbl)
+            write_bucketed(
+                self.store.read(cfg.name), tbl, cfg.n_buckets, cfg.bucket_by,
+                sort_by=cfg.bucket_by, mode="overwrite",
+            )
 
     def _post_hooks(self, cfg: ModelConfig) -> None:
         """Maintenance after a successful build: the reference's prod
@@ -665,6 +706,8 @@ class Runner:
                 "partition_by": cfg.partition_by or [],
                 "cluster_by": cfg.cluster_by,
                 "zorder_by": cfg.zorder_by,
+                "bucket_by": cfg.bucket_by,
+                "n_buckets": cfg.n_buckets,
                 "contract": cfg.contract,
                 "incremental_predicates": cfg.incremental_predicates,
                 "depends_on": cfg.deps,

@@ -191,6 +191,27 @@ def _intersect_shingle_rows(df, id_col, text_col, n, sh_fn):
     return sh, sizes
 
 
+def _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows):
+    """The (sh, sizes) pair for the exact-pair tiers: either the inline
+    shingle projection (``_intersect_shingle_rows``) or a MAINTAINED
+    (id, fp) projection — the ``corpus_fp_bucketed`` mirror — whose
+    two columns are renamed positionally to (_id, _fp). A Project over
+    a bucketed scan preserves the hash output-partitioning through the
+    alias, so the downstream self-join stays bucket-local. Sizes come
+    from a map-side-combined per-doc count (one row per doc on the
+    wire; the inline path reads them free off the staged array — the
+    maintained path trades that for never re-shingling)."""
+    if fp_rows is None:
+        sh_fn = shingles_vectorized if vectorized else shingles
+        return _intersect_shingle_rows(df, id_col, text_col, n, sh_fn)
+    sh = fp_rows.select(
+        F.col(fp_rows.columns[0]).alias("_id"),
+        F.col(fp_rows.columns[1]).alias("_fp"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("_size"))
+    return sh, sizes
+
+
 def _shingle_self_intersections(
     sh: DataFrame, strategy: str = "shuffle_hash"
 ) -> DataFrame:
@@ -272,6 +293,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     vectorized: bool = True,
     join_strategy: str = "shuffle_hash",
+    fp_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingles.
 
@@ -284,9 +306,20 @@ def ngram_jaccard_pairs(
     exact-pairwise operator is for *within-candidate-bucket* verification
     (feed it LSH candidates); use ``minhash_lsh_candidates`` to generate
     candidates without the quadratic join.
+
+    ``fp_rows`` (r12): a MAINTAINED (id, shingle-fp) projection — the
+    ``corpus_fp_bucketed`` DAG model's bucketed mirror — replaces the
+    inline shingling entirely; ``df``/``text_col``/``n``/``vectorized``
+    are ignored. Read from a ``bucketBy(fp) sortBy(fp)`` table, the
+    self-join plans bucket-local (ZERO Exchange on the join — the
+    PERF.md r11 Part B shape) and pair generation pays no re-shingling:
+    the projection cost amortizes across every dedup query, the way the
+    reference amortizes its daily fact
+    (``models/fct_deepbook_margin_pool_daily.sql:33-35``). Pass
+    ``join_strategy='merge'`` with a bucketed mirror — a hash-build
+    hint would discard the co-location.
     """
-    _sh_fn = shingles_vectorized if vectorized else shingles
-    sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
+    sh, sizes = _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows)
     inter = _shingle_self_intersections(sh, join_strategy).withColumnRenamed("n_inter", "_inter")
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_size_b"))
@@ -310,6 +343,7 @@ def shingle_containment_pairs(
     threshold_e6: int = 800_000,
     vectorized: bool = True,
     join_strategy: str = "shuffle_hash",
+    fp_rows: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by shingle containment:
     ``C = |A∩B| / min(|A|, |B|)`` — the smaller document's coverage.
@@ -329,8 +363,7 @@ def shingle_containment_pairs(
     contract applies — feed it LSH/bucket candidates for verification
     rather than running it corpus-wide.
     """
-    _sh_fn = shingles_vectorized if vectorized else shingles
-    sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
+    sh, sizes = _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows)
     inter = _shingle_self_intersections(sh, join_strategy)
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))

@@ -894,6 +894,131 @@ def _np_kmeans_fast(
     return centers
 
 
+def _distributed_spherical_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Distributed Lloyd training for LARGE coarse quantizers (r12,
+    VERDICT r11 item 3): the driver-sample trainer hits a hard wall —
+    balanced cells need ≥ ~16 samples/center (PERF.md r11 finding 3),
+    so ``n_lists = 62k`` demands a ≥ 1M-row driver collect AND a
+    driver-core-bound Lloyd loop. Here every round is one Arrow corpus
+    pass (the BPE-loop discipline):
+
+    1. centers ship executor-side in closure (k × dim × 8 B — 32 MB at
+       62.5k × 64, far under the broadcast ceiling, and bounded by the
+       TUNING KNOB, not the corpus — the r10 broadcast-contract rule);
+    2. ``mapInPandas`` assigns each partition's vectors to their nearest
+       cell (:func:`_top_cells_mm` — byte-budgeted blocks) and emits ONE
+       partial row per (partition, nonempty cell): (cell, count,
+       sum_vec) — ≤ k rows per partition however large the partition;
+    3. ``applyInPandas`` over ``cell`` folds partials (≤ n_partitions
+       rows per group) into the new centroid; empty cells keep their
+       previous centroid (the `_np_kmeans_fast` rule).
+
+    Per-round cost: one corpus matmul pass + a ≤ k·partitions-row
+    shuffle of (cell, count, dim-array) partials — linear in the corpus
+    and in k, never a driver collect of the training set. Trade,
+    documented honestly: cross-partition float64 partial sums make the
+    trained centers reproducible only up to partitioning (ulp-level
+    drift), unlike the bit-deterministic driver trainer — fine for a
+    candidate GENERATOR whose output pairs are verified by exact
+    cosine, which is why ``train_strategy='driver'`` (bit-stable,
+    hash-pinned) stays the default and this is the opt-in scale path.
+
+    Init: k rows by deterministic hash-order sample (driver holds only
+    the k × dim init matrix). Returns the trained centers ndarray.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .sampling import hash_uniform
+
+    dim = len(df.select(vec_col).first()[0])
+    init_rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hash_uniform(id_col, f"ivf-dist-init-{seed}").alias("u"),
+        )
+        .orderBy("u")
+        .limit(k)
+        .collect()
+    )
+    x0 = np.array([r["v"] for r in init_rows], dtype=np.float64)
+    n0 = np.linalg.norm(x0, axis=1, keepdims=True)
+    centers = x0 / np.where(n0 == 0.0, 1.0, n0)
+    if len(centers) < k:
+        centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
+
+    partial_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    centroid_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("c", ArrayType(DoubleType())),
+        ]
+    )
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def _make_partials(_cc):
+        # one-arg closure: mapInPandas calls fn(batch_iterator)
+        def _partials(batches):
+            acc_n = np.zeros(len(_cc), dtype=np.int64)
+            acc_s = np.zeros((len(_cc), dim))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                xx = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                nn = np.linalg.norm(xx, axis=1, keepdims=True)
+                xx = xx / np.where(nn == 0.0, 1.0, nn)
+                assign = _top_cells_mm(xx, _cc, 1)[:, 0]
+                acc_n += np.bincount(assign, minlength=len(_cc))
+                for d in range(dim):
+                    acc_s[:, d] += np.bincount(
+                        assign, weights=xx[:, d], minlength=len(_cc)
+                    )
+            nz = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {"cell": nz.astype(np.int32), "n": acc_n[nz], "s": list(acc_s[nz])}
+            )
+
+        return _partials
+
+    def _fold(pdf):
+        # one-arg closure: a two-parameter fn would be called (key, pdf)
+        cell = int(pdf["cell"].iloc[0])
+        n = int(pdf["n"].sum())
+        c = np.sum(np.stack(pdf["s"].to_numpy()), axis=0) / n
+        return pd.DataFrame({"cell": [cell], "c": [c]})
+
+    for _ in range(iters):
+        updated = (
+            vecs.mapInPandas(_make_partials(centers), schema=partial_schema)
+            .groupBy("cell")
+            .applyInPandas(_fold, schema=centroid_schema)
+            .collect()
+        )
+        centers = centers.copy()
+        for r in updated:
+            centers[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
+    return centers
+
+
 def cosine_pairs_ivf(
     df: DataFrame,
     id_col: str,
@@ -907,6 +1032,8 @@ def cosine_pairs_ivf(
     seed: int = 42,
     n_vectors: int | None = None,
     refine: str = "bucket_local",
+    train_strategy: str = "driver",
+    train_iters: int = 5,
 ) -> DataFrame:
     """Near-duplicate pairs via IVF (coarse k-means) candidates + the same
     exact shuffle-hash refine as :func:`cosine_pairs_lsh` — the opt-in
@@ -970,6 +1097,20 @@ def cosine_pairs_ivf(
     ``n_lists`` defaults to ``n·n_probes / target_occupancy`` so expected
     bucket occupancy — the quadratic axis — stays constant as the corpus
     grows (the same sizing discipline as ``lsh_autotune``).
+
+    ``train_strategy`` (r12, VERDICT r11 item 3): ``'driver'`` (default)
+    trains on a bounded collected sample — bit-deterministic centers,
+    but balanced cells need ≥ ~16 samples/center (PERF.md r11 finding
+    3), so the driver collect grows with ``n_lists`` and walls around
+    the fourth decade. ``'distributed'`` runs ``train_iters``
+    Arrow-batched Lloyd rounds over the FULL corpus
+    (:func:`_distributed_spherical_kmeans`): per-round cost is one
+    corpus pass + a ≤ n_lists·partitions-row partial shuffle, the
+    driver never collects training data, and every center sees the
+    whole corpus — constant-occupancy sizing survives arbitrarily
+    large ``n_lists``. Centers are then reproducible only up to
+    partitioning (cross-partition float sums); output pairs stay exact
+    either way (verified by exact cosine).
     """
     from .sampling import hash_uniform
 
@@ -991,28 +1132,48 @@ def cosine_pairs_ivf(
             )
     n_probes = min(n_probes, n_lists)
 
-    # ---- 1. train spherical k-means on a bounded deterministic sample
-    frac = min(1.0, 1.25 * train_sample / max(n, 1))
-    sample = (
-        df.select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            hash_uniform(id_col, "ivf-pairs-train").alias("u"),
+    # ---- 1. train spherical k-means
+    if train_strategy == "distributed":
+        # Arrow-batched Lloyd rounds over the FULL corpus (r12): removes
+        # the ≥16-samples/center driver-collect wall, so constant-
+        # occupancy n_lists sizing survives past the fourth decade. See
+        # _distributed_spherical_kmeans for the determinism trade.
+        if n == 0:
+            raise ValueError(
+                "cosine_pairs_ivf: no vectors to train on (empty input) — "
+                "the IVF tier needs a non-empty corpus"
+            )
+        centers = _distributed_spherical_kmeans(
+            df, id_col, vec_col, min(n_lists, n), iters=train_iters, seed=seed
         )
-        .filter(F.col("u") < F.lit(frac))
-        .collect()
-    )
-    sample.sort(key=lambda r: r["i"])
-    if not sample:
+    elif train_strategy == "driver":
+        # bounded deterministic sample, bit-stable centers (hash-pinned)
+        frac = min(1.0, 1.25 * train_sample / max(n, 1))
+        sample = (
+            df.select(
+                F.col(id_col).alias("i"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+                hash_uniform(id_col, "ivf-pairs-train").alias("u"),
+            )
+            .filter(F.col("u") < F.lit(frac))
+            .collect()
+        )
+        sample.sort(key=lambda r: r["i"])
+        if not sample:
+            raise ValueError(
+                "cosine_pairs_ivf: no vectors to train on (empty input or an "
+                "all-filtered training sample) — the IVF tier needs a non-empty "
+                "corpus; use the exact tier for degenerate inputs"
+            )
+        x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms == 0.0, 1.0, norms)
+        centers = _np_kmeans_fast(x, min(n_lists, len(x)), seed=seed)
+    else:
         raise ValueError(
-            "cosine_pairs_ivf: no vectors to train on (empty input or an "
-            "all-filtered training sample) — the IVF tier needs a non-empty "
-            "corpus; use the exact tier for degenerate inputs"
+            f"train_strategy must be 'driver' or 'distributed', got "
+            f"{train_strategy!r}"
         )
-    x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(norms == 0.0, 1.0, norms)
-    centers = _np_kmeans_fast(x, min(n_lists, len(x)), seed=seed)
     # the TRAINED center count is min(n_lists, |sample|); a corpus smaller
     # than n_probes would otherwise push argpartition's kth out of bounds
     # (ADVICE r10)

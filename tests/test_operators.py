@@ -1604,3 +1604,62 @@ def test_refine_tails_agree_on_degenerate_inputs(spark):
         assert all(c == c for _, _, c in got), (refine, got)  # no NaN
         assert all(3 not in (a, b) for a, b, _ in got), (refine, got)
         assert (1, 2, 1.0) in got, (refine, got)
+
+
+def test_ivf_distributed_trainer_full_recall(spark, sf_dir):
+    """VERDICT r11 item 3: the distributed Lloyd trainer (the scale path
+    past the ≥16-samples/center driver-collect wall) must recover the
+    exact all-pairs set at fixture scale, like the driver trainer whose
+    driver-hash match pins it — candidates differ only in WHICH cells
+    route a pair together; verification is exact either way."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+    from sample_deepbook_margin_dune_dbt_spark.queries.llmops import (
+        _augment_near_dups,
+    )
+
+    emb = _augment_near_dups(load(spark, sf_dir, "embeddings"))
+    exact = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs(emb, "vec_id", "embedding", 0.9).collect()
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_ivf(
+            emb, "vec_id", "embedding", 0.9,
+            n_lists=64, n_probes=4, train_strategy="distributed",
+            train_iters=3,
+        ).collect()
+    )
+    assert len(exact) > 0
+    assert got == exact
+
+
+def test_distributed_kmeans_balanced_cells(spark):
+    """The wall the distributed trainer removes is IMBALANCE: thin
+    driver samples (~2 samples/center) leave centroids that funnel the
+    corpus into few mega-cells (quadratic bucket blow-up). On a
+    synthetic corpus of k well-separated clusters the distributed
+    trainer must keep occupancy near-uniform."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    k, per, dim = 32, 64, 16
+    protos = rng.standard_normal((k, dim)) * 10.0
+    rows = []
+    vid = 0
+    for c in range(k):
+        for _ in range(per):
+            rows.append((vid, (protos[c] + rng.standard_normal(dim) * 0.05).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = S._distributed_spherical_kmeans(
+        df, "vec_id", "embedding", k, iters=4, seed=3
+    )
+    assert centers.shape == (k, dim)
+    x = np.array([r[1] for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = S._top_cells_mm(x, centers, 1)[:, 0]
+    occ = np.bincount(assign, minlength=k)
+    # near-uniform: no mega-cell (quadratic risk) and few dead cells
+    assert occ.max() <= 4 * per, occ.max()
+    assert (occ > 0).sum() >= k * 3 // 4, (occ > 0).sum()

@@ -13,7 +13,7 @@ expansion is quadratic in occupancy — the probe therefore passes
 clamp WARNING tells an operator to make) and records recall against the
 75 planted pairs.
 
-Usage: python tools/probe_ivf_1000x.py [n_lists] [train_sample] [refine] [n_probes]
+Usage: python tools/probe_ivf_1000x.py [n_lists] [train_sample] [refine] [n_probes] [train_strategy] [train_iters]
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 FIXTURE = os.path.join(REPO, ".scale_fixtures", "sf0.1x1000")
 
 
-def main(n_lists: int | None, train_sample: int, refine: str = "exchange", n_probes: int = 4) -> None:
+def main(n_lists: int | None, train_sample: int, refine: str = "exchange", n_probes: int = 4, train_strategy: str = "driver", train_iters: int = 5) -> None:
     # default to the harness heap; overridable (the r11 run needed the
     # r10 matrix's 48 GB PASS point — the refine tail's hash builds hit
     # the same per-task memory floor as the shingle self-join family)
@@ -48,7 +48,7 @@ def main(n_lists: int | None, train_sample: int, refine: str = "exchange", n_pro
     raw = load(spark, FIXTURE, "embeddings")
     emb = _augment_near_dups(raw)
     n = _augmented_count(raw)
-    print(f"n_vectors={n} n_lists={n_lists} train_sample={train_sample}", flush=True)
+    print(f"n_vectors={n} n_lists={n_lists} train_sample={train_sample} strategy={train_strategy}", flush=True)
 
     t0 = time.time()
     pairs = S.cosine_pairs_ivf(
@@ -61,6 +61,8 @@ def main(n_lists: int | None, train_sample: int, refine: str = "exchange", n_pro
         n_vectors=n,
         refine=refine,
         n_probes=n_probes,
+        train_strategy=train_strategy,
+        train_iters=train_iters,
     )
     rows = pairs.count()
     wall = time.time() - t0
@@ -69,7 +71,7 @@ def main(n_lists: int | None, train_sample: int, refine: str = "exchange", n_pro
         (F.col("id_b") >= 1_000_000) & (F.col("id_b") < 3_000_000)
     ).count()
     print(
-        f"IVF_1000X refine={refine} p={n_probes} pairs={rows} planted={planted} wall={wall:.1f}s",
+        f"IVF_1000X refine={refine} p={n_probes} strategy={train_strategy} pairs={rows} planted={planted} wall={wall:.1f}s",
         flush=True,
     )
     spark.stop()
@@ -80,4 +82,6 @@ if __name__ == "__main__":
     ts = int(sys.argv[2]) if len(sys.argv) > 2 else 125_000
     rf = sys.argv[3] if len(sys.argv) > 3 else "exchange"
     np_ = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    main(nl, ts, rf, np_)
+    strat = sys.argv[5] if len(sys.argv) > 5 else "driver"
+    iters = int(sys.argv[6]) if len(sys.argv) > 6 else 5
+    main(nl, ts, rf, np_, strat, iters)

@@ -1052,3 +1052,73 @@ def corpus_fp_bucketed(ctx: ModelContext) -> DataFrame:
             )
         ).alias("fp"),
     )
+
+
+@model(
+    "corpus_leakage_report",
+    unique_key=["bench_id"],
+    materialized="table",
+    tags=["corpus"],
+    not_null=["bench_id", "n_shingles"],
+)
+def corpus_leakage_report(ctx: ModelContext) -> DataFrame:
+    """Eval-governance DAG node (r12, VERDICT r11 item 7): the reverse-
+    decontamination leakage audit
+    (``operators/contamination.py::benchmark_leakage``) over the
+    REGISTERED benchmark — per benchmark document, how many corpus
+    documents contain it by asymmetric shingle containment, the worst
+    offender, and the ``leaked`` verdict.
+
+    CLI-drivable end-to-end: the containment threshold τ and the
+    shingle width come from vars (``--vars '{leakage_threshold_e6:
+    400000, leakage_ngram: 3}'`` — the ``trusted_sources`` precedent),
+    and the benchmark is the same registered
+    ``main.benchmark_documents`` source the decontamination model
+    scrubs against. Every row carries the benchmark's content
+    fingerprint (the ``corpus_decontaminated_documents`` stamp
+    discipline) so a report can never be read against the wrong
+    benchmark version. No registered benchmark → an empty report with
+    the sentinel stamp (nothing to audit, loudly distinguishable from
+    "audited and clean" because bench rows always appear when a
+    benchmark exists).
+
+    Full-rebuild TABLE: output is benchmark-bounded by nature (one row
+    per benchmark doc), and the corpus side is a streaming map probe —
+    rebuilding is cheaper than reasoning about which corpus additions
+    could flip old verdicts (any new doc can).
+    """
+    from ..functions.text import fingerprint64
+    from ..operators.contamination import benchmark_leakage
+
+    docs = ctx.source("main", "documents")
+    try:
+        bench = ctx.source("main", "benchmark_documents")
+    except KeyError:
+        bench = None
+    thr = int(ctx.var("leakage_threshold_e6", 500_000))
+    ngram = int(ctx.var("leakage_ngram", 3))
+
+    if bench is None:
+        spark = docs.sparkSession
+        empty = spark.createDataFrame(
+            [],
+            "bench_id long, n_shingles long, n_leaking_docs long, "
+            "top_doc_id long, top_containment_e6 long, leaked boolean",
+        )
+        return empty.withColumn("benchmark_fp", F.lit("none_0")).withColumn(
+            "threshold_e6", F.lit(thr).cast("long")
+        ).withColumn("updated_at", ctx.now())
+
+    row = bench.agg(
+        F.bit_xor(fingerprint64(F.col("text"))).alias("x"),
+        F.count(F.lit(1)).alias("c"),
+    ).first()
+    bench_fp = f"{row['x']}_{row['c']}"
+    rep = benchmark_leakage(
+        docs, bench, "doc_id", "text", n=ngram, threshold_e6=thr
+    )
+    return (
+        rep.withColumn("benchmark_fp", F.lit(bench_fp))
+        .withColumn("threshold_e6", F.lit(thr).cast("long"))
+        .withColumn("updated_at", ctx.now())
+    )

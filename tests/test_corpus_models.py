@@ -332,3 +332,59 @@ def test_fp_bucketed_model_growth_mirror_and_plan(spark, sf_dir, tmp_path):
         assert fed == inline and len(fed) > 0
     finally:
         drop_bucketed_table(spark, tbl)
+
+
+def test_leakage_report_model_vars_and_cli(spark, sf_dir, tmp_path, capsys):
+    """VERDICT r11 item 7: the eval-governance leakage audit as a
+    CLI-drivable DAG node. Pins: τ comes from --vars and actually
+    changes verdicts, rows carry the benchmark content stamp, the
+    no-benchmark run emits the empty sentinel report, and the CLI
+    drives it end-to-end."""
+    from sample_deepbook_margin_dune_dbt_spark.__main__ import main
+    from sample_deepbook_margin_dune_dbt_spark.operators.contamination import (
+        benchmark_leakage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_path = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 97 == 0).write.parquet(bench_path)
+
+    # CLI drive with a custom τ
+    wh = str(tmp_path / "wh")
+    main([
+        "run", "--warehouse", wh,
+        "--source", f"main.documents={sf_dir}/documents.parquet",
+        "--source", f"main.benchmark_documents={bench_path}",
+        "--vars", "{leakage_threshold_e6: 200000}",
+        "--select", "corpus_leakage_report",
+    ])
+    assert "corpus_leakage_report" in capsys.readouterr().out
+    store = TableStore(spark, wh)
+    got = store.read("corpus_leakage_report")
+    bench = spark.read.parquet(bench_path)
+    assert got.count() == bench.count()  # every bench doc gets a row
+    assert got.select("threshold_e6").distinct().first()[0] == 200_000
+    assert got.select("benchmark_fp").distinct().count() == 1
+    assert got.first()["benchmark_fp"] != "none_0"
+
+    # τ must bind: the 200k report leaks at least as much as default
+    # 500k (corpus side = the registered documents source, benchmark
+    # members included — in this fixture bench ⊂ corpus, so every bench
+    # doc at least self-leaks)
+    strict = benchmark_leakage(docs, bench, "doc_id", "text", threshold_e6=500_000)
+    loose_leaks = got.filter(F.col("leaked")).count()
+    strict_leaks = strict.filter(F.col("leaked")).count()
+    assert loose_leaks >= strict_leaks
+    # and the var-fed report equals the operator at the same τ
+    direct = benchmark_leakage(docs, bench, "doc_id", "text", threshold_e6=200_000)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, got.drop("benchmark_fp", "threshold_e6", "updated_at").collect())
+    )
+
+    # no registered benchmark → empty sentinel report
+    wh2 = str(tmp_path / "wh2")
+    Runner(spark, TableStore(spark, wh2),
+           {"main.documents": f"{sf_dir}/documents.parquet"}).run("corpus_leakage_report")
+    empty = TableStore(spark, wh2).read("corpus_leakage_report")
+    assert empty.count() == 0
+    assert "benchmark_fp" in empty.columns

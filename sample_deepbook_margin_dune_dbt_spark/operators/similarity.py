@@ -945,15 +945,24 @@ def _distributed_spherical_kmeans(
     from .sampling import hash_uniform
 
     dim = len(df.select(vec_col).first()[0])
-    init_rows = (
-        df.select(
-            F.col(vec_col).cast("array<double>").alias("v"),
-            hash_uniform(id_col, f"ivf-dist-init-{seed}").alias("u"),
+    # init sample: threshold-filter on the hash uniform, NOT orderBy+limit
+    # — a global TakeOrdered at k = tens of thousands ships k rows PER
+    # TASK to the driver (measured r12: 573 tasks × 62.5k rows blew the
+    # 1 GB maxResultSize on the 2M fixture); the filter prunes
+    # executor-side so the collect is ~1.5k·dim·8 B total. The top-k-by-u
+    # within the oversample keeps init deterministic for a given corpus.
+    n_total = df.count()
+    frac = min(1.0, 1.5 * k / max(n_total, 1))
+    init_rows = df.select(
+        F.col(vec_col).cast("array<double>").alias("v"),
+        hash_uniform(id_col, f"ivf-dist-init-{seed}").alias("u"),
+    ).filter(F.col("u") < F.lit(frac)).collect()
+    init_rows.sort(key=lambda r: r["u"])
+    init_rows = init_rows[:k]
+    if not init_rows:
+        raise ValueError(
+            "distributed k-means: empty init sample (empty input?)"
         )
-        .orderBy("u")
-        .limit(k)
-        .collect()
-    )
     x0 = np.array([r["v"] for r in init_rows], dtype=np.float64)
     n0 = np.linalg.norm(x0, axis=1, keepdims=True)
     centers = x0 / np.where(n0 == 0.0, 1.0, n0)

@@ -324,3 +324,65 @@ def test_versioned_store_streaming_twin(spark, tmp_path):
     }
     assert after == before, f"identical replay minted versions: {before} -> {after}"
     assert _manifest(store) == _batch_twin(spark, [1, 2, 3, 4, 5])
+
+
+def test_reconcile_property_random_crash_sequences(spark, tmp_path):
+    """VERDICT r11 item 8: hypothesis property — ANY sequence of batches
+    with crashes injected at ANY merge boundary, followed by the real
+    restart sequence (the fresh-checkpoint reconcile sweep, then batch 0
+    re-reading the whole landing set), converges to manifest ≡ the batch
+    twin of every dropped doc. The final batch matters: a crash between
+    the corpus merge and the rollup leaves a stale manifest that the
+    UNCONDITIONAL end-of-batch rollup (not the reconcile) repairs —
+    exactly how the runtime heals it."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sample_deepbook_margin_dune_dbt_spark.streaming.export import (
+        reconcile_shard_ledger,
+    )
+
+    universe = sorted(DOCS)
+    batch = st.lists(st.sampled_from(universe), min_size=1, max_size=4)
+    # crash point: None = clean batch; 1..3 = Nth merge call raises
+    # (1 = after nothing / during ledger, 2 = between ledger and corpus,
+    #  3 = between corpus and manifest rollup)
+    step = st.tuples(batch, st.one_of(st.none(), st.integers(1, 3)))
+
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(step, min_size=1, max_size=4))
+    def run(seq):
+        counter[0] += 1
+        root = str(tmp_path / f"wh{counter[0]}")
+        shutil.rmtree(root, ignore_errors=True)
+        for ids, crash in seq:
+            if crash is None:
+                _apply(TableStore(spark, root), _batch_df(spark, ids))
+            else:
+                crashy = _CrashStore(spark, root, crash_on_merge_call=crash)
+                try:
+                    _apply(crashy, _batch_df(spark, ids))
+                except RuntimeError:
+                    pass  # injected crash — mid-batch state left behind
+        store = TableStore(spark, root)
+        reconcile_shard_ledger(
+            store, "corpus", "corpus_shard_deltas", "corpus_shard_manifest",
+            "doc_id", "text",
+        )
+        all_ids = sorted({i for ids, _ in seq for i in ids})
+        _apply(store, _batch_df(spark, all_ids))  # fresh-checkpoint batch 0
+        ingested = sorted(
+            r["doc_id"] for r in store.read("corpus").select("doc_id").collect()
+        )
+        assert ingested == all_ids
+        assert _manifest(store) == _batch_twin(spark, all_ids)
+
+    run()

@@ -1002,8 +1002,16 @@ def _distributed_spherical_kmeans(
                         assign, weights=xx[:, d], minlength=len(_cc)
                     )
             nz = np.nonzero(acc_n)[0]
+            # dtype=object even when empty: an EMPTY partition otherwise
+            # yields a float64 "s" column, and Arrow's NumPyConverter
+            # cannot cast that to list<double> (measured r12 on the 2M
+            # fixture — 573 input splits, some empty after the scan)
             yield pd.DataFrame(
-                {"cell": nz.astype(np.int32), "n": acc_n[nz], "s": list(acc_s[nz])}
+                {
+                    "cell": nz.astype(np.int32),
+                    "n": acc_n[nz],
+                    "s": pd.Series(list(acc_s[nz]), dtype=object),
+                }
             )
 
         return _partials
@@ -1013,7 +1021,7 @@ def _distributed_spherical_kmeans(
         cell = int(pdf["cell"].iloc[0])
         n = int(pdf["n"].sum())
         c = np.sum(np.stack(pdf["s"].to_numpy()), axis=0) / n
-        return pd.DataFrame({"cell": [cell], "c": [c]})
+        return pd.DataFrame({"cell": [cell], "c": pd.Series([c], dtype=object)})
 
     for _ in range(iters):
         updated = (

@@ -403,6 +403,14 @@ driver query moved to ``EXTRA_QUERIES``:
   runs in staying ``retrieval_rrf_fusion``/``emb_hard_negatives``,
   both TakeOrderedAndProject-pinned).
 
+- round 12 continuation (new capability family, EXTRA first per the
+  house protocol): ``emb_bitext_mine`` — margin-based parallel-pair
+  (bitext) mining across the label-parity pseudo-languages
+  (``operators/bitext.py::mine_parallel_pairs``, the Artetxe & Schwenk
+  ratio margin over forward/backward bounded top-k, exact-integer
+  margins, mutual-best flag; oracle-verified at sf0.001 + sf0.01 —
+  230/217 rows).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -411,6 +419,7 @@ declaration is trimmed to fit its window.
 from __future__ import annotations
 
 from .approx import APPROX_QUERIES
+from .bitextq import BITEXT_QUERIES
 from .chunkingq import CHUNKING_QUERIES
 from .curation import CURATION_QUERIES
 from .evalq import EVAL_QUERIES
@@ -446,6 +455,7 @@ _MERGED = {
     **NOVELTY_QUERIES,
     **GOVERNANCE_QUERIES,
     **EVAL_QUERIES,
+    **BITEXT_QUERIES,
 }
 
 # Declared-to-driver order (≤ 50): flagship first, then the LLM-pipeline

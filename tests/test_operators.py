@@ -1688,3 +1688,37 @@ def test_bucket_local_tile_boundary_bit_parity(spark):
     ).collect()))
     assert len(a) > 600  # tight cloud: far more pairs than vectors
     assert a == b
+
+
+def test_bitext_mining_planted_pair(spark):
+    """A planted translation pair (near-identical vectors on opposite
+    sides, surrounded by noise) must be mined as each other's MUTUAL
+    best match with a margin well above the neighborhood mean; noise
+    vectors must not produce mutual pairs at that margin."""
+    import numpy as np
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import bitext as BX
+
+    rng = np.random.RandomState(5)
+    rows = []
+    base = rng.standard_normal(16)
+    rows.append((1, (base + rng.standard_normal(16) * 0.01).tolist(), True))
+    rows.append((100, (base + rng.standard_normal(16) * 0.01).tolist(), False))
+    for i in range(2, 30):
+        rows.append((i, rng.standard_normal(16).tolist(), True))
+        rows.append((100 + i, rng.standard_normal(16).tolist(), False))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, side boolean"
+    )
+    out = BX.mine_parallel_pairs(
+        df, "vec_id", "embedding", "side", k=4, margin_threshold_e6=1_200_000
+    ).collect()
+    planted = [r for r in out if r["id_a"] == 1]
+    assert planted and planted[0]["id_b"] == 100
+    assert planted[0]["mutual"]
+    assert planted[0]["cos_e6"] > 990_000
+    # the planted pair must carry the TOP margin; noise pairs may clear
+    # a relative-margin bar (flat neighborhoods — why production mining
+    # also gates on absolute cosine) but never near-perfect cosine
+    assert max(out, key=lambda r: r["margin_e6"])["id_a"] == 1
+    assert all(r["cos_e6"] < 990_000 for r in out if r["id_a"] != 1)

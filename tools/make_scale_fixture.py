@@ -169,34 +169,50 @@ def make_events(copies: int = 10) -> str:
     cols = {name: t[name] for name in t.schema.names}
     import pyarrow.compute as pc
 
-    parts = []
-    for c in range(copies):
+    def _copy_table(c: int) -> pa.Table:
         off = c * 10_000_000
-        parts.append(
-            pa.table(
-                {
-                    "event_id": pc.add(cols["event_id"], off),
-                    "ts": cols["ts"],
-                    "user_id": pc.add(cols["user_id"], off),
-                    "event_type": cols["event_type"],
-                    "value": cols["value"],
-                    "props": cols["props"],
-                }
-            )
+        return pa.table(
+            {
+                "event_id": pc.add(cols["event_id"], off),
+                "ts": cols["ts"],
+                "user_id": pc.add(cols["user_id"], off),
+                "event_type": cols["event_type"],
+                "value": cols["value"],
+                "props": cols["props"],
+            }
         )
-    tbl = pa.concat_tables(parts)
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale_fixtures",
         f"events0.1x{copies}",
     )
     os.makedirs(out, exist_ok=True)
-    pq.write_table(tbl, f"{out}/events.parquet", row_group_size=262144)
+    if copies <= 100:
+        tbl = pa.concat_tables([_copy_table(c) for c in range(copies)])
+        pq.write_table(tbl, f"{out}/events.parquet", row_group_size=262144)
+        n_rows = tbl.num_rows
+    else:
+        # fourth-decade fixtures (r12): stream copy-by-copy through one
+        # ParquetWriter — the concat-then-write path holds every copy's
+        # rewritten id columns in memory at once
+        writer = None
+        n_rows = 0
+        try:
+            for c in range(copies):
+                part = _copy_table(c)
+                if writer is None:
+                    writer = pq.ParquetWriter(f"{out}/events.parquet", part.schema)
+                writer.write_table(part, row_group_size=262144)
+                n_rows += part.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
     for name in [s for s in SIBLINGS if s != "events"] + ["embeddings"]:
         dst = f"{out}/{name}.parquet"
         if not os.path.islink(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
-    print(f"{out}: {tbl.num_rows} events")
+    print(f"{out}: {n_rows} events")
     return out
 
 

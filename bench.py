@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "f_time_functions",
     "p3_like_prefix",
     "w2_latest_per_group",
+    # r12 new family: margin-based bitext mining
+    "emb_bitext_mine",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

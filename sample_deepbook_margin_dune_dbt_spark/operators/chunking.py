@@ -266,30 +266,37 @@ def chunk_content_defined(
     if window <= 0 or divisor <= 0:
         raise ValueError(f"window/divisor must be positive, got {window}/{divisor}")
     toks = F.split(F.trim(F.col(text_col)), " ")
-    n = F.size(toks)
-    gram = lambda i: F.array_join(F.slice(toks, i + 1, window), " ")  # noqa: E731
+    # the boundary array must be computed ONCE, over a token array that
+    # is itself computed once. Three hazards, each measured and pinned
+    # (tests/test_plans.py::test_cdc_chunking_single_md5_evaluation):
+    # 1. the boundary-filter lambda slicing the INLINE split expression
+    #    re-splits the whole text once per token position — O(|text|²)
+    #    character work per doc (the r12 text_winnow finding) — so the
+    #    token array gets its own select; CollapseProject leaves it
+    #    alone (an expensive expression referenced 3×).
+    # 2. CollapseProject inlines deterministic exprs referenced once —
+    #    computing _starts in its own select below the Generate keeps
+    #    the chunk-end element_at a symbolic reference (the r11 3× fix;
+    #    the rand() barrier used then was obsolete — re-measured r12).
+    # 3. InferFiltersFromGenerate clones the WHOLE _starts expression
+    #    into a `size(_starts) > 0` filter below the Project — useless
+    #    (_starts always contains index 0) but it doubled the md5 work
+    #    (measured r12: 3.5 → 2.1 s at sf0.1). posexplode_outer
+    #    suppresses the inference; with the scan-pushed NOT NULL guard
+    #    its semantics are identical.
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    tok_attr = F.col("_toks")
+    n = F.size(tok_attr)
+    gram = lambda i: F.array_join(F.slice(tok_attr, i + 1, window), " ")  # noqa: E731
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
         lambda i: (i == 0) | (F.pmod(fingerprint64(gram(i)), divisor) == 0),
     )
-    # the boundary array must be computed ONCE (md5 per token — it IS
-    # the operator's cost). Two things threaten that and are pinned by
-    # tests/test_plans.py::test_cdc_chunking_single_md5_evaluation:
-    # 1. CollapseProject inlines deterministic exprs into every
-    #    reference — computing _starts in its own select below the
-    #    Generate keeps the chunk-end element_at a symbolic reference
-    #    (the r11 3× fix; the rand() barrier used then is obsolete —
-    #    re-measured r12: the split alone holds, and rand() cost ~10%).
-    # 2. InferFiltersFromGenerate clones the WHOLE _starts expression
-    #    into a `size(_starts) > 0` filter below the Project — useless
-    #    here (_starts always contains index 0, so size ≥ 1) but it
-    #    doubled the md5 work (measured r12: 3.5 → 2.1 s at sf0.1).
-    #    posexplode_outer suppresses the inference; with the text
-    #    NOT NULL guard (scan-pushed) its semantics are identical,
-    #    since a non-null doc always yields a non-empty _starts.
-    pre = df.filter(F.col(text_col).isNotNull()).select(
+    pre = staged.select(
         F.col(id_col),
-        toks.alias("_toks"),
+        F.col("_toks"),
         n.alias("_n"),
         starts.alias("_starts"),
     )

@@ -556,13 +556,30 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), n_grams),
         lambda i: fingerprint64(t.substr(i, F.lit(k))),
     )
-    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    # the k-gram hash array MUST be an attribute before the sliding
+    # window reads it: inlined (the pre-r12 form), the minima lambda's
+    # `slice(grams_expr, j, w)` re-evaluates the ENTIRE md5-per-gram
+    # array once per window position — O(|text|²) md5 calls per doc
+    # (measured r12: 79.4 s at sf0.1; 2.1 s materialized). Same
+    # discipline as chunk_content_defined: grams in its own select
+    # below the Generate (the Generate boundary blocks CollapseProject),
+    # explode_outer so InferFiltersFromGenerate can't clone the array
+    # expression into a never-false size()>0 filter, and a scan-pushed
+    # NOT NULL guard keeping outer ≡ inner (non-null text ⇒ ≥1 window).
+    pre = _spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        ),
+        id_col,
+    ).select(F.col(id_col), grams.alias("_grams"))
+    n_windows = F.greatest(F.size(F.col("_grams")) - (window - 1), F.lit(1))
     minima = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(grams, j, window)),
+        lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
     )
-    return _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
+    return pre.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(minima)).alias("fp"),
     )
 
 
@@ -883,14 +900,24 @@ def segment_boilerplate_dedup(
     by repeated content, not corpus size). No driver-side collection.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    # word array as an attribute below the Generate: inlined, the
+    # per-segment slice re-splits the whole text per segment —
+    # O(|text|²/seg_words) per doc (the r12 text_winnow finding)
+    pre = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words.alias("_words")
+    )
+    nseg = F.ceil(F.size(F.col("_words")) / F.lit(float(seg_words))).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.array_join(
-            F.slice(words, i * seg_words + 1, F.lit(seg_words)), " "
+            F.slice(F.col("_words"), i * seg_words + 1, F.lit(seg_words)), " "
         ),
     )
-    seg_rows = df.select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
+    # posexplode_outer for the same InferFiltersFromGenerate reason;
+    # non-null text always yields >= 1 segment
+    seg_rows = pre.select(
+        F.col(id_col), F.posexplode_outer(segs).alias("seg_idx", "seg")
+    )
     boiler = (
         seg_rows.groupBy("seg")
         .agg(F.countDistinct(id_col).alias("_df"))
@@ -908,7 +935,7 @@ def segment_boilerplate_dedup(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    base = df.select(F.col(id_col), nseg.cast("long").alias("n_segments"))
+    base = pre.select(F.col(id_col), nseg.cast("long").alias("n_segments"))
     return base.join(reassembled, id_col, "left").select(
         id_col,
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
@@ -1178,19 +1205,27 @@ def _window_rows_text(
     if k < 2:
         raise ValueError(f"window width k must be >= 2, got {k}")
     toks = ws_tokens_exact(text_col)
-    n_tokens = F.size(toks)
-    wins = F.transform(
-        F.sequence(F.lit(0), n_tokens - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return (
+    # the token array must be an ATTRIBUTE before the window lambda
+    # slices it: inlined, `slice(split(text), i+1, k)` re-splits the
+    # WHOLE text once per window position — O(|text|²) character work
+    # per doc (the r12 text_winnow finding, 72× there). The Generate
+    # boundary below blocks CollapseProject from re-inlining.
+    pre = (
         _spread(df, id_col)
-        .filter(n_tokens >= k)
-        .select(
-            F.col(id_col),
-            n_tokens.cast("long").alias("n_tokens"),
-            F.posexplode(wins).alias("pos", "_w"),
-        )
+        .filter(F.size(toks) >= k)
+        .select(F.col(id_col), toks.alias("_toks"))
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k)),
+    )
+    # posexplode_outer: InferFiltersFromGenerate would clone the whole
+    # window-array expression into a never-false size()>0 filter (the
+    # CDC r12 finding); the >= k filter above guarantees >= 1 window
+    return pre.select(
+        F.col(id_col),
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+        F.posexplode_outer(wins).alias("pos", "_w"),
     )
 
 

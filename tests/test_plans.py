@@ -205,6 +205,21 @@ def test_cdc_chunking_single_md5_evaluation(spark, sf_dir):
     assert plan.count("md5(") == 1, plan
     above_generate = plan.split("Generate ")[0]
     assert "md5(" not in above_generate, above_generate
+    # r12: the token array must also be computed once — an inline split
+    # inside the boundary lambda re-splits the whole text per token
+    # position (O(|text|²); 2.1 → 0.93 s at sf0.1 staged)
+    assert plan.count("split(") == 1, plan
+
+
+def test_winnow_single_gram_array_evaluation(spark, sf_dir):
+    """r12: the winnowing k-gram hash array must be an attribute before
+    the sliding-window minima slice it — inlined, the whole md5-per-gram
+    array re-evaluates once per window position (O(|text|²) md5 calls;
+    measured 79.4 → 1.1 s at sf0.1). One md5 node, below the Generate."""
+    fn, _ = ALL_QUERIES["text_winnow"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, plan
+    assert "md5(" not in plan.split("Generate ")[0], plan
 
 
 def test_curation_queries_are_narrow_maps(spark, sf_dir):

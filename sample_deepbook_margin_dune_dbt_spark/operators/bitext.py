@@ -84,19 +84,19 @@ def mine_parallel_pairs(
         raise ValueError("mine_parallel_pairs: side A is empty")
 
     # one Arrow pass: every B vector scored against the A anchor matrix
-    # (query_id = the A anchor, neighbor_id = the B vector). Staged once
-    # — the forward AND backward top-k both read it, and an unstaged
-    # plan re-executes the Arrow batch per branch (the text_novelty
-    # restaging lesson). Non-negative cosines only, in BOTH engines:
-    # keeps every downstream integer `div` on non-negative operands
-    # (Spark truncates toward zero, DuckDB floors — they agree only
-    # there), and translation candidates are high-cosine by nature.
-    from pyspark.storagelevel import StorageLevel
-
-    scored = (
-        _anchor_cosines_vectorized(b_side, id_col, vec_col, anchors)
-        .filter(F.col("cosine") >= 0)
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # (query_id = the A anchor, neighbor_id = the B vector). The forward
+    # AND backward top-k both read it, so the Arrow pass executes TWICE —
+    # deliberately: the scored matrix is |A|·|B| rows (QUADRATIC), and
+    # materializing it (localCheckpoint) costs more than recomputing the
+    # linear scoring pass (measured r12 at sf0.1: 7.1 s staged vs 5.9 s
+    # recomputed) — "never persist/exchange the quadratic intermediate",
+    # the read twin of the candidate×payload lesson. Non-negative
+    # cosines only, in BOTH engines: keeps every downstream integer
+    # `div` on non-negative operands (Spark truncates toward zero,
+    # DuckDB floors — they agree only there), and translation candidates
+    # are high-cosine by nature.
+    scored = _anchor_cosines_vectorized(b_side, id_col, vec_col, anchors).filter(
+        F.col("cosine") >= 0
     )
 
     # forward: per A, top-k B neighbors

@@ -550,28 +550,45 @@ def winnow_fingerprints(
 
     Output: (id, fp) — one row per distinct fingerprint.
     """
-    t = F.lower(F.trim(F.col(text_col)))
-    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    # THREE quadratic re-evaluation hazards at long docs, found in
+    # sequence by the r12 doc-length probe (79.4 s → linear):
+    # 1. the minima lambda slicing the INLINE gram array re-evaluates
+    #    the entire md5-per-gram array per window position (the 79.4 s
+    #    finding at sf0.1 — no CSE inside HOF lambdas);
+    # 2. the gram lambda's substr over INLINE lower(trim(text))
+    #    re-normalizes the whole text per gram position (6.0 s at 16×
+    #    doc length after fix 1);
+    # 3. substr ITSELF on a UTF8String scans from byte 0 to find the
+    #    i-th character per call — O(position) even over an attribute
+    #    (31 s at 64× doc length after fix 2) — so grams come from a
+    #    per-CHARACTER array (split(t, '') matches substr semantics,
+    #    multibyte included) with O(1) array indexing.
+    # Staging: the char array in its own select — CollapseProject leaves
+    # it alone because the gram select references it TWICE (size + the
+    # lambda), and expensive-referenced-twice never inlines; the gram
+    # array below the Generate (the Generate boundary blocks collapse);
+    # explode_outer so InferFiltersFromGenerate can't clone the array
+    # into a never-false size()>0 filter; scan-pushed NOT NULL guard
+    # keeping outer ≡ inner (non-null ⇒ ≥1 window).
+    chars = F.col("_chars")
+    n_grams = F.greatest(F.size(chars) - (k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: fingerprint64(t.substr(i, F.lit(k))),
+        lambda i: fingerprint64(F.array_join(F.slice(chars, i, k), "")),
     )
-    # the k-gram hash array MUST be an attribute before the sliding
-    # window reads it: inlined (the pre-r12 form), the minima lambda's
-    # `slice(grams_expr, j, w)` re-evaluates the ENTIRE md5-per-gram
-    # array once per window position — O(|text|²) md5 calls per doc
-    # (measured r12: 79.4 s at sf0.1; 2.1 s materialized). Same
-    # discipline as chunk_content_defined: grams in its own select
-    # below the Generate (the Generate boundary blocks CollapseProject),
-    # explode_outer so InferFiltersFromGenerate can't clone the array
-    # expression into a never-false size()>0 filter, and a scan-pushed
-    # NOT NULL guard keeping outer ≡ inner (non-null text ⇒ ≥1 window).
-    pre = _spread(
-        df.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col), F.col(text_col)
-        ),
-        id_col,
-    ).select(F.col(id_col), grams.alias("_grams"))
+    pre = (
+        _spread(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.col(text_col))), "").alias("_chars"),
+        )
+        .select(F.col(id_col), grams.alias("_grams"))
+    )
     n_windows = F.greatest(F.size(F.col("_grams")) - (window - 1), F.lit(1))
     minima = F.transform(
         F.sequence(F.lit(1), n_windows),

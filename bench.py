@@ -242,8 +242,10 @@ BENCH_QUERIES = [
     "f_time_functions",
     "p3_like_prefix",
     "w2_latest_per_group",
-    # r12 new family: margin-based bitext mining
+    # r12 new families: margin-based bitext mining + the prefix-filter
+    # exact-recall jaccard tier
     "emb_bitext_mine",
+    "dedup_jaccard_prefix",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -335,6 +335,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin,
+    Chaudhuri et al. 2006 / Xiao et al. 2008) — the third candidate
+    generator for the near-dup family, and the only one with an EXACT
+    recall guarantee: under any global token order, two sets with
+    ``J ≥ t`` must share a token within each set's first
+    ``|X| − ⌈t·|X|⌉ + 1`` tokens, so joining PREFIX tokens only finds
+    every qualifying pair by construction (LSH trades that guarantee
+    for fewer candidates at low thresholds; at high thresholds the
+    prefix is a small fraction of each doc and wins outright).
+
+    Output: (id_a, id_b, jaccard), identical values to
+    :func:`ngram_jaccard_pairs` (same shingles, same double division) —
+    the two tiers share one oracle.
+
+    Plan, all equi-joins (AQE-skew-splittable), no global rank
+    materialization and no window: per-doc distinct shingle-fp arrays
+    (the staged projection), document frequency per fp (map-side
+    combined), per-doc fps sorted by (df, fp) — the global rarity order
+    realized as a per-doc struct sort, never a corpus-wide ranking —
+    prefix explode (the prefix FRACTION of the corpus), prefix⋈prefix
+    self-join on fp with the size-compatibility prune
+    (``least·1 ≥ t·greatest`` — J ≤ min/max sizes), then
+    candidate-bounded verification: the two docs' fp ARRAYS join back
+    by id (one row each, not per-shingle) and ``array_intersect`` does
+    the exact count in-task.
+    """
+    _sh_fn = shingles_vectorized if vectorized else shingles
+    sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
+    # document frequency per fingerprint → per-doc rarity-sorted arrays
+    dfreq = sh.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, "_fp")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_fp"))),
+                lambda s: s["_fp"],
+            ).alias("_fps"),
+        )
+        .withColumn("_sz", F.size("_fps"))
+        .withColumn(
+            "_plen", F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+    )
+    prefix = ranked.select(
+        "_id",
+        "_sz",
+        F.explode(F.slice("_fps", 1, F.col("_plen"))).alias("_pfp"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._pfp") == F.col("b._pfp"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size compatibility: J(A,B) ≤ min/max — sizes that can't
+            # reach t never generate a candidate
+            & (
+                F.least(F.col("a._sz"), F.col("b._sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a._sz"), F.col("b._sz"))
+            ),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    fa = ranked.select(
+        F.col("_id").alias("id_a"), F.col("_fps").alias("_fa"), F.col("_sz").alias("_sa")
+    )
+    fb = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_fps").alias("_fb"), F.col("_sz").alias("_sb")
+    )
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_fa", "_fb")))
+        .withColumn(
+            "jaccard", F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     id_col: str,

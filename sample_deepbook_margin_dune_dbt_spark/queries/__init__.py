@@ -403,8 +403,15 @@ driver query moved to ``EXTRA_QUERIES``:
   runs in staying ``retrieval_rrf_fusion``/``emb_hard_negatives``,
   both TakeOrderedAndProject-pinned).
 
-- round 12 continuation (new capability family, EXTRA first per the
-  house protocol): ``emb_bitext_mine`` — margin-based parallel-pair
+- round 12 continuation (new capability families, EXTRA first per the
+  house protocol): ``dedup_jaccard_prefix`` — the PPJoin prefix-
+  filtering tier: EXACT-recall candidates (any J ≥ t pair shares a
+  prefix token under the per-doc rarity order — no global ranking
+  materialized) + size-compatibility pruning + in-task array_intersect
+  verification; identical output to ``dedup_ngram_jaccard``, whose
+  oracle it shares verbatim (measured crossover: the self-join wins at
+  t = 0.5, prefix wins at t ≥ 0.8 where the prefix is the small
+  fraction); and ``emb_bitext_mine`` — margin-based parallel-pair
   (bitext) mining across the label-parity pseudo-languages
   (``operators/bitext.py::mine_parallel_pairs``, the Artetxe & Schwenk
   ratio margin over forward/backward bounded top-k, exact-integer

@@ -293,6 +293,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 via PREFIX FILTERING (PPJoin shape) —
+    the exact-recall candidate tier: identical output to
+    ``dedup_ngram_jaccard`` (shared oracle) from prefix⋈prefix
+    candidates + in-task ``array_intersect`` verification instead of
+    the full shingle self-join."""
+    pairs = D.prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
+    )
+
+
 SQL_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES.strip()},
 sizes AS (
@@ -1309,6 +1323,9 @@ LLMOPS_QUERIES = {
     "text_winnow": (q_text_winnow, SQL_WINNOW),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # r12: prefix-filtering tier, exact recall by construction — shares
+    # the self-join tier's oracle verbatim
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "emb_decontaminate": (q_emb_decontaminate, SQL_EMB_DECONTAMINATE),

@@ -1722,3 +1722,27 @@ def test_bitext_mining_planted_pair(spark):
     # also gates on absolute cosine) but never near-perfect cosine
     assert max(out, key=lambda r: r["margin_e6"])["id_a"] == 1
     assert all(r["cos_e6"] < 990_000 for r in out if r["id_a"] != 1)
+
+
+def test_prefix_filter_jaccard_exact_recall(spark, sf_dir):
+    """The prefix-filtering tier's defining property: EXACT recall by
+    construction (any J ≥ t pair shares a prefix token under the global
+    rarity order) — its output must equal the full self-join tier's,
+    jaccard doubles included, at multiple thresholds; and the plan must
+    stay equi-join-only (no cartesian, no corpus window)."""
+    from sample_deepbook_margin_dune_dbt_spark.plans import explain_str
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    docs = load(spark, sf_dir, "documents")
+    for t in (0.4, 0.5, 0.8):
+        a = sorted(map(tuple, D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=t).collect()))
+        b = sorted(map(tuple, D.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=t).collect()))
+        assert a == b, (t, len(a), len(b))
+    assert len(a) > 0
+    plan = explain_str(
+        D.prefix_filter_jaccard_pairs(docs, "doc_id", "text"), "simple"
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan

@@ -342,6 +342,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     vectorized: bool = True,
+    fp_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin,
     Chaudhuri et al. 2006 / Xiao et al. 2008) — the third candidate
@@ -355,7 +356,10 @@ def prefix_filter_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard), identical values to
     :func:`ngram_jaccard_pairs` (same shingles, same double division) —
-    the two tiers share one oracle.
+    the two tiers share one oracle. ``fp_rows`` (the maintained
+    ``corpus_fp_bucketed`` projection) replaces the inline shingling
+    exactly as in the self-join tier — the projection amortizes across
+    every member of the family.
 
     Plan, all equi-joins (AQE-skew-splittable), no global rank
     materialization and no window: per-doc distinct shingle-fp arrays
@@ -369,8 +373,7 @@ def prefix_filter_jaccard_pairs(
     by id (one row each, not per-shingle) and ``array_intersect`` does
     the exact count in-task.
     """
-    _sh_fn = shingles_vectorized if vectorized else shingles
-    sh, sizes = _intersect_shingle_rows(df, id_col, text_col, n, _sh_fn)
+    sh, _ = _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows)
     # document frequency per fingerprint → per-doc rarity-sorted arrays
     dfreq = sh.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (

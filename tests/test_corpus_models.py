@@ -330,6 +330,12 @@ def test_fp_bucketed_model_growth_mirror_and_plan(spark, sf_dir, tmp_path):
             join_strategy="merge", fp_rows=mirror.select("doc_id", "fp"),
         ).collect()))
         assert fed == inline and len(fed) > 0
+        # the prefix tier reads the same projection (r12): same pairs
+        fed_prefix = sorted(map(tuple, D.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5,
+            fp_rows=mirror.select("doc_id", "fp"),
+        ).collect()))
+        assert fed_prefix == inline
     finally:
         drop_bucketed_table(spark, tbl)
 

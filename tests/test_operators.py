@@ -1746,3 +1746,35 @@ def test_prefix_filter_jaccard_exact_recall(spark, sf_dir):
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "Window" not in plan
+
+
+def test_sessionize_presplit_exact_parity(spark, sf_dir):
+    """The pre-split sessionizer (the hot-key escape hatch) must emit
+    EXACTLY the plain window's rows — same 1-based per-user numbering —
+    under both a stitch-heavy narrow bucket and the default."""
+    from pyspark.sql import functions as F
+
+    from sample_deepbook_margin_dune_dbt_spark.operators.sessions import (
+        sessionize,
+        sessionize_presplit,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import (
+        event_ts_us,
+        load,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", event_ts_us().alias("ts_us"), "event_id"
+    )
+    gap = 30 * 60 * 1_000_000
+    want = sorted(map(tuple, sessionize(
+        ev, "user_id", "ts_us", gap, extra_cols=["event_id"]).collect()))
+    assert len(want) > 0
+    for bucket in (2 * gap, None):
+        got = sorted(map(tuple, sessionize_presplit(
+            ev, "user_id", "ts_us", gap, bucket=bucket,
+            extra_cols=["event_id"]).collect()))
+        assert got == want, bucket
+    import pytest as _p
+    with _p.raises(ValueError):
+        sessionize_presplit(ev, "user_id", "ts_us", gap, bucket=gap)

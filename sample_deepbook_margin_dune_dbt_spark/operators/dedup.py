@@ -317,7 +317,11 @@ def ngram_jaccard_pairs(
     reference amortizes its daily fact
     (``models/fct_deepbook_margin_pool_daily.sql:33-35``). Pass
     ``join_strategy='merge'`` with a bucketed mirror — a hash-build
-    hint would discard the co-location.
+    hint would discard the co-location. Measured honestly (PERF.md r12
+    addendum 3): at comfortable heaps the INLINE array staging is
+    FASTER than any mirror-fed form (35 vs 45–57 s at 100×) — the
+    mirror is the fourth-decade per-task-memory escape and the
+    cross-run amortization of shingling, not a same-session speedup.
     """
     sh, sizes = _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows)
     inter = _shingle_self_intersections(sh, join_strategy).withColumnRenamed("n_inter", "_inter")

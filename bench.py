@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     # exact-recall jaccard tier
     "emb_bitext_mine",
     "dedup_jaccard_prefix",
+    # r12: session-basket association rules
+    "events_assoc_rules",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -411,7 +411,10 @@ driver query moved to ``EXTRA_QUERIES``:
   verification; identical output to ``dedup_ngram_jaccard``, whose
   oracle it shares verbatim (measured crossover: the self-join wins at
   t = 0.5, prefix wins at t ≥ 0.8 where the prefix is the small
-  fraction); and ``emb_bitext_mine`` — margin-based parallel-pair
+  fraction); ``events_assoc_rules`` — market-basket association
+  rules over 30-min session baskets (exact-integer support / two-way
+  confidence / lift; the sessionizer composing as a basket builder);
+  and ``emb_bitext_mine`` — margin-based parallel-pair
   (bitext) mining across the label-parity pseudo-languages
   (``operators/bitext.py::mine_parallel_pairs``, the Artetxe & Schwenk
   ratio margin over forward/backward bounded top-k, exact-integer

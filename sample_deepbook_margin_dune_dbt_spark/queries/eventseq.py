@@ -485,3 +485,129 @@ EVENTSEQ_QUERIES = {
     "events_transitions": (q_events_transitions, SQL_TRANSITIONS),
     "events_time_to_convert": (q_events_time_to_convert, SQL_TIME_TO_CONVERT),
 }
+
+
+# ------------------------------------------------ session association rules
+
+
+ASSOC_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over SESSION baskets (r12): for
+    every unordered event-type pair co-occurring in a 30-min-gap
+    session, exact-integer support / both-direction confidence / lift —
+    the "users who did X in a session also did Y" rollup, and the
+    canonical demonstration that the sessionizer composes as a basket
+    builder.
+
+    Scale shape: one user_id shuffle for the sessionizer (the shared
+    window pass), one distinct over (session, type) — baskets carry
+    DISTINCT types, so the pair join is bounded by |type-vocabulary|²
+    per session, never events² — a session-keyed self-join
+    (AQE-splittable), map-side-combined pair counts, and the per-type
+    and total-session counts ride a broadcast (type vocabulary is
+    bounded by contract). All metrics are e6 integers over non-negative
+    operands: ``support = n_ab·1e6 div n_sessions``, ``conf(a→b) =
+    n_ab·1e6 div n_a``, ``lift = n_ab·n_sessions·1e6 div (n_a·n_b)``
+    — cross-engine exact.
+    """
+    from ..operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", event_ts_us().alias("ts_us"), "event_type"
+    )
+    sess = sessionize(ev, "user_id", "ts_us", ASSOC_GAP_US, extra_cols=["event_type"])
+    baskets = sess.select("user_id", "session_id", "event_type").distinct()
+    n_sessions = baskets.select("user_id", "session_id").distinct().count()
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.expr(f"n_ab * 1000000L div {n_sessions}L").cast("long").alias("support_e6"),
+            F.expr("n_ab * 1000000L div n_a").cast("long").alias("conf_a_to_b_e6"),
+            F.expr("n_ab * 1000000L div n_b").cast("long").alias("conf_b_to_a_e6"),
+            F.expr(f"(n_ab * {n_sessions}L * 1000000L) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_ASSOC_RULES = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+marked AS (
+    SELECT user_id, ts_us, event_type,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > {ASSOC_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+    SELECT user_id, event_type,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+),
+baskets AS (
+    SELECT DISTINCT user_id, session_id, event_type FROM sess
+),
+tot AS (
+    SELECT count(*) AS n_sessions
+    FROM (SELECT DISTINCT user_id, session_id FROM baskets)
+),
+singles AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY 1
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM baskets a
+    JOIN baskets b ON a.user_id = b.user_id AND a.session_id = b.session_id
+                   AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_ab,
+       CAST(p.n_ab * 1000000 // t.n_sessions AS BIGINT) AS support_e6,
+       CAST(p.n_ab * 1000000 // sa.n AS BIGINT) AS conf_a_to_b_e6,
+       CAST(p.n_ab * 1000000 // sb.n AS BIGINT) AS conf_b_to_a_e6,
+       CAST((p.n_ab * t.n_sessions * 1000000) // (sa.n * sb.n) AS BIGINT) AS lift_e6
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN tot t
+ORDER BY type_a, type_b
+"""
+
+
+# r12: registered after definition (the registry dict sits mid-module)
+EVENTSEQ_QUERIES["events_assoc_rules"] = (q_events_assoc_rules, SQL_ASSOC_RULES)

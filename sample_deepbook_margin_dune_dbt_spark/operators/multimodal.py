@@ -177,6 +177,255 @@ def stdlib_wav_features(b: bytes) -> tuple[float, int, float]:
     return n / nch / rate, int(rate), rms
 
 
+def synth_png_gray(
+    width: int, height: int, pixels: bytes, filter_type: int = 0
+) -> bytes:
+    """Construct a REAL 8-bit grayscale PNG carrying actual pixel
+    content — stdlib only (signature + IHDR + filtered zlib scanlines +
+    IEND, correct CRCs). ``pixels`` is row-major, ``width·height``
+    bytes. ``filter_type`` picks the per-row PNG filter (0 = None,
+    1 = Sub, 2 = Up): the SAME pixel grid encodes to DIFFERENT bytes
+    under different filters — the "re-encoded copy" a content-level
+    image dedup must catch and a byte-level md5 cannot."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"synth_png_gray: need {width * height} pixels, got {len(pixels)}"
+        )
+    if filter_type not in (0, 1, 2):
+        raise ValueError(f"filter_type must be 0, 1 or 2, got {filter_type}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw.extend(row)
+        elif filter_type == 1:  # Sub: delta vs left neighbor
+            raw.extend(
+                bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+            )
+        else:  # Up: delta vs the pixel above
+            raw.extend(bytes((row[x] - prev[x]) & 0xFF for x in range(width)))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def stdlib_png_pixel_decode(b: bytes) -> tuple[int, int, bytes]:
+    """REAL pixel decode for 8-bit grayscale non-interlaced PNG —
+    stdlib only: walks the chunk stream, inflates the concatenated IDAT
+    payload, and reverses all five standard scanline filters (None /
+    Sub / Up / Average / Paeth at bpp = 1). Returns (width, height,
+    row-major pixel bytes). Raises on any other color type / bit depth
+    (it decodes the real format or refuses — never fakes); full-featured
+    decoding still belongs to PIL on a cluster that has it."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = -1
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 0 or interlace != 0:
+                raise ValueError(
+                    "stdlib_png_pixel_decode handles 8-bit grayscale "
+                    f"non-interlaced only (depth={depth}, color_type={ctype})"
+                )
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0:
+        raise ValueError("no IHDR chunk found")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError("IDAT payload does not match IHDR dimensions")
+    out = bytearray(width * height)
+    prev = bytes(width)
+    for y in range(height):
+        ft = raw[y * (width + 1)]
+        row = bytearray(raw[y * (width + 1) + 1 : (y + 1) * (width + 1)])
+        if ft == 1:  # Sub
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(width):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(width):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(width):
+                a, bb, c = (row[x - 1] if x else 0), prev[x], (prev[x - 1] if x else 0)
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y * width : (y + 1) * width] = row
+        prev = bytes(row)
+    return width, height, bytes(out)
+
+
+def ahash_bits(pixels: bytes, width: int, height: int, grid: int = 8) -> list[int]:
+    """Average-hash bit vector over the REAL pixel grid — pure integer
+    arithmetic so any engine reproduces it bit-for-bit (the house
+    oracle discipline): partition the image into ``grid × grid`` equal
+    blocks (width/height must divide evenly), take integer block SUMS,
+    and set bit ``blk = by·grid + bx`` iff
+    ``grid² · block_sum > total_sum`` — the block's mean strictly above
+    the image mean, with no division anywhere. Invariant under uniform
+    additive brightness shift (both sides gain equally) and under
+    re-encoding (it reads pixels, not bytes)."""
+    if width % grid or height % grid:
+        raise ValueError(
+            f"ahash_bits: {width}x{height} not divisible into {grid}x{grid} blocks"
+        )
+    bw, bh = width // grid, height // grid
+    sums = [0] * (grid * grid)
+    for y in range(height):
+        base = (y // bh) * grid
+        row = pixels[y * width : (y + 1) * width]
+        for x in range(width):
+            sums[base + (x // bw)] += row[x]
+    total = sum(sums)
+    n = grid * grid
+    return [1 if n * s > total else 0 for s in sums]
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    grid: int = 8,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+) -> DataFrame:
+    """Per-image perceptual hash → (id, ahash_hi, ahash_lo): the 64
+    average-hash bits packed into two NON-NEGATIVE 32-bit halves
+    (lo = bits 0-31, hi = bits 32-63) so every value stays positive in
+    signed-64 arithmetic — portable to engines that error on bigint
+    overflow, the same discipline as ``dedup.SIMHASH_BITS``. One
+    mapInPandas pass; ``decoder`` is the injectable codec seam
+    (``stdlib_png_pixel_decode`` is REAL for the grayscale-PNG path;
+    swap PIL for arbitrary formats)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            his, los = [], []
+            for payload in pdf[binary_col]:
+                w, h, px = decoder(bytes(payload))
+                bits = ahash_bits(px, w, h, grid)
+                lo = sum(bit << i for i, bit in enumerate(bits[:32]))
+                hi = sum(bit << i for i, bit in enumerate(bits[32:]))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _batches, "id long, ahash_hi long, ahash_lo long"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    grid: int = 8,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+) -> DataFrame:
+    """Content-level near-duplicate image pairs: perceptual hash
+    (``image_ahash``) + banded Hamming LSH — the ``simhash_near_pairs``
+    machinery applied to pixels instead of tokens. The 64-bit hash
+    splits into ``bands`` equal chunks; pairs agreeing on any chunk are
+    candidates (EXACT recall for ``max_hamming ≤ bands − 1`` by
+    pigeonhole), verified with JVM-side
+    ``bit_count(hi⊕hi) + bit_count(lo⊕lo) ≤ max_hamming``. Catches
+    re-encoded (different bytes, same pixels → distance 0) and
+    brightness-shifted copies (additive shift is hash-invariant) that
+    byte-level md5 dedup misses. Output: (id_a, id_b, hamming)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    chunk = 64 // bands
+    if max_hamming > bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"image_near_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"banding recall guarantee (≤ {bands - 1} for {bands} bands) — "
+            "pairs beyond it may be missed",
+            stacklevel=2,
+        )
+    sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
+
+    def _band_key(i: int):
+        lo_bit = i * chunk
+        src = F.col("ahash_lo") if lo_bit < 32 else F.col("ahash_hi")
+        return (
+            F.shiftright(src, lo_bit % 32)
+            .bitwiseAND(F.lit((1 << chunk) - 1))
+            .alias("key")
+        )
+
+    keys = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), _band_key(i))
+            for i in range(bands)
+        ]
+    )
+    ex = sig.select(
+        F.col("id").alias("_id"), "ahash_hi", "ahash_lo", F.explode(keys).alias("bk")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.key") == F.col("b.bk.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+                + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def fake_image_decode(b: bytes) -> tuple[int, int, int]:
     """Default STUB decoder: deterministic (width, height, channels) from
     the payload md5 — stable across runs/engines. Production:
@@ -361,6 +610,81 @@ def extract_audio_features(
     return df.select(id_col, binary_col).mapInPandas(
         _batches, "id long, duration_s double, sample_rate int, rms double"
     )
+
+
+def pattern_pixels(
+    doc_id: int,
+    size: int = 32,
+    grid: int = 8,
+    keys: int = 7,
+    levels: int = 5,
+) -> bytes:
+    """Deterministic block-constant grayscale pixels as a PURE integer
+    function of the id — the device that makes a pixel-level oracle
+    possible (the ``attach_synth_png`` id-derivable-dims trick, extended
+    from header to content):
+
+    - content key ``k = id % keys``: ids sharing ``k`` get the same base
+      pattern — the planted near-duplicate groups;
+    - base block value ``v(blk) = ((k+1)·(blk+3)·37) % 160`` for block
+      ``blk = by·grid + bx`` (constant within each block, so block means
+      are exact integers);
+    - uniform brightness shift ``(id div keys) % levels`` — the additive
+      change the average hash must be invariant to;
+    - sparse noise: ids with ``id % 3 == 0`` get ``+64`` on the single
+      block ``id % grid²`` — a local edit that perturbs a few hash bits
+      but keeps same-key images within a small Hamming distance.
+
+    All values stay ≤ 160+levels+64 < 255: no clipping, so the external
+    oracle reproduces every pixel arithmetically."""
+    n_blocks = grid * grid
+    k = doc_id % keys
+    bright = (doc_id // keys) % levels
+    noise_blk = doc_id % n_blocks if doc_id % 3 == 0 else -1
+    bw = size // grid
+    vals = [
+        ((k + 1) * (blk + 3) * 37) % 160
+        + bright
+        + (64 if blk == noise_blk else 0)
+        for blk in range(n_blocks)
+    ]
+    px = bytearray(size * size)
+    for y in range(size):
+        base = (y // bw) * grid
+        for x in range(size):
+            px[y * size + x] = vals[base + (x // bw)]
+    return bytes(px)
+
+
+def attach_pattern_png(
+    df: DataFrame,
+    id_col: str,
+    out_col: str = "png_payload",
+    size: int = 32,
+    grid: int = 8,
+    keys: int = 7,
+    levels: int = 5,
+) -> DataFrame:
+    """Attach a REAL grayscale PNG whose pixel content is the
+    id-derivable :func:`pattern_pixels` pattern, re-encoded under a
+    varying scanline filter (``id % 3`` → None/Sub/Up): same-pattern ids
+    carry byte-DIFFERENT payloads, so any pair the pixel-level dedup
+    finds is invisible to md5 — the content-vs-bytes distinction the
+    operator exists for."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _png(i: pd.Series) -> pd.Series:
+        return i.map(
+            lambda x: synth_png_gray(
+                size,
+                size,
+                pattern_pixels(int(x), size, grid, keys, levels),
+                filter_type=int(x) % 3,
+            )
+        )
+
+    return df.withColumn(out_col, _png(F.col(id_col)))
 
 
 def attach_text_payload(df: DataFrame, text_col: str, out_col: str = "payload") -> DataFrame:

@@ -1854,6 +1854,61 @@ def test_prefix_filter_jaccard_exact_recall(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_image_phash_near_dup_planted(spark):
+    """Content-level image dedup (r13): a re-encoded copy (same pixels,
+    different scanline filter → different bytes) and a brightness-
+    shifted copy (uniform +30) must pair with the original at Hamming
+    distance 0 — while byte-level md5 sees three distinct payloads —
+    and an unrelated image must produce no pair."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    base = M.pattern_pixels(0)
+    shifted = bytes(p + 30 for p in base)  # pattern values stay < 226
+    other = M.pattern_pixels(3)  # different content key
+    rows = [
+        (1, M.synth_png_gray(32, 32, base, filter_type=0)),
+        (2, M.synth_png_gray(32, 32, base, filter_type=1)),  # re-encoded
+        (3, M.synth_png_gray(32, 32, shifted, filter_type=2)),  # brighter
+        (4, M.synth_png_gray(32, 32, other, filter_type=0)),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    # all four payloads are byte-distinct: md5 dedup finds nothing
+    md5s = M.extract_binary_metadata(df, "img_id", "payload").collect()
+    assert len({r["md5_hex"] for r in md5s}) == 4
+    pairs = sorted(
+        map(tuple, M.image_near_dup_pairs(df, "img_id", "payload").collect())
+    )
+    assert pairs == [(1, 2, 0), (1, 3, 0), (2, 3, 0)], pairs
+
+
+def test_image_phash_sparse_edit_within_band_guarantee(spark):
+    """A sparse local edit (the +64 noise blotch) perturbs a few hash
+    bits; the banding must still recall the pair (pigeonhole: Hamming ≤
+    bands−1 always shares a band), and the verified distance must be
+    the exact bit difference of the two integer hashes."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    base = M.pattern_pixels(1)  # key 1, no noise (1 % 3 != 0)
+    noisy = bytearray(base)
+    # blotch one 4x4 block whose base value sits below the image mean
+    # (blk 11 → rows 4-7, cols 12-15), flipping exactly that hash bit
+    for y in range(4, 8):
+        for x in range(12, 16):
+            noisy[y * 32 + x] += 64
+    rows = [
+        (1, M.synth_png_gray(32, 32, base)),
+        (2, M.synth_png_gray(32, 32, bytes(noisy))),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = M.image_near_dup_pairs(df, "img_id", "payload").collect()
+    assert len(got) == 1 and got[0]["id_a"] == 1 and got[0]["id_b"] == 2
+    # exact expected distance from the integer hash definition
+    b1 = M.ahash_bits(base, 32, 32)
+    b2 = M.ahash_bits(bytes(noisy), 32, 32)
+    expected = sum(x != y for x, y in zip(b1, b2))
+    assert 1 <= expected <= 6 and got[0]["hamming"] == expected
+
+
 def test_assoc_rules_build_runs_no_job(spark, sf_dir):
     """Building the association-rules DataFrame must run NO Spark job
     (r13, VERDICT r12 item 2/what's-wrong): the session total rides a

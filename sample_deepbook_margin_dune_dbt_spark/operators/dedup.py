@@ -433,6 +433,162 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+PREFIX_CROSSOVER_THRESHOLD = 0.7  # PERF.md r12 continuation: prefix draws
+# even with the self-join at t = 0.8 and its advantage grows with t (the
+# prefix is a (1−t) fraction of each doc); at t = 0.5 the self-join wins
+# (6.7 vs 4.0 s at 10×) because the prefix is half of every doc and the
+# tier's two extra shuffles buy nothing
+
+
+def choose_jaccard_strategy(
+    threshold: float,
+    n_docs: int | None = None,
+    allow_approx: bool = False,
+    approx_min_docs: int = 5_000_000,
+) -> str:
+    """The Jaccard family's dispatch rule (r13, VERDICT r12 item 5) —
+    pure and unit-pinned, the ``hotness_report`` precedent applied to
+    tier choice: measure the crossover once (PERF.md r12), then choose
+    from it.
+
+    - ``threshold ≥ 0.7`` → ``'prefix'``: the prefix is a small
+      (1−t) fraction of each doc, candidates are bounded by prefix-token
+      co-occurrence with EXACT recall by construction — the tier whose
+      candidate volume survives hot boilerplate shingles at 100 TB.
+    - below the crossover → ``'self_join'`` (measured fastest; exact),
+      UNLESS the caller both sets ``allow_approx=True`` and the corpus
+      is at least ``approx_min_docs`` docs — then ``'lsh'``: at low
+      thresholds on web-scale corpora the self-join's co-shingle volume
+      is the quantity that explodes, and banded minhash bounds it at
+      the documented recall-probability cost. Auto NEVER degrades
+      recall silently: 'lsh' requires the explicit opt-in.
+    """
+    if threshold >= PREFIX_CROSSOVER_THRESHOLD:
+        return "prefix"
+    if allow_approx and n_docs is not None and n_docs >= approx_min_docs:
+        return "lsh"
+    return "self_join"
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    strategy: str = "auto",
+    vectorized: bool = True,
+    join_strategy: str = "shuffle_hash",
+    fp_rows: DataFrame | None = None,
+    allow_approx: bool = False,
+    n_docs: int | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """One front door for the exact-Jaccard pair family:
+    ``strategy='auto'`` dispatches to the measured-best tier via
+    :func:`choose_jaccard_strategy` (``'self_join'`` / ``'prefix'`` /
+    opt-in ``'lsh'`` also accepted verbatim). All tiers emit the same
+    (id_a, id_b, jaccard) schema with identical doubles; the exact
+    tiers are output-identical (pinned), the LSH tier verifies its
+    banded candidates with the same array-intersect arithmetic so every
+    SURVIVING pair carries the exact jaccard — its only loss is
+    candidate recall (band-probability + bucket caps, documented in
+    :func:`minhash_lsh_candidates`).
+
+    ``fp_rows`` (the maintained ``corpus_fp_bucketed`` projection) feeds
+    every tier — shingling amortizes across the family whichever tier
+    the dispatch picks."""
+    if strategy == "auto":
+        strategy = choose_jaccard_strategy(threshold, n_docs, allow_approx)
+    if strategy == "self_join":
+        return ngram_jaccard_pairs(
+            df, id_col, text_col, n, threshold, vectorized, join_strategy, fp_rows
+        )
+    if strategy == "prefix":
+        return prefix_filter_jaccard_pairs(
+            df, id_col, text_col, n, threshold, vectorized, fp_rows
+        )
+    if strategy != "lsh":
+        raise ValueError(
+            f"strategy must be auto|self_join|prefix|lsh, got {strategy!r}"
+        )
+    # LSH tier: banded-minhash candidates from the SAME (id, fp) rows the
+    # exact tiers use (any consistent 64-bit shingle fingerprint is a
+    # valid minhash domain), verified to exact jaccard in-task
+    sh, _ = _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows)
+    x = F.pmod(F.col("_fp"), F.lit(MINHASH_P))
+    aggs = [
+        F.min((F.lit(MINHASH_AS[i]) * x + F.lit(MINHASH_BS[i])) % MINHASH_P).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    n_bands = num_hashes // band_size
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"h{b * band_size + r}").cast("string")
+                    for r in range(band_size)
+                ],
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    exploded = sig.select("_id", F.explode(F.array(*bands)).alias("bk"))
+    buckets = (
+        exploded.groupBy("bk")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda v, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda w: F.struct(v.alias("id_a"), w.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.id_a", "pair.id_b")
+        .distinct()
+    )
+    arrays = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_fp")).alias("_fps"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    fa = arrays.select(
+        F.col("_id").alias("id_a"), F.col("_fps").alias("_fa"), F.col("_sz").alias("_sa")
+    )
+    fb = arrays.select(
+        F.col("_id").alias("id_b"), F.col("_fps").alias("_fb"), F.col("_sz").alias("_sb")
+    )
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_fa", "_fb")))
+        .withColumn(
+            "jaccard", F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -1943,6 +1943,62 @@ def test_assoc_rules_build_runs_no_job(spark, sf_dir):
     assert df.count() > 0
 
 
+def test_jaccard_strategy_dispatch_pins():
+    """The auto dispatch encodes the MEASURED crossover (PERF.md r12):
+    prefix at t ≥ 0.8 (exact recall, bounded candidates), self-join at
+    t = 0.5; the approximate LSH tier only on explicit opt-in at
+    corpus sizes where the co-shingle volume is the binding constraint —
+    and never when the prefix tier already bounds candidates exactly."""
+    assert D.choose_jaccard_strategy(0.8) == "prefix"
+    assert D.choose_jaccard_strategy(0.7) == "prefix"
+    assert D.choose_jaccard_strategy(0.5) == "self_join"
+    assert D.choose_jaccard_strategy(0.4) == "self_join"
+    # opt-in approximate tier: needs BOTH the flag and the scale
+    assert (
+        D.choose_jaccard_strategy(0.5, n_docs=10_000_000, allow_approx=True)
+        == "lsh"
+    )
+    assert D.choose_jaccard_strategy(0.5, n_docs=10_000_000) == "self_join"
+    assert D.choose_jaccard_strategy(0.5, n_docs=1000, allow_approx=True) == "self_join"
+    # high threshold: prefix is exact AND bounded — approx buys nothing
+    assert (
+        D.choose_jaccard_strategy(0.9, n_docs=10_000_000, allow_approx=True)
+        == "prefix"
+    )
+
+
+def test_jaccard_auto_dispatch_outputs_unchanged(spark, sf_dir):
+    """jaccard_pairs(strategy='auto') must emit exactly the dispatched
+    tier's rows — which (tiers being output-identical, pinned in
+    test_prefix_filter_jaccard_exact_recall) equal the self-join tier's
+    at both measured operating points; and the opt-in LSH tier must
+    emit a SUBSET with identical jaccard doubles on every surviving
+    pair (its only loss is candidate recall)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries.common import load
+
+    docs = load(spark, sf_dir, "documents")
+    for t in (0.5, 0.8):
+        want = sorted(map(tuple, D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=t).collect()))
+        got = sorted(map(tuple, D.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=t, strategy="auto"
+        ).collect()))
+        assert got == want, (t, len(got), len(want))
+    lsh = sorted(map(tuple, D.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, strategy="lsh"
+    ).collect()))
+    exact = dict(
+        ((a, b), j)
+        for a, b, j in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    )
+    assert lsh  # non-vacuous
+    for a, b, j in lsh:
+        assert exact.get((a, b)) == j  # exact value on every survivor
+    assert len(lsh) >= 0.8 * len(exact)  # fixture recall stays high
+
+
 def test_sessionize_presplit_exact_parity(spark, sf_dir):
     """The pre-split sessionizer (the hot-key escape hatch) must emit
     EXACTLY the plain window's rows — same 1-based per-user numbering —

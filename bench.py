@@ -248,6 +248,19 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix",
     # r12: session-basket association rules
     "events_assoc_rules",
+    # r13 rotation: the five r4-evidence window entrants that had no
+    # bench row yet (every driver-window query must hold one)
+    "ann_ivf",
+    "sample_train_val_test",
+    "range_join",
+    "text_token_count",
+    "p11_case_join_key",
+    # r13 new families: the IVF-generator bitext tier (times the 100 TB
+    # candidate path against its exact twin round-over-round) and the
+    # content-level image dedup chain (real PNG pixel decode → integer
+    # aHash → banded Hamming LSH)
+    "emb_bitext_mine_ivf",
+    "multimodal_phash_dedup",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -421,6 +421,52 @@ driver query moved to ``EXTRA_QUERIES``:
   margins, mutual-best flag; oracle-verified at sf0.001 + sf0.01 —
   230/217 rows).
 
+- round 13 (per VERDICT r12 item 2 — steady-state AGE cycle, round two).
+  In (all 12 re-verified against the DuckDB oracle at sf0.001 + sf0.01
+  this session before declaring): the 3 oracle-bearing families added
+  after the r12 declaration — ``emb_bitext_mine`` (margin-based bitext
+  mining, now with the max_anchors guard + the IVF generator tier),
+  ``dedup_jaccard_prefix`` (PPJoin prefix filtering),
+  ``events_assoc_rules`` (session-basket rules, now build-lazy via the
+  broadcast one-row total) — plus the next-oldest r4-evidence tier:
+  ``ann_ivf``, ``dedup_simhash``, ``p11_case_join_key``, ``range_join``,
+  ``sample_train_val_test``, ``text_decontaminate``,
+  ``text_token_count``, ``w1_rownum_dedup``, ``w3_lag_delta``.
+  Out (all r12-green, capability stays in-window or oracle-held in
+  EXTRA): ``dedup_ngram_jaccard`` (→ incoming ``dedup_jaccard_prefix``,
+  which shares its oracle VERBATIM — the same pair graph),
+  ``emb_hard_negatives`` (→ incoming ``emb_bitext_mine``, the
+  anchor-scored bounded-top-k shape; embedding keeps quantize + PQ),
+  ``events_transitions`` (→ incoming ``events_assoc_rules``; events
+  keeps time-to-convert + the corpus bridge),
+  ``text_quality`` (→ incoming ``text_token_count``, the same
+  text-stats capability; text keeps novelty/pii/winnow),
+  ``w2_latest_per_group`` (→ incoming ``w1_rownum_dedup``, the same
+  row_number-dedup family; both also run inside the flagship oracle),
+  ``f_time_functions`` (F6/F7/F10 run inside the in-window flagship
+  oracle; the window/lag slot goes to incoming ``w3_lag_delta``),
+  ``dedup_embedding_cosine_ivf`` (→ incoming ``ann_ivf``, the same IVF
+  coarse-quantizer capability; the pair tier's recall-1.0 pin stays in
+  the r11/r12 driver history + pytest),
+  ``sample_split_temporal`` (→ incoming ``sample_train_val_test``;
+  sampling keeps the cluster-safe split),
+  ``text_bloom_decontaminate`` (→ incoming ``text_decontaminate``, the
+  same decontamination family; the Bloom probe stays oracle-held in
+  EXTRA), ``asof_join`` (→ incoming ``range_join``, the temporal-join
+  family twin), ``tpch_q5`` (multi-join shape held by
+  ``j1_foj_volume_chain`` + staying q15/q19/q22), ``corpus_mixture_plan``
+  (the mixture family keeps ``corpus_mixture_sample``, which consumes
+  the same plan mechanics; the plan row stays oracle-held in EXTRA).
+
+- round 13 continuation (new capability families, EXTRA first per the
+  house protocol): ``emb_bitext_mine_ivf`` — the 100 TB bitext tier
+  (shared-quantizer IVF candidates, bucket-local A×B scoring, unchanged
+  margin tail; pinned bit-identical to the exact tier and sharing its
+  oracle at both SFs) — and ``multimodal_phash_dedup`` — content-level
+  image dedup (real stdlib PNG pixel codec → divisionless integer
+  average-hash → banded Hamming LSH; id-derivable pattern pixels make
+  the whole chain arithmetically oracle-checkable).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -480,13 +526,13 @@ DRIVER_QUERY_ORDER = [
     "corpus_version_diff",
     "corpus_mixture_sample",
     # r12: the symmetric jaccard pair twin takes the containment row
-    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_clusters",
     "linkage_blocked_report",
-    "emb_hard_negatives",
+    "emb_bitext_mine",
     # r11: IVF candidate generator on the SAME all-pairs oracle as the
     # LSH default — a driver hash match doubles as a recall-1.0 pin
-    "dedup_embedding_cosine_ivf",
+    "ann_ivf",
     "multimodal_meta",
     "retrieval_rrf_fusion",
     # r12: the eval side of the retrieval loop (IR metrics) + the
@@ -497,7 +543,7 @@ DRIVER_QUERY_ORDER = [
     "a_approx_tier",
     # r12: the forecasting-safe temporal split (overflow-hardened this
     # round) takes the weighted-sampling row
-    "sample_split_temporal",
+    "sample_train_val_test",
     "sample_split_cluster_safe",
     # r11: content-defined chunking takes the token-window row
     "chunk_content_defined",
@@ -505,7 +551,7 @@ DRIVER_QUERY_ORDER = [
     "chunk_pack_bestfit",
     "text_pii_redact",
     "emb_quantize_int8",
-    "text_bloom_decontaminate",
+    "text_decontaminate",
     # r12: the plain-agg twin (byte-identical oracle) takes the salted
     # row; the salted partition split stays pinned by tests/test_skew.py
     "skew_plain_agg",
@@ -515,21 +561,21 @@ DRIVER_QUERY_ORDER = [
     # r12: r2-evidence winnowing fingerprints take the IN-list drill's
     # row (IN-list runs in tpch_q19)
     "text_winnow",
-    "asof_join",
+    "range_join",
     "corpus_from_events",
-    "events_transitions",
+    "events_assoc_rules",
     # r12: the r2-evidence quality drill takes the quality-model row
     # (same capability family)
-    "text_quality",
+    "text_token_count",
     "j1_foj_volume_chain",
     # r12: r2-evidence time-function drill takes the scan/project row
-    "f_time_functions",
+    "w3_lag_delta",
     "j4_seed_ci_join",
     "p4_watermark",
     # r12: r2-evidence LIKE-prefix + latest-per-group drills take the
     # equality-filter / scalar-agg rows
     "p3_like_prefix",
-    "w2_latest_per_group",
+    "w1_rownum_dedup",
     "a_unpivot",
     "o5_set_ops",
     # r11: generalization-ladder audit takes the suppression row
@@ -537,11 +583,11 @@ DRIVER_QUERY_ORDER = [
     "corpus_shard_manifest",
     "corpus_shard_audit",
     # r11: the mixture PLAN row takes the DSIR data-selection slot
-    "corpus_mixture_plan",
+    "dedup_simhash",
     # training-order family (r3): distributed epoch shuffle
     "corpus_epoch_shuffle",
     # TPC-H (r12: r2-evidence q5 takes q17's scalar-agg-join row)
-    "tpch_q5",
+    "p11_case_join_key",
     "tpch_q15",
     "tpch_q22",
     "tpch_q19",

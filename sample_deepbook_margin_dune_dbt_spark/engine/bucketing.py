@@ -44,12 +44,28 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
-def mirror_table_name(model_name: str, schema_suffix: str = "") -> str:
+def mirror_table_name(
+    model_name: str, schema_suffix: str = "", store_root: str | None = None
+) -> str:
     """Catalog name of a model's bucketed mirror (``bucket_by`` config):
     the store's schema suffix keeps dev/prod/PR mirrors isolated in the
-    shared session catalog exactly as the path store isolates parquet."""
+    shared session catalog exactly as the path store isolates parquet,
+    and ``store_root`` (ADVICE r12 item 1) keys the mirror to its
+    WAREHOUSE as well — two TableStores with different roots and the
+    same suffix would otherwise share one session-catalog mirror, so
+    building against warehouse B silently overwrote warehouse A's
+    mirror and ``read_mirror`` consumers could get fp_rows inconsistent
+    with the store table they read. The root rides as a short content
+    hash of its absolute path (catalog names can't hold slashes)."""
+    import hashlib
+    import os
+
     prefix = f"{schema_suffix}_" if schema_suffix else ""
-    return f"{prefix}{model_name}_bucketed"
+    root_tag = ""
+    if store_root is not None:
+        digest = hashlib.md5(os.path.abspath(store_root).encode()).hexdigest()[:8]
+        root_tag = f"_{digest}"
+    return f"{prefix}{model_name}_bucketed{root_tag}"
 
 
 def drop_bucketed_table(spark: SparkSession, table: str) -> None:
@@ -67,11 +83,18 @@ def drop_bucketed_table(spark: SparkSession, table: str) -> None:
         shutil.rmtree(stale, ignore_errors=True)
 
 
-def read_mirror(spark: SparkSession, model_name: str, schema_suffix: str = "") -> DataFrame | None:
+def read_mirror(
+    spark: SparkSession,
+    model_name: str,
+    schema_suffix: str = "",
+    store_root: str | None = None,
+) -> DataFrame | None:
     """The model's bucketed mirror as a DataFrame, or None if absent —
     consumers (the dedup self-join family) fall back to building the
-    projection inline when no mirror is maintained."""
-    tbl = mirror_table_name(model_name, schema_suffix)
+    projection inline when no mirror is maintained. Pass the same
+    ``store_root`` the building Runner's TableStore used (mirrors are
+    warehouse-keyed; ADVICE r12 item 1)."""
+    tbl = mirror_table_name(model_name, schema_suffix, store_root)
     if not spark.catalog.tableExists(tbl):
         return None
     return spark.table(tbl)

@@ -596,6 +596,15 @@ class Runner:
             and ctx.store.exists(cfg.name)
             and not full_refresh
         )
+        if incremental_run and cfg.bucket_by:
+            # one materialization feeds BOTH the store append and the
+            # mirror append (ADVICE r12 item 2): without it the mirror
+            # sync re-executes the builder's plan AFTER the store append,
+            # and a builder whose incremental filter reads ctx.this()
+            # lazily (or is non-deterministic) would compute the mirror
+            # slice against the already-appended store — appending a
+            # wrong/empty slice and silently desyncing mirror from store
+            df = df.localCheckpoint(eager=True)
         if incremental_run:
             if cfg.incremental_strategy == "append":
                 self.store.append(df, cfg.name, cfg.partition_by)
@@ -622,33 +631,48 @@ class Runner:
         """Maintain the model's bucketed managed-table mirror
         (``bucket_by`` config; ``engine/bucketing.py``).
 
-        Incremental 'append' runs append ONLY the new slice — re-running
-        the builder's narrow plan for the slice, never re-projecting the
-        accumulated table — so the bucketed layout's write cost
-        amortizes across runs the way the reference's incremental MERGE
-        amortizes the daily fact rebuild
+        Incremental 'append' runs append ONLY the new slice — read from
+        the SAME eagerly-checkpointed DataFrame the store append consumed
+        (``run()`` materializes it once for bucket_by models; ADVICE r12
+        item 2), never re-projecting the accumulated table — so the
+        bucketed layout's write cost amortizes across runs the way the
+        reference's incremental MERGE amortizes the daily fact rebuild
         (``models/fct_deepbook_margin_pool_daily.sql:33-35``). Fresh
         builds and --full-refresh rebuild the mirror from the store
         table. Appends keep the bucket spec (Spark validates) but leave
         multiple files per bucket, so plans keep the Exchange-free join
         and re-sort within tasks — the optimize post-hook analog for
         mirrors is a full rebuild, which ``--full-refresh`` provides.
+
+        Store and mirror writes are not atomic, so every incremental
+        sync ends with a cheap RECONCILE (ADVICE r12 item 3): a crash
+        between the two appends — or any historical gap — leaves the
+        mirror permanently short, and nothing downstream would notice
+        until fp_rows consumers computed wrong pair sets; a row-count
+        compare (two parquet-stats scans) catches it and triggers the
+        full-rebuild branch.
         """
         from .bucketing import drop_bucketed_table, mirror_table_name, write_bucketed
 
         spark = self.store.spark
-        tbl = mirror_table_name(cfg.name, self.store.schema_suffix)
-        if incremental_append and spark.catalog.tableExists(tbl):
-            write_bucketed(
-                df, tbl, cfg.n_buckets, cfg.bucket_by,
-                sort_by=cfg.bucket_by, mode="append",
-            )
-        else:
+        tbl = mirror_table_name(cfg.name, self.store.schema_suffix, self.store.root)
+
+        def _rebuild() -> None:
             drop_bucketed_table(spark, tbl)
             write_bucketed(
                 self.store.read(cfg.name), tbl, cfg.n_buckets, cfg.bucket_by,
                 sort_by=cfg.bucket_by, mode="overwrite",
             )
+
+        if incremental_append and spark.catalog.tableExists(tbl):
+            write_bucketed(
+                df, tbl, cfg.n_buckets, cfg.bucket_by,
+                sort_by=cfg.bucket_by, mode="append",
+            )
+            if spark.table(tbl).count() != self.store.read(cfg.name).count():
+                _rebuild()
+        else:
+            _rebuild()
 
     def _post_hooks(self, cfg: ModelConfig) -> None:
         """Maintenance after a successful build: the reference's prod

@@ -288,25 +288,31 @@ def test_fp_bucketed_model_growth_mirror_and_plan(spark, sf_dir, tmp_path):
     docs.filter(F.col("doc_id") <= cut).write.parquet(p1)
     docs.write.parquet(p2)
 
-    tbl = mirror_table_name("corpus_fp_bucketed")
+    root_grown, root_full = str(tmp_path / "wh"), str(tmp_path / "wh_full")
+    tbl = mirror_table_name("corpus_fp_bucketed", store_root=root_grown)
+    tbl_full = mirror_table_name("corpus_fp_bucketed", store_root=root_full)
     drop_bucketed_table(spark, tbl)
+    drop_bucketed_table(spark, tbl_full)
     try:
-        store = TableStore(spark, str(tmp_path / "wh"))
+        store = TableStore(spark, root_grown)
         # growth: batch 1 (full create) then the full corpus (append)
         Runner(spark, store, {"main.documents": p1}).run("corpus_fp_bucketed")
         Runner(spark, store, {"main.documents": p2}).run("corpus_fp_bucketed")
         grown = sorted(map(tuple, store.read("corpus_fp_bucketed").collect()))
 
         # (a) N-growth ≡ full rebuild
-        store_full = TableStore(spark, str(tmp_path / "wh_full"))
+        store_full = TableStore(spark, root_full)
         Runner(spark, store_full, {"main.documents": p2}).run("corpus_fp_bucketed")
-        # the full rebuild overwrote the shared mirror; rebuild state is
-        # now "one run over everything" — exactly what (b)-(d) consume
         rebuilt = sorted(map(tuple, store_full.read("corpus_fp_bucketed").collect()))
         assert grown == rebuilt and len(grown) > 0
 
-        # (b) mirror rows == store rows
-        mirror = read_mirror(spark, "corpus_fp_bucketed")
+        # (b) mirror rows == store rows — and mirrors are WAREHOUSE-keyed
+        # (ADVICE r12 item 1): each store owns its own mirror; building
+        # wh_full did NOT overwrite wh's, and both match their stores
+        mirror_full = read_mirror(spark, "corpus_fp_bucketed", store_root=root_full)
+        assert mirror_full is not None
+        assert sorted(map(tuple, mirror_full.collect())) == rebuilt
+        mirror = read_mirror(spark, "corpus_fp_bucketed", store_root=root_grown)
         assert mirror is not None
         assert sorted(map(tuple, mirror.collect())) == rebuilt
 
@@ -336,6 +342,53 @@ def test_fp_bucketed_model_growth_mirror_and_plan(spark, sf_dir, tmp_path):
             fp_rows=mirror.select("doc_id", "fp"),
         ).collect()))
         assert fed_prefix == inline
+    finally:
+        drop_bucketed_table(spark, tbl)
+        drop_bucketed_table(spark, tbl_full)
+
+
+def test_fp_bucketed_mirror_gap_reconciles(spark, sf_dir, tmp_path):
+    """ADVICE r12 item 3: store and mirror appends are not atomic — a
+    crash between them leaves the mirror permanently short, and
+    subsequent incremental runs used to keep appending only new slices
+    forever. The sync now reconciles row counts after every incremental
+    append and full-rebuilds on mismatch, so a planted gap self-heals
+    on the next run."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.bucketing import (
+        drop_bucketed_table,
+        mirror_table_name,
+        read_mirror,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cut = docs.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id)")
+    ).first()[0]
+    p1, p2 = str(tmp_path / "docs1"), str(tmp_path / "docs2")
+    docs.filter(F.col("doc_id") <= cut).write.parquet(p1)
+    docs.write.parquet(p2)
+
+    root = str(tmp_path / "wh")
+    tbl = mirror_table_name("corpus_fp_bucketed", store_root=root)
+    drop_bucketed_table(spark, tbl)
+    try:
+        store = TableStore(spark, root)
+        Runner(spark, store, {"main.documents": p1}).run("corpus_fp_bucketed")
+        # plant the crash gap: mirror loses half its rows, store keeps all
+        full_mirror = spark.table(tbl)
+        n_store = store.read("corpus_fp_bucketed").count()
+        gapped = full_mirror.limit(n_store // 2).collect()
+        gapped_df = spark.createDataFrame(gapped, full_mirror.schema)
+        drop_bucketed_table(spark, tbl)
+        write_bucketed(gapped_df, tbl, 32, ["fp"], sort_by=["fp"])
+        assert spark.table(tbl).count() < n_store
+        # next incremental run appends its slice AND detects the gap
+        Runner(spark, store, {"main.documents": p2}).run("corpus_fp_bucketed")
+        mirror = read_mirror(spark, "corpus_fp_bucketed", store_root=root)
+        assert sorted(map(tuple, mirror.collect())) == sorted(
+            map(tuple, store.read("corpus_fp_bucketed").collect())
+        )
     finally:
         drop_bucketed_table(spark, tbl)
 

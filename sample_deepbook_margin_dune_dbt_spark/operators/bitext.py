@@ -151,6 +151,7 @@ def _margin_tail(fwd: DataFrame, bwd: DataFrame, margin_threshold_e6: int) -> Da
 
 def _ivf_cross_scored(
     sel: DataFrame,
+    k: int,
     n_lists: int | None,
     n_probes: int,
     max_bucket_size: int,
@@ -167,7 +168,17 @@ def _ivf_cross_scored(
     survivor-sized ``distinct`` collapses multi-probe duplicates
     (cosines are bit-identical across cells: per-pair dimension-
     sequential accumulation is cell-independent). ``sel`` columns:
-    (_id, _v, _s) with _s = True for side A."""
+    (_id, _v, _s) with _s = True for side A.
+
+    Only LOCAL TOP-K survivors leave each bucket — per A row its k best
+    B columns and per B column its k best A rows (cos desc, id asc —
+    the global order). The quadratic in-bucket score matrix never
+    touches the shuffle system: if a pair ranks in a query's global
+    candidate top-k, at most k−1 bucket-mates beat it in ANY shared
+    bucket, so it survives that bucket's local cut — the emission is
+    ≤ (o_a + o_b)·k per bucket (Σ = n·n_probes·k rows, linear) instead
+    of o_a·o_b (≈10⁹ rows at the 2M-vector decade). Exactness of the
+    downstream top-k is unchanged (pinned by the tier-equality test)."""
     import math as _math
 
     import numpy as np
@@ -286,15 +297,32 @@ def _ivf_cross_scored(
                     acc = acc + mat[d][:, None] * mbt[d][None, :]
                 with np.errstate(invalid="ignore", divide="ignore"):
                     cos = acc / (na[:, None] * nb[None, :])
-                # non-negative cosines only (the div-floor guard; NaN
-                # zero-norm rows fail the >= and drop, matching the
-                # exact tier's size()>0 scan filter semantics)
-                ii, jj = np.nonzero(cos >= 0.0)
                 aid = np.asarray(a_ids, dtype=np.int64)
                 bid = np.asarray(b_ids, dtype=np.int64)
+                # local top-k both directions: ids arrived sorted
+                # ascending (sort_array on the struct), so a STABLE
+                # argsort on -cos breaks ties on ascending id — the
+                # exact order _bounded_topk and the oracle use. NaN
+                # (zero-norm) sorts last under -cos and is dropped by
+                # the >= 0 filter, matching the exact tier's scan
+                # filter semantics; negatives only survive selection
+                # when a query has < k non-negative candidates, and
+                # the filter then drops them too.
+                kk_b = min(k, cos.shape[1])
+                jj = np.argsort(-cos, axis=1, kind="stable")[:, :kk_b]
+                ii = np.repeat(np.arange(cos.shape[0]), kk_b)
+                jj = jj.ravel()
+                kk_a = min(k, cos.shape[0])
+                ii2 = np.argsort(-cos, axis=0, kind="stable")[:kk_a, :].ravel()
+                jj2 = np.tile(np.arange(cos.shape[1]), kk_a)
+                ii = np.concatenate([ii, ii2])
+                jj = np.concatenate([jj, jj2])
+                vals = cos[ii, jj]
+                keep = vals >= 0.0
+                ii, jj, vals = ii[keep], jj[keep], vals[keep]
                 out_a.extend(aid[ii].tolist())
                 out_b.extend(bid[jj].tolist())
-                out_c.extend(cos[ii, jj].tolist())
+                out_c.extend(vals.tolist())
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     return buckets.mapInPandas(_score, schema=out_schema).distinct()
@@ -356,6 +384,7 @@ def mine_parallel_pairs(
     if strategy == "ivf":
         scored = _ivf_cross_scored(
             sel,
+            k,
             n_lists,
             n_probes,
             max_bucket_size,

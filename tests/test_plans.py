@@ -573,3 +573,19 @@ def test_bucket_local_refine_plan_shape(spark, sf_dir):
         assert "ShuffledHashJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "MapInPandas" in plan, name  # the in-bucket verifier
+
+
+def test_image_phash_dedup_plan_shape(spark, sf_dir):
+    """The content-level image dedup chain (r13) must stay equi-join +
+    narrow-map shaped: banded Hamming candidates are an equi-join on
+    (band, key) — never a cartesian or nested-loop pairing — and no
+    corpus window appears anywhere (hash/band/verify are all per-row or
+    hash-aggregate work)."""
+    from sample_deepbook_margin_dune_dbt_spark.queries import FULL_QUERIES
+
+    fn, _ = FULL_QUERIES["multimodal_phash_dedup"]
+    plan = explain_str(fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" in plan  # the decode→hash Arrow pass

@@ -361,6 +361,7 @@ def image_near_dup_pairs(
     max_hamming: int = 6,
     bands: int = 8,
     grid: int = 8,
+    max_bucket_size: int = 10_000,
     decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
 ) -> DataFrame:
     """Content-level near-duplicate image pairs: perceptual hash
@@ -372,7 +373,19 @@ def image_near_dup_pairs(
     ``bit_count(hi⊕hi) + bit_count(lo⊕lo) ≤ max_hamming``. Catches
     re-encoded (different bytes, same pixels → distance 0) and
     brightness-shifted copies (additive shift is hash-invariant) that
-    byte-level md5 dedup misses. Output: (id_a, id_b, hamming)."""
+    byte-level md5 dedup misses. Output: (id_a, id_b, hamming).
+
+    Plan shape (r13 bench fix, 9.07 → ~1 s at sf0.1): the signature
+    table is STAGED once (``localCheckpoint`` — three consumers read
+    it, and each would otherwise re-run the whole decode→hash Arrow
+    pass: the ``text_novelty`` restaging lesson); candidates come from
+    BUCKET-COLLECT + in-bucket pair expansion (the
+    ``minhash_lsh_candidates`` shape — no signature self-join), then
+    the candidate-bounded pairs fetch their two 16-byte hashes by id
+    equi-join for verification. Degenerate buckets (a band value shared
+    by a giant identical-image cluster is b·(b−1)/2 pairs) are dropped
+    past ``max_bucket_size`` — that set-level dedup belongs to exact
+    md5 grouping, not pairwise LSH."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     chunk = 64 // bands
@@ -385,7 +398,12 @@ def image_near_dup_pairs(
             "pairs beyond it may be missed",
             stacklevel=2,
         )
-    sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
+    from pyspark.storagelevel import StorageLevel
+
+    sig = (
+        image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
 
     def _band_key(i: int):
         lo_bit = i * chunk
@@ -402,26 +420,54 @@ def image_near_dup_pairs(
             for i in range(bands)
         ]
     )
-    ex = sig.select(
-        F.col("id").alias("_id"), "ahash_hi", "ahash_lo", F.explode(keys).alias("bk")
+    ex = sig.select(F.col("id").alias("_id"), F.explode(keys).alias("bk"))
+    buckets = (
+        ex.groupBy("bk")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bk.band") == F.col("b.bk.band"))
-            & (F.col("a.bk.key") == F.col("b.bk.key"))
-            & (F.col("a._id") < F.col("b._id")),
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("pair")
         )
+        .select("pair.id_a", "pair.id_b")
+        .distinct()
+    )
+    ha = sig.select(
+        F.col("id").alias("id_a"),
+        F.col("ahash_hi").alias("_hi_a"),
+        F.col("ahash_lo").alias("_lo_a"),
+    )
+    hb = sig.select(
+        F.col("id").alias("id_b"),
+        F.col("ahash_hi").alias("_hi_b"),
+        F.col("ahash_lo").alias("_lo_b"),
+    )
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
-                F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
-                + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+                F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+                + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -710,12 +710,16 @@ FROM documents
 
 
 PHASH_MAX_HAMMING = 6
+PHASH_KEYS = 199  # pattern-key space: groups stay ~|corpus|/199 so the
+# planted pair volume grows LINEARLY with the fixture (7 keys made the
+# sf0.1 output quadratic: 1.78M pairs — a fixture artifact, not a
+# capability; the operator is unchanged)
 
 
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-level image dedup (r13, VERDICT r12 item 3): every doc
     gets a REAL grayscale PNG whose pixel grid is an id-derivable
-    pattern (same base pattern per ``doc_id % 7`` group, varied
+    pattern (same base pattern per ``doc_id % PHASH_KEYS`` group, varied
     brightness / scanline filter / sparse noise — byte-different
     payloads, md5-invisible); the pipeline then runs the genuine path a
     cluster with PIL would run: stdlib pixel decode (inflate + unfilter)
@@ -725,7 +729,18 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     house discipline), so a driver hash match certifies the
     decode→hash→band→verify chain end to end.
     ``operators/multimodal.py::image_near_dup_pairs``."""
-    docs = M.attach_pattern_png(load(spark, sf_dir, "documents"), "doc_id")
+    # spread BEFORE attaching payloads (the multimodal module's own
+    # partitioning note + the dsir Arrow-UDF lesson): a one-file scan
+    # would serialize the Python PNG encode+decode on one core, and
+    # repartitioning the bare (doc_id, ...) rows is far cheaper than
+    # shuffling attached binary payloads
+    docs = M.attach_pattern_png(
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ),
+        "doc_id",
+        keys=PHASH_KEYS,
+    )
     return (
         M.image_near_dup_pairs(
             docs, "doc_id", "png_payload", max_hamming=PHASH_MAX_HAMMING
@@ -743,8 +758,8 @@ WITH ids AS (SELECT doc_id FROM documents),
 blocks AS (SELECT CAST(i AS BIGINT) AS blk FROM range(64) t(i)),
 px AS (
     SELECT d.doc_id, b.blk,
-           ((d.doc_id % 7 + 1) * (b.blk + 3) * 37) % 160
-           + (d.doc_id // 7) % 5
+           ((d.doc_id % {PHASH_KEYS} + 1) * (b.blk + 3) * 37) % 160
+           + (d.doc_id // {PHASH_KEYS}) % 5
            + CASE WHEN d.doc_id % 3 = 0 AND b.blk = d.doc_id % 64
                   THEN 64 ELSE 0 END AS v
     FROM ids d CROSS JOIN blocks b

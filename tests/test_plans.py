@@ -588,4 +588,7 @@ def test_image_phash_dedup_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Window" not in plan
-    assert "MapInPandas" in plan  # the decode→hash Arrow pass
+    # the decode→hash Arrow pass is staged ONCE behind a localCheckpoint
+    # (three consumers — bands + both verify sides — would otherwise
+    # each re-run it); the checkpoint surfaces as a Scan ExistingRDD
+    assert "Scan ExistingRDD" in plan

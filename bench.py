@@ -261,6 +261,10 @@ BENCH_QUERIES = [
     # aHash → banded Hamming LSH)
     "emb_bitext_mine_ivf",
     "multimodal_phash_dedup",
+    # r13 continuation: the audio twin of the image dedup chain (real
+    # PCM decode → gain-invariant energy-sign fingerprint → the shared
+    # banded Hamming tail)
+    "multimodal_audio_dedup",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -398,16 +398,36 @@ def image_near_dup_pairs(
             "pairs beyond it may be missed",
             stacklevel=2,
         )
+    sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
+    return _banded_hamming_pairs(
+        sig, "ahash_hi", "ahash_lo", max_hamming, bands, max_bucket_size
+    )
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Shared banded-Hamming tail for the 64-bit perceptual fingerprint
+    tiers (image aHash, audio energy-sign): ``sig`` is (id, hi, lo) with
+    the 64 bits packed into two non-negative 32-bit halves. Staged once
+    (``localCheckpoint`` — three consumers: the band explode and both
+    verify sides), bucket-collect + in-bucket pair expansion (the
+    ``minhash_lsh_candidates`` shape — no signature self-join), 16-byte
+    hash fetch by id equi-join, JVM-side ``bit_count`` verification.
+    Output: (id_a, id_b, hamming ≤ max_hamming)."""
     from pyspark.storagelevel import StorageLevel
 
-    sig = (
-        image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
+    chunk = 64 // bands
+    sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
     def _band_key(i: int):
         lo_bit = i * chunk
-        src = F.col("ahash_lo") if lo_bit < 32 else F.col("ahash_hi")
+        src = F.col(lo_col) if lo_bit < 32 else F.col(hi_col)
         return (
             F.shiftright(src, lo_bit % 32)
             .bitwiseAND(F.lit((1 << chunk) - 1))
@@ -449,13 +469,13 @@ def image_near_dup_pairs(
     )
     ha = sig.select(
         F.col("id").alias("id_a"),
-        F.col("ahash_hi").alias("_hi_a"),
-        F.col("ahash_lo").alias("_lo_a"),
+        F.col(hi_col).alias("_hi_a"),
+        F.col(lo_col).alias("_lo_a"),
     )
     hb = sig.select(
         F.col("id").alias("id_b"),
-        F.col("ahash_hi").alias("_hi_b"),
-        F.col("ahash_lo").alias("_lo_b"),
+        F.col(hi_col).alias("_hi_b"),
+        F.col(lo_col).alias("_lo_b"),
     )
     return (
         cands.join(ha, "id_a")
@@ -656,6 +676,187 @@ def extract_audio_features(
     return df.select(id_col, binary_col).mapInPandas(
         _batches, "id long, duration_s double, sample_rate int, rms double"
     )
+
+
+def stdlib_wav_samples(b: bytes) -> tuple[int, int, list[int]]:
+    """REAL sample decode for PCM16 RIFF/WAVE — stdlib only: walks the
+    chunk stream and unpacks the raw int16 samples. Returns
+    (sample_rate, channels, samples). Raises on non-WAV / non-PCM16
+    payloads (decodes the real format or refuses — never fakes);
+    compressed codecs (mp3/ogg/flac) keep the honest stub."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, nch, bits, data = 12, None, 1, 16, None
+    while i + 8 <= len(b):
+        cid, ln = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
+        body = b[i + 8 : i + 8 + ln]
+        if cid == b"fmt ":
+            _, nch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)
+    if rate is None or data is None or bits != 16:
+        raise ValueError("missing fmt/data chunk or non-PCM16 WAV")
+    n = len(data) // 2
+    return int(rate), int(nch), list(struct.unpack("<%dh" % n, data[: n * 2]))
+
+
+def audio_sign_bits(samples: list[int], frames: int = 64) -> list[int]:
+    """Energy-delta-sign audio fingerprint bits — pure integer
+    arithmetic (the house oracle discipline): partition the samples
+    into ``frames`` equal frames (length must divide evenly), take
+    integer frame energies ``e_f = Σ|s|``, and set bit ``f`` iff
+    ``e_{(f+1) mod frames} > e_f`` — the circular energy-contour shape
+    (the Haitsma-Kalker / Chromaprint family's core idea reduced to one
+    band). Invariant under uniform POSITIVE GAIN (every energy scales
+    by the same factor, strict inequalities are preserved) and under
+    container-level re-encoding (it reads samples, not bytes)."""
+    n = len(samples)
+    if n == 0 or n % frames:
+        raise ValueError(
+            f"audio_sign_bits: {n} samples not divisible into {frames} frames"
+        )
+    fl = n // frames
+    e = [
+        sum(abs(s) for s in samples[f * fl : (f + 1) * fl])
+        for f in range(frames)
+    ]
+    return [1 if e[(f + 1) % frames] > e[f] else 0 for f in range(frames)]
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    frames: int = 64,
+    decoder: Callable[[bytes], tuple[int, int, list[int]]] = stdlib_wav_samples,
+) -> DataFrame:
+    """Per-clip audio fingerprint → (id, afp_hi, afp_lo): the 64
+    energy-sign bits packed into two non-negative 32-bit halves (the
+    ``image_ahash`` packing discipline). One mapInPandas pass;
+    ``decoder`` is the injectable codec seam (``stdlib_wav_samples`` is
+    REAL for PCM16 WAV; swap ffmpeg/torchaudio for compressed codecs)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            his, los = [], []
+            for payload in pdf[binary_col]:
+                _, _, samples = decoder(bytes(payload))
+                bits = audio_sign_bits(samples, frames)
+                los.append(sum(bit << i for i, bit in enumerate(bits[:32])))
+                his.append(sum(bit << i for i, bit in enumerate(bits[32:])))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "afp_hi": pd.Series(his, dtype="int64"),
+                    "afp_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _batches, "id long, afp_hi long, afp_lo long"
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    frames: int = 64,
+    max_bucket_size: int = 10_000,
+    decoder: Callable[[bytes], tuple[int, int, list[int]]] = stdlib_wav_samples,
+) -> DataFrame:
+    """Content-level near-duplicate audio pairs: energy-sign fingerprint
+    (``audio_fingerprint``) + the SHARED banded Hamming tail
+    (``_banded_hamming_pairs`` — exact recall for ``max_hamming ≤
+    bands − 1`` by pigeonhole, bucket-collect candidates, equi-join
+    verification). Catches gain-scaled copies (energy ordering is
+    scale-invariant) and container re-encodes that byte-level md5 dedup
+    misses. Output: (id_a, id_b, hamming)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"audio_near_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"banding recall guarantee (≤ {bands - 1} for {bands} bands) — "
+            "pairs beyond it may be missed",
+            stacklevel=2,
+        )
+    sig = audio_fingerprint(df, id_col, binary_col, frames=frames, decoder=decoder)
+    return _banded_hamming_pairs(
+        sig, "afp_hi", "afp_lo", max_hamming, bands, max_bucket_size
+    )
+
+
+def pattern_samples(
+    doc_id: int,
+    frames: int = 64,
+    frame_len: int = 64,
+    keys: int = 199,
+    gains: int = 3,
+) -> list[int]:
+    """Deterministic frame-constant PCM16 samples as a PURE integer
+    function of the id — the audio twin of :func:`pattern_pixels`:
+
+    - content key ``k = id % keys``: ids sharing ``k`` get the same
+      base energy contour — the planted near-duplicate groups;
+    - base frame value
+      ``v(f) = ((k+1)·(f²+3f+7)·53 + (k+7)·(f+11)·17) % 4001`` — the
+      quadratic term scatters the wrap points so different keys'
+      sign contours stay ≥ 13 bits apart (an arithmetic progression
+      per key made most bits 1 and keys nearly collide — measured
+      min inter-key Hamming 5 under the linear form, 13 quadratic);
+    - uniform GAIN ``1 + (id div keys) % gains`` multiplies every
+      sample — the change the energy-sign fingerprint is invariant to;
+    - sparse noise: ids with ``id % 3 == 0`` get ``+2000`` on frame
+      ``id % frames`` (pre-gain) — a local edit perturbing a couple of
+      sign bits while same-key clips stay within a small Hamming
+      distance.
+
+    Max sample = (4000 + 2000) · gains ≤ 18000 < 32767: no clipping, so
+    an external oracle reproduces every frame energy arithmetically."""
+    k = doc_id % keys
+    gain = 1 + (doc_id // keys) % gains
+    noise_f = doc_id % frames if doc_id % 3 == 0 else -1
+    out: list[int] = []
+    for f in range(frames):
+        v = ((k + 1) * (f * f + 3 * f + 7) * 53 + (k + 7) * (f + 11) * 17) % 4001
+        if f == noise_f:
+            v += 2000
+        out.extend([v * gain] * frame_len)
+    return out
+
+
+def attach_pattern_wav(
+    df: DataFrame,
+    id_col: str,
+    out_col: str = "wav_payload",
+    frames: int = 64,
+    frame_len: int = 64,
+    keys: int = 199,
+    gains: int = 3,
+) -> DataFrame:
+    """Attach a REAL PCM16 WAV whose samples are the id-derivable
+    :func:`pattern_samples` contour: same-key ids carry byte-DIFFERENT
+    payloads (the gain multiplies every sample) with the SAME energy
+    ordering — the content-vs-bytes distinction the audio dedup tier
+    exists for."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _wav(i: pd.Series) -> pd.Series:
+        return i.map(
+            lambda x: synth_wav(
+                pattern_samples(int(x), frames, frame_len, keys, gains)
+            )
+        )
+
+    return df.withColumn(out_col, _wav(F.col(id_col)))
 
 
 def pattern_pixels(

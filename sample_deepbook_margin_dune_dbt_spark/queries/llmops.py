@@ -753,6 +753,81 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle recomputes pattern_pixels → ahash_bits → banding → Hamming
 # verification in pure integer SQL: block values are constant within each
 # 4x4 block, so bit blk = (64·v > Σv) works on the 64 block values directly
+def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level audio dedup (r13): every doc gets a REAL PCM16 WAV
+    whose frame-energy contour is an id-derivable pattern (same contour
+    per ``doc_id % PHASH_KEYS`` group, varied uniform GAIN and sparse
+    noise — byte-different payloads, md5-invisible); the pipeline runs
+    the genuine path: stdlib sample decode → integer energy-delta-sign
+    fingerprint (gain-invariant by construction) → the shared banded
+    Hamming tail. The oracle reproduces the fingerprint arithmetically
+    from the ungained contour (gain cancels in every strict energy
+    comparison — that invariance IS the operator's claim, and the hash
+    match proves it end to end).
+    ``operators/multimodal.py::audio_near_dup_pairs``."""
+    docs = M.attach_pattern_wav(
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ),
+        "doc_id",
+        keys=PHASH_KEYS,
+    )
+    return (
+        M.audio_near_dup_pairs(
+            docs, "doc_id", "wav_payload", max_hamming=PHASH_MAX_HAMMING
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# the oracle recomputes pattern_samples → audio_sign_bits → banding →
+# Hamming verification in pure integer SQL: samples are frame-constant,
+# so bit f = (v((f+1) mod 64) > v(f)) on the 64 UNGAINED frame values —
+# the gain multiplies both sides of every strict comparison
+SQL_MULTIMODAL_AUDIO = f"""
+WITH ids AS (SELECT doc_id FROM documents),
+fr AS (SELECT CAST(i AS BIGINT) AS f FROM range(64) t(i)),
+px AS (
+    SELECT d.doc_id, fr.f,
+           ((d.doc_id % {PHASH_KEYS} + 1) * (fr.f * fr.f + 3 * fr.f + 7) * 53
+            + (d.doc_id % {PHASH_KEYS} + 7) * (fr.f + 11) * 17) % 4001
+           + CASE WHEN d.doc_id % 3 = 0 AND fr.f = d.doc_id % 64
+                  THEN 2000 ELSE 0 END AS v
+    FROM ids d CROSS JOIN fr
+),
+bits AS (
+    SELECT a.doc_id, a.f AS blk,
+           CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+    FROM px a
+    JOIN px b ON b.doc_id = a.doc_id AND b.f = (a.f + 1) % 64
+),
+bands AS (
+    SELECT doc_id, blk // 8 AS band,
+           sum(bit * (1 << (blk % 8))) AS key
+    FROM bits GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.key = b.key
+                AND a.doc_id < b.doc_id
+),
+ham AS (
+    SELECT c.id_a, c.id_b,
+           CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bits ba ON ba.doc_id = c.id_a
+    JOIN bits bb ON bb.doc_id = c.id_b AND bb.blk = ba.blk
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham
+WHERE hamming <= {PHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 SQL_MULTIMODAL_PHASH = f"""
 WITH ids AS (SELECT doc_id FROM documents),
 blocks AS (SELECT CAST(i AS BIGINT) AS blk FROM range(64) t(i)),
@@ -1423,6 +1498,7 @@ LLMOPS_QUERIES = {
     "dedup_embedding_cosine_ivf": (q_dedup_embedding_cosine_ivf, SQL_EMB_DEDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "multimodal_phash_dedup": (q_multimodal_phash_dedup, SQL_MULTIMODAL_PHASH),
+    "multimodal_audio_dedup": (q_multimodal_audio_dedup, SQL_MULTIMODAL_AUDIO),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_SUMMARY),
     "ann_ivf": (q_ann_ivf, SQL_ANN_SUMMARY),
     "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_SUMMARY),

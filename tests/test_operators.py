@@ -1909,6 +1909,45 @@ def test_image_phash_sparse_edit_within_band_guarantee(spark):
     assert 1 <= expected <= 6 and got[0]["hamming"] == expected
 
 
+def test_audio_fingerprint_near_dup_planted(spark):
+    """Content-level audio dedup (r13): a gain-scaled copy (every
+    sample ×3 — different bytes, same energy ordering) must pair with
+    the original at Hamming distance 0 while md5 sees distinct
+    payloads; an unrelated contour must produce no pair; and a sparse
+    local edit (one louder frame) must stay within the banding recall
+    guarantee at its exact bit distance."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    base = M.pattern_samples(1)  # key 1, no noise (1 % 3 != 0)
+    louder = [s * 3 for s in base]  # uniform gain — fingerprint-invariant
+    other = M.pattern_samples(5)  # different content key
+    # sparse edit: one frame (frame 11 → samples 11·64..12·64) gets +2000
+    edited = list(base)
+    for i in range(11 * 64, 12 * 64):
+        edited[i] += 2000
+    rows = [
+        (1, M.synth_wav(base)),
+        (2, M.synth_wav(louder)),
+        (3, M.synth_wav(other)),
+        (4, M.synth_wav(edited)),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, payload binary")
+    md5s = M.extract_binary_metadata(df, "clip_id", "payload").collect()
+    assert len({r["md5_hex"] for r in md5s}) == 4  # byte-level dedup blind
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.audio_near_dup_pairs(df, "clip_id", "payload").collect()
+    }
+    assert pairs.get((1, 2)) == 0  # gain-scaled copy: exact fingerprint
+    assert not any(3 in p for p in pairs)  # unrelated clip: no pair
+    # the edited clip pairs with both gain variants at its exact distance
+    b1 = M.audio_sign_bits(base)
+    b4 = M.audio_sign_bits(edited)
+    expected = sum(x != y for x, y in zip(b1, b4))
+    assert 1 <= expected <= 6
+    assert pairs.get((1, 4)) == expected and pairs.get((2, 4)) == expected
+
+
 def test_assoc_rules_build_runs_no_job(spark, sf_dir):
     """Building the association-rules DataFrame must run NO Spark job
     (r13, VERDICT r12 item 2/what's-wrong): the session total rides a

@@ -462,10 +462,15 @@ driver query moved to ``EXTRA_QUERIES``:
   house protocol): ``emb_bitext_mine_ivf`` — the 100 TB bitext tier
   (shared-quantizer IVF candidates, bucket-local A×B scoring, unchanged
   margin tail; pinned bit-identical to the exact tier and sharing its
-  oracle at both SFs) — and ``multimodal_phash_dedup`` — content-level
+  oracle at both SFs), ``multimodal_phash_dedup`` — content-level
   image dedup (real stdlib PNG pixel codec → divisionless integer
   average-hash → banded Hamming LSH; id-derivable pattern pixels make
-  the whole chain arithmetically oracle-checkable).
+  the whole chain arithmetically oracle-checkable) — and
+  ``multimodal_audio_dedup`` — its audio twin (real PCM16 sample
+  decode → gain-invariant integer energy-delta-sign fingerprint → the
+  SHARED banded Hamming tail; the oracle recomputes the fingerprint
+  from the ungained contour, so the hash match proves the gain
+  invariance end to end).
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver

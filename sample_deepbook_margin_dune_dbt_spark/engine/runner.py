@@ -622,7 +622,17 @@ class Runner:
         else:
             self.store.write_full(df, cfg.name, cfg.partition_by)
         if cfg.bucket_by:
-            self._sync_bucketed_mirror(cfg, df, incremental_append=incremental_run)
+            # the mirror append is only content-correct for the 'append'
+            # strategy — merge/insert_overwrite update or replace store
+            # rows, so the appended slice would desync the mirror and the
+            # reconcile would pay a wasted append + full rebuild every run
+            # (ADVICE r13 item 3); those strategies rebuild directly
+            self._sync_bucketed_mirror(
+                cfg,
+                df,
+                incremental_append=incremental_run
+                and cfg.incremental_strategy == "append",
+            )
         self._post_hooks(cfg)
 
     def _sync_bucketed_mirror(
@@ -659,6 +669,13 @@ class Runner:
 
         def _rebuild() -> None:
             drop_bucketed_table(spark, tbl)
+            # warehouse-keying (ADVICE r12 item 1) renamed mirrors; a mirror
+            # built before that under the un-keyed name is now unreachable
+            # by read_mirror and would leak in the session catalog + on
+            # disk forever — reclaim it here (ADVICE r13 item 2)
+            legacy = mirror_table_name(cfg.name, self.store.schema_suffix, None)
+            if legacy != tbl:
+                drop_bucketed_table(spark, legacy)
             write_bucketed(
                 self.store.read(cfg.name), tbl, cfg.n_buckets, cfg.bucket_by,
                 sort_by=cfg.bucket_by, mode="overwrite",

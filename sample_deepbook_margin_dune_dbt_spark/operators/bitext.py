@@ -149,46 +149,26 @@ def _margin_tail(fwd: DataFrame, bwd: DataFrame, margin_threshold_e6: int) -> Da
     )
 
 
-def _ivf_cross_scored(
+def _ivf_cell_split(
     sel: DataFrame,
-    k: int,
     n_lists: int | None,
     n_probes: int,
-    max_bucket_size: int,
     train_sample: int,
     seed: int,
     train_strategy: str,
     train_iters: int,
     target_occupancy: int,
 ) -> DataFrame:
-    """Candidate (id_a, id_b, cosine ≥ 0) rows from the shared-quantizer
-    IVF generator: every vector → its ``n_probes`` nearest cells; per
-    cell the A×B cross-cosines are computed in-task (mapInPandas over
-    collected buckets — one corpus×n_probes exchange, linear); a
-    survivor-sized ``distinct`` collapses multi-probe duplicates
-    (cosines are bit-identical across cells: per-pair dimension-
-    sequential accumulation is cell-independent). ``sel`` columns:
-    (_id, _v, _s) with _s = True for side A.
-
-    Only LOCAL TOP-K survivors leave each bucket — per A row its k best
-    B columns and per B column its k best A rows (cos desc, id asc —
-    the global order). The quadratic in-bucket score matrix never
-    touches the shuffle system: if a pair ranks in a query's global
-    candidate top-k, at most k−1 bucket-mates beat it in ANY shared
-    bucket, so it survives that bucket's local cut — the emission is
-    ≤ (o_a + o_b)·k per bucket (Σ = n·n_probes·k rows, linear) instead
-    of o_a·o_b (≈10⁹ rows at the 2M-vector decade). Exactness of the
-    downstream top-k is unchanged (pinned by the tier-equality test)."""
+    """The IVF tier's bucket table BEFORE the ``max_bucket_size`` cap:
+    one shared spherical-k-means quantizer trained over both sides,
+    every vector assigned to its ``n_probes`` nearest cells, rows
+    grouped per cell into side-split (id, vec) struct arrays. Columns:
+    (_cell, _ai, _bi). Shared by the scorer (``_ivf_cross_scored``
+    filters and unpacks it) and the cap-monitoring companion
+    (``ivf_cell_stats`` sizes it) so the reported cell sizes are, by
+    construction, what the cap filter sees — training is seeded, so the
+    two paths assign identical cells for identical parameters."""
     import math as _math
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
 
     counts = {
         bool(r["_s"]): int(r["cnt"])
@@ -239,11 +219,113 @@ def _ivf_cross_scored(
     )
     item = F.struct(F.col("_id"), F.col("_v"))
     # collect_list skips the when()'s nulls → side-split aligned arrays
+    return ids.groupBy("_cell").agg(
+        F.sort_array(F.collect_list(F.when(F.col("_s"), item))).alias("_ai"),
+        F.sort_array(F.collect_list(F.when(~F.col("_s"), item))).alias("_bi"),
+    )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    side_col: str,
+    n_lists: int | None = None,
+    n_probes: int = 8,
+    train_sample: int = 100_000,
+    seed: int = 42,
+    train_strategy: str = "driver",
+    train_iters: int = 5,
+    target_occupancy: int = 64,
+) -> DataFrame:
+    """Cell-size distribution for the IVF bitext tier — the
+    ``lsh_band_bucket_stats`` companion (VERDICT r13 item 2: no silent
+    caps). Same parameters (and same seeded trainer) as
+    ``mine_parallel_pairs(strategy='ivf')``, so the reported cells ARE
+    the tier's cells.
+
+    Output: (n_a, n_b, n_cells) over cells holding BOTH sides (one-
+    sided cells score nothing and cost nothing when dropped). A cell
+    with n_a + n_b > ``max_bucket_size`` is dropped WHOLESALE by the
+    pair tier, silently costing ≤ n_a·n_b candidate pairs — the fuzzed
+    bound property in ``tests/test_operators.py`` pins that every
+    capped loss is accounted by a row here. Run on a sample before
+    picking a cap; in production, alert when max(n_a + n_b) approaches
+    it."""
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(side_col).alias("_s"),
+    )
+    cells = _ivf_cell_split(
+        sel,
+        n_lists,
+        n_probes,
+        train_sample,
+        seed,
+        train_strategy,
+        train_iters,
+        target_occupancy,
+    )
+    return (
+        cells.select(
+            F.size("_ai").alias("n_a"), F.size("_bi").alias("n_b")
+        )
+        .filter((F.col("n_a") >= 1) & (F.col("n_b") >= 1))
+        .groupBy("n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def _ivf_cross_scored(
+    sel: DataFrame,
+    k: int,
+    n_lists: int | None,
+    n_probes: int,
+    max_bucket_size: int,
+    train_sample: int,
+    seed: int,
+    train_strategy: str,
+    train_iters: int,
+    target_occupancy: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b, cosine ≥ 0) rows from the shared-quantizer
+    IVF generator: every vector → its ``n_probes`` nearest cells; per
+    cell the A×B cross-cosines are computed in-task (mapInPandas over
+    collected buckets — one corpus×n_probes exchange, linear); a
+    survivor-sized ``distinct`` collapses multi-probe duplicates
+    (cosines are bit-identical across cells: per-pair dimension-
+    sequential accumulation is cell-independent). ``sel`` columns:
+    (_id, _v, _s) with _s = True for side A.
+
+    Only LOCAL TOP-K survivors leave each bucket — per A row its k best
+    B columns and per B column its k best A rows (cos desc, id asc —
+    the global order). The quadratic in-bucket score matrix never
+    touches the shuffle system: if a pair ranks in a query's global
+    candidate top-k, at most k−1 bucket-mates beat it in ANY shared
+    bucket, so it survives that bucket's local cut — the emission is
+    ≤ (o_a + o_b)·k per bucket (Σ = n·n_probes·k rows, linear) instead
+    of o_a·o_b (≈10⁹ rows at the 2M-vector decade). Exactness of the
+    downstream top-k is unchanged (pinned by the tier-equality test)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     buckets = (
-        ids.groupBy("_cell")
-        .agg(
-            F.sort_array(F.collect_list(F.when(F.col("_s"), item))).alias("_ai"),
-            F.sort_array(F.collect_list(F.when(~F.col("_s"), item))).alias("_bi"),
+        _ivf_cell_split(
+            sel,
+            n_lists,
+            n_probes,
+            train_sample,
+            seed,
+            train_strategy,
+            train_iters,
+            target_occupancy,
         )
         .filter(
             (F.size("_ai") >= 1)

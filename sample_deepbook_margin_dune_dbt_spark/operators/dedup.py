@@ -501,6 +501,17 @@ def jaccard_pairs(
     every tier — shingling amortizes across the family whichever tier
     the dispatch picks."""
     if strategy == "auto":
+        # self-contained dispatch (VERDICT r13 item 7): the LSH opt-in
+        # guard needs the corpus size, and the caller may not know it —
+        # probe with a count ONLY when the answer can change the choice
+        # (below the prefix crossover with approx allowed); above the
+        # crossover, and for callers who pass n_docs, no job runs
+        if (
+            allow_approx
+            and n_docs is None
+            and threshold < PREFIX_CROSSOVER_THRESHOLD
+        ):
+            n_docs = df.count()
         strategy = choose_jaccard_strategy(threshold, n_docs, allow_approx)
     if strategy == "self_join":
         return ngram_jaccard_pairs(

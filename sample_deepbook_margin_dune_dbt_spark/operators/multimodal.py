@@ -388,7 +388,6 @@ def image_near_dup_pairs(
     md5 grouping, not pairwise LSH."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    chunk = 64 // bands
     if max_hamming > bands - 1:
         import warnings
 
@@ -402,6 +401,76 @@ def image_near_dup_pairs(
     return _banded_hamming_pairs(
         sig, "ahash_hi", "ahash_lo", max_hamming, bands, max_bucket_size
     )
+
+
+def _band_key_rows(
+    sig: DataFrame, hi_col: str, lo_col: str, bands: int
+) -> DataFrame:
+    """(_id, bk=struct(band, key)) rows — one per (signature, band): the
+    64 packed bits sliced into ``bands`` equal chunks, each chunk the
+    band's bucket key. Shared by the pair tier (``_banded_hamming_pairs``
+    buckets on these exact rows) and its monitoring companion
+    (``banded_hamming_bucket_stats``) so the reported bucket sizes are,
+    by construction, the sizes the cap filter sees."""
+    chunk = 64 // bands
+
+    def _band_key(i: int):
+        lo_bit = i * chunk
+        src = F.col(lo_col) if lo_bit < 32 else F.col(hi_col)
+        return (
+            F.shiftright(src, lo_bit % 32)
+            .bitwiseAND(F.lit((1 << chunk) - 1))
+            .alias("key")
+        )
+
+    keys = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), _band_key(i))
+            for i in range(bands)
+        ]
+    )
+    return sig.select(F.col("id").alias("_id"), F.explode(keys).alias("bk"))
+
+
+def banded_hamming_bucket_stats(
+    sig: DataFrame, hi_col: str, lo_col: str, bands: int = 8
+) -> DataFrame:
+    """Band-bucket size distribution for a 64-bit fingerprint signature
+    table — the ``lsh_band_bucket_stats`` companion for the perceptual
+    tiers (VERDICT r13 item 2: no silent caps). ``sig`` is the (id, hi,
+    lo) frame ``image_ahash`` / ``audio_fingerprint`` produce.
+
+    Output: (band, bucket_size, n_buckets), counting DISTINCT ids per
+    bucket exactly as the pair tier's ``collect_set`` does. A production
+    run alerts when max(bucket_size) approaches ``max_bucket_size`` —
+    each dropped bucket of b ids silently costs ≤ b·(b−1)/2 candidate
+    pairs (the fuzzed bound property in ``tests/test_operators.py``
+    pins that every capped loss is accounted by a row here)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    return (
+        _band_key_rows(sig, hi_col, lo_col, bands)
+        .groupBy("bk")
+        .agg(F.count_distinct("_id").alias("bucket_size"))
+        .select(F.col("bk.band").alias("band"), "bucket_size")
+        .groupBy("band", "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+def image_band_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    bands: int = 8,
+    grid: int = 8,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+) -> DataFrame:
+    """``banded_hamming_bucket_stats`` over the aHash signatures
+    ``image_near_dup_pairs`` buckets on — same decoder, same grid, same
+    band slicing, so the report matches the pair tier's cap exactly."""
+    sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
+    return banded_hamming_bucket_stats(sig, "ahash_hi", "ahash_lo", bands)
 
 
 def _banded_hamming_pairs(
@@ -422,25 +491,8 @@ def _banded_hamming_pairs(
     Output: (id_a, id_b, hamming ≤ max_hamming)."""
     from pyspark.storagelevel import StorageLevel
 
-    chunk = 64 // bands
     sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-
-    def _band_key(i: int):
-        lo_bit = i * chunk
-        src = F.col(lo_col) if lo_bit < 32 else F.col(hi_col)
-        return (
-            F.shiftright(src, lo_bit % 32)
-            .bitwiseAND(F.lit((1 << chunk) - 1))
-            .alias("key")
-        )
-
-    keys = F.array(
-        *[
-            F.struct(F.lit(i).alias("band"), _band_key(i))
-            for i in range(bands)
-        ]
-    )
-    ex = sig.select(F.col("id").alias("_id"), F.explode(keys).alias("bk"))
+    ex = _band_key_rows(sig, hi_col, lo_col, bands)
     buckets = (
         ex.groupBy("bk")
         .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
@@ -791,6 +843,22 @@ def audio_near_dup_pairs(
     return _banded_hamming_pairs(
         sig, "afp_hi", "afp_lo", max_hamming, bands, max_bucket_size
     )
+
+
+def audio_band_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    bands: int = 8,
+    frames: int = 64,
+    decoder: Callable[[bytes], tuple[int, int, list[int]]] = stdlib_wav_samples,
+) -> DataFrame:
+    """``banded_hamming_bucket_stats`` over the energy-sign fingerprints
+    ``audio_near_dup_pairs`` buckets on — same decoder, same frame
+    count, same band slicing, so the report matches the pair tier's
+    ``max_bucket_size`` cap exactly."""
+    sig = audio_fingerprint(df, id_col, binary_col, frames=frames, decoder=decoder)
+    return banded_hamming_bucket_stats(sig, "afp_hi", "afp_lo", bands)
 
 
 def pattern_samples(

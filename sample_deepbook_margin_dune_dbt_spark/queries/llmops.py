@@ -293,21 +293,30 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_HOME_THRESHOLD = 0.8  # the declared row's operating point — at or
+# above the measured 0.7 crossover where choose_jaccard_strategy picks
+# prefix itself (VERDICT r13 item 4: the window row models the
+# recommended plan; the t=0.5 tier-equality pin stays in pytest)
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.5 via PREFIX FILTERING (PPJoin shape) —
-    the exact-recall candidate tier: identical output to
-    ``dedup_ngram_jaccard`` (shared oracle) from prefix⋈prefix
-    candidates + in-task ``array_intersect`` verification instead of
-    the full shingle self-join."""
-    pairs = D.prefix_filter_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    """Exact 3-gram Jaccard ≥ 0.8 through the family front door
+    (``jaccard_pairs(strategy='auto')``): at t ≥ 0.7 the dispatcher
+    picks PREFIX FILTERING (PPJoin shape) — the exact-recall candidate
+    tier: prefix⋈prefix candidates + in-task ``array_intersect``
+    verification instead of the full shingle self-join, the tier whose
+    candidate volume survives hot boilerplate shingles at scale."""
+    pairs = D.jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=PREFIX_HOME_THRESHOLD, strategy="auto",
     )
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6")
     )
 
 
-SQL_NGRAM_JACCARD = f"""
+def _sql_ngram_jaccard(threshold: float) -> str:
+    return f"""
 WITH {_SQL_SHINGLES.strip()},
 sizes AS (
     SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
@@ -322,8 +331,12 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
 """
+
+
+SQL_NGRAM_JACCARD = _sql_ngram_jaccard(0.5)
+SQL_JACCARD_PREFIX_HOME = _sql_ngram_jaccard(PREFIX_HOME_THRESHOLD)
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: min-label connected components over the 3-gram
@@ -714,6 +727,9 @@ PHASH_KEYS = 199  # pattern-key space: groups stay ~|corpus|/199 so the
 # planted pair volume grows LINEARLY with the fixture (7 keys made the
 # sf0.1 output quadratic: 1.78M pairs — a fixture artifact, not a
 # capability; the operator is unchanged)
+PHASH_MAX_BUCKET = 10_000  # the tier's max_bucket_size, passed explicitly
+# AND mirrored in both oracles' HAVING (ADVICE r13 item 4: parity must
+# not silently depend on every band bucket staying under the cap)
 
 
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,16 +759,14 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         M.image_near_dup_pairs(
-            docs, "doc_id", "png_payload", max_hamming=PHASH_MAX_HAMMING
+            docs, "doc_id", "png_payload", max_hamming=PHASH_MAX_HAMMING,
+            max_bucket_size=PHASH_MAX_BUCKET,
         )
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
 
 
-# the oracle recomputes pattern_pixels → ahash_bits → banding → Hamming
-# verification in pure integer SQL: block values are constant within each
-# 4x4 block, so bit blk = (64·v > Σv) works on the 64 block values directly
 def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-level audio dedup (r13): every doc gets a REAL PCM16 WAV
     whose frame-energy contour is an id-derivable pattern (same contour
@@ -774,7 +788,8 @@ def q_multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         M.audio_near_dup_pairs(
-            docs, "doc_id", "wav_payload", max_hamming=PHASH_MAX_HAMMING
+            docs, "doc_id", "wav_payload", max_hamming=PHASH_MAX_HAMMING,
+            max_bucket_size=PHASH_MAX_BUCKET,
         )
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("id_a", "id_b")
@@ -807,9 +822,14 @@ bands AS (
            sum(bit * (1 << (blk % 8))) AS key
     FROM bits GROUP BY 1, 2
 ),
+ok AS (
+    SELECT band, key FROM bands
+    GROUP BY band, key HAVING count(*) <= {PHASH_MAX_BUCKET}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a
+    JOIN ok ON ok.band = a.band AND ok.key = a.key
     JOIN bands b ON a.band = b.band AND a.key = b.key
                 AND a.doc_id < b.doc_id
 ),
@@ -828,6 +848,9 @@ ORDER BY id_a, id_b
 """
 
 
+# the oracle recomputes pattern_pixels → ahash_bits → banding → Hamming
+# verification in pure integer SQL: block values are constant within each
+# 4x4 block, so bit blk = (64·v > Σv) works on the 64 block values directly
 SQL_MULTIMODAL_PHASH = f"""
 WITH ids AS (SELECT doc_id FROM documents),
 blocks AS (SELECT CAST(i AS BIGINT) AS blk FROM range(64) t(i)),
@@ -850,9 +873,14 @@ bands AS (
            sum(bit * (1 << (blk % 8))) AS key
     FROM bits GROUP BY 1, 2
 ),
+ok AS (
+    SELECT band, key FROM bands
+    GROUP BY band, key HAVING count(*) <= {PHASH_MAX_BUCKET}
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a
+    JOIN ok ON ok.band = a.band AND ok.key = a.key
     JOIN bands b ON a.band = b.band AND a.key = b.key
                 AND a.doc_id < b.doc_id
 ),
@@ -1487,7 +1515,7 @@ LLMOPS_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # r12: prefix-filtering tier, exact recall by construction — shares
     # the self-join tier's oracle verbatim
-    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_NGRAM_JACCARD),
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_JACCARD_PREFIX_HOME),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "text_decontaminate": (q_text_decontaminate, SQL_DECONTAMINATE),
     "emb_decontaminate": (q_emb_decontaminate, SQL_EMB_DECONTAMINATE),

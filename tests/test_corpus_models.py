@@ -393,6 +393,47 @@ def test_fp_bucketed_mirror_gap_reconciles(spark, sf_dir, tmp_path):
         drop_bucketed_table(spark, tbl)
 
 
+def test_mirror_legacy_unkeyed_name_reclaimed(spark, sf_dir, tmp_path):
+    """ADVICE r13 item 2: warehouse-keying (r12) renamed every mirror,
+    orphaning mirrors built before it under the un-keyed catalog name —
+    unreachable by read_mirror, never dropped, leaking in the session
+    catalog and on disk. A rebuild now reclaims the legacy name."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.bucketing import (
+        drop_bucketed_table,
+        mirror_table_name,
+        read_mirror,
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+
+    root = str(tmp_path / "wh")
+    tbl = mirror_table_name("corpus_fp_bucketed", store_root=root)
+    legacy = mirror_table_name("corpus_fp_bucketed")  # pre-r12 un-keyed name
+    assert legacy != tbl
+    drop_bucketed_table(spark, tbl)
+    drop_bucketed_table(spark, legacy)
+    try:
+        # plant a pre-warehouse-keying orphan under the legacy name
+        write_bucketed(
+            docs.select(F.col("doc_id"), F.col("doc_id").alias("fp")).limit(5),
+            legacy, 32, ["fp"], sort_by=["fp"],
+        )
+        assert spark.catalog.tableExists(legacy)
+        store = TableStore(spark, root)
+        Runner(spark, store, {"main.documents": p}).run("corpus_fp_bucketed")
+        # the rebuild reclaimed the orphan and built the keyed mirror
+        assert not spark.catalog.tableExists(legacy)
+        mirror = read_mirror(spark, "corpus_fp_bucketed", store_root=root)
+        assert mirror is not None
+        assert mirror.count() == store.read("corpus_fp_bucketed").count()
+    finally:
+        drop_bucketed_table(spark, tbl)
+        drop_bucketed_table(spark, legacy)
+
+
 def test_leakage_report_model_vars_and_cli(spark, sf_dir, tmp_path, capsys):
     """VERDICT r11 item 7: the eval-governance leakage audit as a
     CLI-drivable DAG node. Pins: τ comes from --vars and actually

@@ -1122,3 +1122,191 @@ def corpus_leakage_report(ctx: ModelContext) -> DataFrame:
         .withColumn("threshold_e6", F.lit(thr).cast("long"))
         .withColumn("updated_at", ctx.now())
     )
+
+
+# ------------------------------------------------ incremental media dedup
+#
+# The multimodal twin of the text family's cross-run index (VERDICT r13
+# item 3): corpus_fingerprint_index accumulates MinHash band rows so a
+# daily batch never re-shingles the corpus; image/audio signatures had no
+# such index — every dedup run re-decoded and re-hashed every payload.
+# These three nodes close that gap with the SAME layout and watermark
+# discipline: a MERGE-upserted signature index (band rows + the full
+# 64-bit fingerprint, so verification never re-decodes), a pairs model
+# joining only NEW signatures against the accumulated index, and the
+# contracted-graph cluster fold.
+#
+# Source contract: ``main.media`` — (media_id long, kind string,
+# payload binary) with kind ∈ {'image','audio'}; media_id monotone (the
+# watermark column, the doc_id discipline).
+
+MEDIA_BANDS = 8
+MEDIA_MAX_HAMMING = 6
+
+
+def _media_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, kind, fp_hi, fp_lo): the 64-bit content fingerprint per
+    payload — image aHash (stdlib PNG pixel decode) for kind='image',
+    gain-invariant energy-sign bits (PCM16 WAV decode) for kind='audio'.
+    One Arrow pass per modality; kinds the batch lacks cost nothing."""
+    from ..operators.multimodal import audio_fingerprint, image_ahash
+
+    img = image_ahash(
+        media.filter(F.col("kind") == "image"), "media_id", "payload"
+    ).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("ahash_hi").alias("fp_hi"),
+        F.col("ahash_lo").alias("fp_lo"),
+    )
+    aud = audio_fingerprint(
+        media.filter(F.col("kind") == "audio"), "media_id", "payload"
+    ).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("afp_hi").alias("fp_hi"),
+        F.col("afp_lo").alias("fp_lo"),
+    )
+    return img.unionByName(aud)
+
+
+@model(
+    "corpus_media_signature_index",
+    unique_key=["media_id", "band"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    tags=["corpus"],
+    not_null=["media_id", "kind", "band", "band_key"],
+)
+def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
+    """Persisted cross-run media-dedup index: per (payload, band) one row
+    carrying the band's bucket key AND the full packed fingerprint,
+    MERGE-upserted on the media_id watermark.
+
+    The 100 TB contract: deduplicating a daily media batch must not
+    re-decode the accumulated corpus — codec decode is the Python-side
+    Arrow floor, orders costlier than shingling. Each run decodes ONLY
+    new payloads; banding rides the same ``_band_key_structs`` slicing
+    the batch tiers bucket on, exploded in the same select as the
+    fingerprint columns so the decode pass runs ONCE (no self-join, no
+    re-decode). Monitoring: ``banded_hamming_bucket_stats`` over this
+    index's distinct (media_id, fp_hi, fp_lo) rows reports the bucket
+    distribution without touching a payload."""
+    from ..operators.multimodal import _band_key_structs
+
+    media = ctx.source("main", "media")
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("media_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+        media = media.filter(F.col("media_id") > wm)
+    sig = _media_signatures(media)
+    ex = sig.select(
+        "media_id",
+        "kind",
+        "fp_hi",
+        "fp_lo",
+        F.explode(_band_key_structs("fp_hi", "fp_lo", MEDIA_BANDS)).alias("bk"),
+    )
+    return ex.select(
+        "media_id",
+        "kind",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
+        "fp_hi",
+        "fp_lo",
+        ctx.now().alias("updated_at"),
+    )
+
+
+@model(
+    "corpus_media_neardup_pairs",
+    unique_key=["id_a", "id_b"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_media_signature_index"],
+    tags=["corpus"],
+    not_null=["id_a", "id_b", "hamming"],
+)
+def corpus_media_neardup_pairs(ctx: ModelContext) -> DataFrame:
+    """Incremental content-level near-duplicate media pairs: ONLY new
+    payloads' band rows equi-join the accumulated signature index on
+    (kind, band, band_key) — new×old and new×new pairs appear; old×old
+    pairs were found by the run that introduced them, so N runs ≡ one
+    full rebuild (``tests/test_incremental_dedup.py``). Verification is
+    JVM bit_count over the fingerprints BOTH sides already carry — no
+    payload is touched after indexing.
+
+    Watermark totality: every processed payload also emits a MARKER row
+    (m, m, 0) so ``max(id_b)`` advances even when a batch has no real
+    pair (the text pairs model's discipline). Consumers filter
+    ``id_a < id_b``."""
+    idx = ctx.ref("corpus_media_signature_index")
+    wm = -1
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("id_b").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+    new = idx.filter(F.col("media_id") > wm)
+    joined = (
+        new.alias("n")
+        .join(
+            idx.alias("i"),
+            (F.col("n.kind") == F.col("i.kind"))
+            & (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.band_key") == F.col("i.band_key"))
+            & (F.col("n.media_id") != F.col("i.media_id")),
+        )
+        .select(
+            F.least("n.media_id", "i.media_id").alias("id_a"),
+            F.greatest("n.media_id", "i.media_id").alias("id_b"),
+            (
+                F.bit_count(F.col("n.fp_hi").bitwiseXOR(F.col("i.fp_hi")))
+                + F.bit_count(F.col("n.fp_lo").bitwiseXOR(F.col("i.fp_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= MEDIA_MAX_HAMMING)
+        .distinct()
+    )
+    markers = new.select(
+        F.col("media_id").alias("id_a"),
+        F.col("media_id").alias("id_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    ).distinct()
+    return joined.unionByName(markers)
+
+
+@model(
+    "corpus_media_neardup_clusters_inc",
+    unique_key=["media_id"],
+    materialized="incremental",
+    incremental_strategy="merge",
+    deps=["corpus_media_neardup_pairs"],
+    tags=["corpus"],
+    not_null=["media_id", "cluster_id"],
+)
+def corpus_media_neardup_clusters_inc(ctx: ModelContext) -> DataFrame:
+    """Incremental transitive media-dup clusters — the contracted-graph
+    fold (``operators.dedup.incremental_cluster_fold``, shared with the
+    text twin and the streaming fold) over the media pair graph: one row
+    per processed payload, ``cluster_id`` = min reachable media_id
+    (singletons label themselves — the table doubles as the processed
+    watermark)."""
+    from ..operators.dedup import incremental_cluster_fold
+
+    pairs = ctx.ref("corpus_media_neardup_pairs")
+    wm = -1
+    if ctx.is_incremental():
+        row = ctx.this().agg(F.max("media_id").alias("wm")).first()
+        wm = row["wm"] if row["wm"] is not None else -1
+    new_pairs = pairs.filter(F.col("id_b") > wm).select("id_a", "id_b")
+    new_docs = new_pairs.filter(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("doc_id")
+    )
+    labels_old = (
+        ctx.this()
+        .select(F.col("media_id").alias("doc_id"), "cluster_id")
+        if ctx.is_incremental()
+        else None
+    )
+    return incremental_cluster_fold(new_pairs, new_docs, labels_old).select(
+        F.col("doc_id").alias("media_id"), "cluster_id"
+    )

@@ -403,15 +403,12 @@ def image_near_dup_pairs(
     )
 
 
-def _band_key_rows(
-    sig: DataFrame, hi_col: str, lo_col: str, bands: int
-) -> DataFrame:
-    """(_id, bk=struct(band, key)) rows — one per (signature, band): the
-    64 packed bits sliced into ``bands`` equal chunks, each chunk the
-    band's bucket key. Shared by the pair tier (``_banded_hamming_pairs``
-    buckets on these exact rows) and its monitoring companion
-    (``banded_hamming_bucket_stats``) so the reported bucket sizes are,
-    by construction, the sizes the cap filter sees."""
+def _band_key_structs(hi_col: str, lo_col: str, bands: int):
+    """Column: array<struct(band, key)> — the 64 packed bits sliced into
+    ``bands`` equal chunks, each chunk the band's bucket key. The single
+    source of the banding arithmetic: the pair tier, the monitoring
+    companion, and the incremental media index all band through it, so
+    their buckets agree by construction."""
     chunk = 64 // bands
 
     def _band_key(i: int):
@@ -423,13 +420,23 @@ def _band_key_rows(
             .alias("key")
         )
 
-    keys = F.array(
+    return F.array(
         *[
             F.struct(F.lit(i).alias("band"), _band_key(i))
             for i in range(bands)
         ]
     )
-    return sig.select(F.col("id").alias("_id"), F.explode(keys).alias("bk"))
+
+
+def _band_key_rows(
+    sig: DataFrame, hi_col: str, lo_col: str, bands: int
+) -> DataFrame:
+    """(_id, bk=struct(band, key)) rows — one per (signature, band);
+    see ``_band_key_structs``."""
+    return sig.select(
+        F.col("id").alias("_id"),
+        F.explode(_band_key_structs(hi_col, lo_col, bands)).alias("bk"),
+    )
 
 
 def banded_hamming_bucket_stats(
@@ -473,32 +480,19 @@ def image_band_bucket_stats(
     return banded_hamming_bucket_stats(sig, "ahash_hi", "ahash_lo", bands)
 
 
-def _banded_hamming_pairs(
-    sig: DataFrame,
-    hi_col: str,
-    lo_col: str,
-    max_hamming: int,
-    bands: int,
-    max_bucket_size: int,
-) -> DataFrame:
-    """Shared banded-Hamming tail for the 64-bit perceptual fingerprint
-    tiers (image aHash, audio energy-sign): ``sig`` is (id, hi, lo) with
-    the 64 bits packed into two non-negative 32-bit halves. Staged once
-    (``localCheckpoint`` — three consumers: the band explode and both
-    verify sides), bucket-collect + in-bucket pair expansion (the
-    ``minhash_lsh_candidates`` shape — no signature self-join), 16-byte
-    hash fetch by id equi-join, JVM-side ``bit_count`` verification.
-    Output: (id_a, id_b, hamming ≤ max_hamming)."""
-    from pyspark.storagelevel import StorageLevel
-
-    sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    ex = _band_key_rows(sig, hi_col, lo_col, bands)
+def _bucket_candidate_pairs(ex: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Distinct (id_a, id_b), a < b, from (_id, bk) band rows:
+    bucket-collect + in-bucket pair expansion (the
+    ``minhash_lsh_candidates`` shape — no signature self-join). Buckets
+    holding more than ``max_bucket_size`` DISTINCT ids are dropped —
+    the cap the ``banded_hamming_bucket_stats`` companion accounts for.
+    Shared by the single-fingerprint tail and the video frame tier."""
     buckets = (
         ex.groupBy("bk")
         .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     )
-    cands = (
+    return (
         buckets.select(
             F.explode(
                 F.flatten(
@@ -519,6 +513,29 @@ def _banded_hamming_pairs(
         .select("pair.id_a", "pair.id_b")
         .distinct()
     )
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Shared banded-Hamming tail for the 64-bit perceptual fingerprint
+    tiers (image aHash, audio energy-sign): ``sig`` is (id, hi, lo) with
+    the 64 bits packed into two non-negative 32-bit halves. Staged once
+    (``localCheckpoint`` — three consumers: the band explode and both
+    verify sides), bucket-collect + in-bucket pair expansion (the
+    ``minhash_lsh_candidates`` shape — no signature self-join), 16-byte
+    hash fetch by id equi-join, JVM-side ``bit_count`` verification.
+    Output: (id_a, id_b, hamming ≤ max_hamming)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    ex = _band_key_rows(sig, hi_col, lo_col, bands)
+    cands = _bucket_candidate_pairs(ex, max_bucket_size)
     ha = sig.select(
         F.col("id").alias("id_a"),
         F.col(hi_col).alias("_hi_a"),
@@ -1023,3 +1040,286 @@ def attach_synth_png(
         return i.map(lambda x: synth_png(1 + int(x) % mod, 1 + (int(x) * 7) % mod))
 
     return df.withColumn(out_col, _png(F.col(id_col)))
+
+
+# ------------------------------------------------------------ video tier
+#
+# Content-level video dedup (VERDICT r13 item 6): a video is a frame
+# SEQUENCE, so its content identity is set-like — re-encoding, brightness
+# grading, and frame-offset (rotation) edits all preserve some frame's
+# pixels while changing every byte. The tier composes the proven pieces:
+# per sampled frame the image aHash, pairs by the shared banded tail over
+# FRAME signatures (a video pair is a candidate when ANY frame pair
+# shares a band), verified to the MIN cross-frame Hamming distance —
+# exact recall for min-distance ≤ bands−1 by the same pigeonhole, lifted
+# through the min.
+#
+# Container: the sandbox has no compressed-video codec (the documented
+# env-blocked seam, ``decode_image``'s sibling), so the REAL end-to-end
+# path runs on "SVID" — a trivial uncompressed container of PNG frames
+# (magic + count + length-prefixed payloads). The parser seam is
+# injectable exactly like the image/audio decoders: production swaps
+# ffmpeg keyframe extraction, everything downstream is unchanged.
+
+VIDEO_MAGIC = b"SVID"
+
+
+def synth_video(frames: list[bytes]) -> bytes:
+    """Pack encoded frames into the SVID container: magic, u32be frame
+    count, then length-prefixed frame payloads."""
+    import struct
+
+    out = [VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for fr in frames:
+        out.append(struct.pack(">I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def parse_video_frames(b: bytes) -> list[bytes]:
+    """Unpack an SVID container into its frame payloads (the injectable
+    frame-extraction seam — swap ffmpeg keyframe extraction for
+    compressed containers)."""
+    import struct
+
+    if b[:4] != VIDEO_MAGIC:
+        raise ValueError("parse_video_frames: not an SVID container")
+    (n,) = struct.unpack(">I", b[4:8])
+    off, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", b[off : off + 4])
+        off += 4
+        frames.append(bytes(b[off : off + ln]))
+        off += ln
+    return frames
+
+
+def video_frame_ahash(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    grid: int = 8,
+    frame_parser: Callable[[bytes], list[bytes]] = parse_video_frames,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+) -> DataFrame:
+    """Per-frame perceptual hash → (id, frame_index, ahash_hi, ahash_lo):
+    one Arrow pass parses the container, decodes each frame, and hashes
+    it with the image tier's integer aHash packing."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, his, los = [], [], [], []
+            for vid, payload in zip(pdf[id_col], pdf[binary_col]):
+                for f, fr in enumerate(frame_parser(bytes(payload))):
+                    w, h, px = decoder(fr)
+                    bits = ahash_bits(px, w, h, grid)
+                    ids.append(vid)
+                    idxs.append(f)
+                    los.append(sum(bit << i for i, bit in enumerate(bits[:32])))
+                    his.append(sum(bit << i for i, bit in enumerate(bits[32:])))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _batches, "id long, frame_index int, ahash_hi long, ahash_lo long"
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    max_hamming: int = 6,
+    bands: int = 8,
+    grid: int = 8,
+    max_bucket_size: int = 10_000,
+    frame_parser: Callable[[bytes], list[bytes]] = parse_video_frames,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+) -> DataFrame:
+    """Content-level near-duplicate video pairs: per-frame aHash + the
+    banded tail over FRAME signatures, verified to the MIN cross-frame
+    Hamming distance. Catches re-encoded, brightness-graded, and
+    frame-rotated copies (any matching frame pair suffices — the
+    sequence offset never matters). Output: (id_a, id_b, hamming =
+    min over frame pairs, ≤ max_hamming).
+
+    Recall: a pair with min cross-frame distance d ≤ bands−1 has that
+    frame pair agreeing on some band chunk (pigeonhole), so the videos
+    share a bucket — EXACT recall through the min. Plan shape: the
+    frame-signature table is staged once (three consumers), candidates
+    come from bucket-collect over (band, key) with DISTINCT video ids
+    (a video's own frames never pair it with itself), and verification
+    joins each side's per-video frame-hash ARRAY — the cross-distance
+    matrix (≤ frames² per pair, frames is small by contract) is
+    evaluated JVM-side inside one projection, never exchanged."""
+    from pyspark.storagelevel import StorageLevel
+
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"video_near_dup_pairs: max_hamming={max_hamming} exceeds the "
+            f"banding recall guarantee (≤ {bands - 1} for {bands} bands) — "
+            "pairs beyond it may be missed",
+            stacklevel=2,
+        )
+    fsig = video_frame_ahash(
+        df, id_col, binary_col, grid=grid,
+        frame_parser=frame_parser, decoder=decoder,
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    ex = fsig.select(
+        F.col("id").alias("_id"),
+        F.explode(_band_key_structs("ahash_hi", "ahash_lo", bands)).alias("bk"),
+    )
+    cands = _bucket_candidate_pairs(ex, max_bucket_size)
+    harr = fsig.groupBy("id").agg(
+        F.collect_list(F.struct("ahash_hi", "ahash_lo")).alias("hs")
+    )
+    ha = harr.select(F.col("id").alias("id_a"), F.col("hs").alias("_ha"))
+    hb = harr.select(F.col("id").alias("id_b"), F.col("hs").alias("_hb"))
+    cross_min = F.array_min(
+        F.flatten(
+            F.transform(
+                F.col("_ha"),
+                lambda x: F.transform(
+                    F.col("_hb"),
+                    lambda y: F.bit_count(
+                        x["ahash_hi"].bitwiseXOR(y["ahash_hi"])
+                    )
+                    + F.bit_count(x["ahash_lo"].bitwiseXOR(y["ahash_lo"])),
+                ),
+            )
+        )
+    )
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", cross_min.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def video_band_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    bands: int = 8,
+    grid: int = 8,
+    frame_parser: Callable[[bytes], list[bytes]] = parse_video_frames,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+) -> DataFrame:
+    """``banded_hamming_bucket_stats`` over the FRAME signatures
+    ``video_near_dup_pairs`` buckets on — bucket_size counts DISTINCT
+    videos per (band, key), exactly what the pair tier's cap sees."""
+    sig = video_frame_ahash(
+        df, id_col, binary_col, grid=grid,
+        frame_parser=frame_parser, decoder=decoder,
+    )
+    return banded_hamming_bucket_stats(sig, "ahash_hi", "ahash_lo", bands)
+
+
+VIDEO_PATTERN_P = 181  # prime modulus of the frame-pattern values; the
+# frame-key space (keys · n_frames) must stay ≤ it — every arithmetic
+# expression mod p is PERIODIC in the key with period p, so a larger key
+# space would alias distinct groups onto identical patterns (the audio
+# fixture lesson, taken one step further: scatter AND bound the domain)
+
+
+def pattern_video_pixels(
+    video_id: int,
+    frame: int,
+    size: int = 32,
+    grid: int = 8,
+    n_frames: int = 4,
+    keys: int = 45,
+    levels: int = 5,
+) -> bytes:
+    """Deterministic block-constant pixels for frame ``frame`` of video
+    ``video_id`` — a PURE integer function of (id, frame), the
+    :func:`pattern_pixels` device lifted to sequences:
+
+    - content key ``k = id % keys``: same-k videos carry the same frame
+      CONTENTS — the planted near-duplicate groups;
+    - frame ROTATION ``rot = (id div keys) % n_frames``: group members
+      play the shared frames in rotated order, so only cross-index
+      matching (the min semantics) can pair them;
+    - frame key ``kf = k·n_frames + (frame + rot) % n_frames`` with
+      block value ``((kf² + 3·kf + 7)·(blk² + 3·blk + 11)·53
+      + (kf + 7)·(blk + 13)·17) mod 181`` — quadratic scatter in BOTH
+      kf and blk (linear patterns nearly collide across keys: the r13
+      audio-fixture lesson);
+    - uniform brightness ``(id div (keys·n_frames)) % levels`` — hash-
+      invariant by construction;
+    - sparse noise: ids with ``id % 3 == 0`` get ``+64`` on block
+      ``(id + frame) % grid²`` of EVERY frame, so a noisy↔clean
+      same-group pair has a small but NONZERO min distance — the oracle
+      must reproduce the actual min arithmetic, not just find zeros.
+
+    Values stay ≤ 180 + levels + 64 < 255: no clipping."""
+    n_blocks = grid * grid
+    k = video_id % keys
+    rot = (video_id // keys) % n_frames
+    bright = (video_id // (keys * n_frames)) % levels
+    kf = k * n_frames + (frame + rot) % n_frames
+    noise_blk = (video_id + frame) % n_blocks if video_id % 3 == 0 else -1
+    bw = size // grid
+    vals = [
+        ((kf * kf + 3 * kf + 7) * (blk * blk + 3 * blk + 11) * 53
+         + (kf + 7) * (blk + 13) * 17) % VIDEO_PATTERN_P
+        + bright
+        + (64 if blk == noise_blk else 0)
+        for blk in range(n_blocks)
+    ]
+    px = bytearray(size * size)
+    for y in range(size):
+        base = (y // bw) * grid
+        for x in range(size):
+            px[y * size + x] = vals[base + (x // bw)]
+    return bytes(px)
+
+
+def attach_pattern_video(
+    df: DataFrame,
+    id_col: str,
+    out_col: str = "video_payload",
+    size: int = 32,
+    grid: int = 8,
+    n_frames: int = 4,
+    keys: int = 45,
+    levels: int = 5,
+) -> DataFrame:
+    """Attach a REAL SVID container of grayscale-PNG frames carrying the
+    id-derivable :func:`pattern_video_pixels` sequence, each frame
+    re-encoded under a varying scanline filter (``(id + frame) % 3``):
+    same-group videos are byte-different everywhere — rotated frame
+    order, shifted brightness, different filters — yet min-Hamming 0 or
+    near-0 in content."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _vid(i: pd.Series) -> pd.Series:
+        return i.map(
+            lambda x: synth_video(
+                [
+                    synth_png_gray(
+                        size,
+                        size,
+                        pattern_video_pixels(
+                            int(x), f, size, grid, n_frames, keys, levels
+                        ),
+                        filter_type=(int(x) + f) % 3,
+                    )
+                    for f in range(n_frames)
+                ]
+            )
+        )
+
+    return df.withColumn(out_col, _vid(F.col(id_col)))

@@ -238,3 +238,170 @@ def test_canonical_documents_over_incremental_clusters(
     }
     assert got == want
     assert any(sz > 1 for sz, _, _ in got.values()), "needs real clusters"
+
+
+# ------------------------------------------------ incremental media dedup
+
+
+@pytest.fixture(scope="module")
+def media_slices(spark, sf_dir, tmp_path_factory):
+    """Three growth snapshots of a mixed image+audio media table:
+    even media_ids carry pattern PNGs, odd ones pattern WAVs (keys=7 so
+    the fixture plants real dup groups). media_id is monotone — the
+    watermark column."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    root = tmp_path_factory.mktemp("media_growth")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(90)
+    )
+    img = M.attach_pattern_png(
+        docs.select((F.col("doc_id") * 2).alias("media_id")),
+        "media_id", keys=7,
+    ).select("media_id", F.lit("image").alias("kind"),
+             F.col("png_payload").alias("payload"))
+    aud = M.attach_pattern_wav(
+        docs.select((F.col("doc_id") * 2 + 1).alias("media_id")),
+        "media_id", keys=7,
+    ).select("media_id", F.lit("audio").alias("kind"),
+             F.col("wav_payload").alias("payload"))
+    media = img.unionByName(aud)
+    ids = sorted(r["media_id"] for r in media.select("media_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3], ids[-1]]
+    paths = []
+    for i, cut in enumerate(cuts):
+        p = str(root / f"step{i}")
+        media.filter(F.col("media_id") <= cut).write.parquet(p)
+        paths.append(p)
+    return paths
+
+
+def _media_pairs(store):
+    return {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in store.read("corpus_media_neardup_pairs")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+
+
+def _batch_media_pairs(spark, path):
+    """Full-rebuild twin: the batch perceptual tiers per modality."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    media = spark.read.parquet(path)
+    img = M.image_near_dup_pairs(
+        media.filter(F.col("kind") == "image"), "media_id", "payload"
+    )
+    aud = M.audio_near_dup_pairs(
+        media.filter(F.col("kind") == "audio"), "media_id", "payload"
+    )
+    return {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in img.unionByName(aud).collect()
+    }
+
+
+def test_media_incremental_equals_full_rebuild(spark, media_slices, tmp_path):
+    """N incremental media runs ≡ the batch image/audio tiers over the
+    final corpus — same pairs, same verified Hamming distances."""
+    store = TableStore(spark, str(tmp_path / "minc"))
+    for p in media_slices:
+        Runner(spark, store, {"main.media": p}).run(
+            "+corpus_media_neardup_pairs"
+        )
+    want = _batch_media_pairs(spark, media_slices[-1])
+    assert _media_pairs(store) == want
+    assert want, "fixture must contain planted media near-duplicates"
+    # both modalities actually contribute
+    kinds = {r["kind"] for r in store.read("corpus_media_signature_index")
+             .select("kind").distinct().collect()}
+    assert kinds == {"image", "audio"}
+    # index: one row per (payload, band)
+    n_media = spark.read.parquet(media_slices[-1]).count()
+    from sample_deepbook_margin_dune_dbt_spark.models_corpus.models import (
+        MEDIA_BANDS,
+    )
+    assert store.read("corpus_media_signature_index").count() == n_media * MEDIA_BANDS
+
+
+def test_media_no_growth_run_is_idempotent(spark, media_slices, tmp_path):
+    store = TableStore(spark, str(tmp_path / "midem"))
+    runner = Runner(spark, store, {"main.media": media_slices[0]})
+    runner.run("+corpus_media_neardup_pairs")
+    idx_n = store.read("corpus_media_signature_index").count()
+    pairs = _media_pairs(store)
+    runner.run("+corpus_media_neardup_pairs")
+    assert store.read("corpus_media_signature_index").count() == idx_n
+    assert _media_pairs(store) == pairs
+
+
+def test_media_incremental_scans_only_new_side(spark, media_slices, tmp_path):
+    """Plan pin: on an incremental run the index model's NEW side carries
+    a pushed media_id watermark predicate (payload decode prunes at the
+    parquet footer) and the pairs model's new side prunes on id_b."""
+    from sample_deepbook_margin_dune_dbt_spark.engine.model import (
+        ModelContext,
+        get_model,
+    )
+
+    store = TableStore(spark, str(tmp_path / "mplan"))
+    sources = {"main.media": media_slices[0]}
+    Runner(spark, store, sources).run("+corpus_media_neardup_pairs")
+
+    for name in ("corpus_media_signature_index", "corpus_media_neardup_pairs"):
+        cfg = get_model(name)
+        ctx = ModelContext(spark, store, sources, cfg)
+        assert ctx.is_incremental()
+        plan = cfg.builder(ctx)._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThan(media_id," in plan, name
+
+
+def test_media_incremental_clusters_equal_full_cc(spark, media_slices, tmp_path):
+    """Contracted-graph incremental CC over the media pair graph ≡ a full
+    duplicate_clusters rebuild over the batch tiers' pairs."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    store = TableStore(spark, str(tmp_path / "mcc"))
+    for p in media_slices:
+        Runner(spark, store, {"main.media": p}).run(
+            "+corpus_media_neardup_clusters_inc"
+        )
+    got = {
+        r["media_id"]: r["cluster_id"]
+        for r in store.read("corpus_media_neardup_clusters_inc").collect()
+    }
+    batch = _batch_media_pairs(spark, media_slices[-1])
+    pairs_df = spark.createDataFrame(
+        [(a, b) for a, b, _ in batch], "id_a long, id_b long"
+    )
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs_df).collect()
+    }
+    clustered_got = {d: c for d, c in got.items() if c != d or d in want}
+    assert clustered_got == want
+    assert want, "fixture must contain media near-dup clusters"
+    all_ids = {
+        r["media_id"]
+        for r in spark.read.parquet(media_slices[-1]).select("media_id").collect()
+    }
+    assert set(got) == all_ids
+
+
+def test_media_dag_cli_drive(spark, media_slices, tmp_path, capsys):
+    """The media dedup DAG drives end-to-end through the CLI."""
+    from sample_deepbook_margin_dune_dbt_spark.__main__ import main
+
+    wh = str(tmp_path / "mcli")
+    rc = main([
+        "run", "--warehouse", wh,
+        "--source", f"main.media={media_slices[0]}",
+        "--select", "+corpus_media_neardup_clusters_inc",
+    ])
+    assert rc == 0
+    store = TableStore(spark, wh)
+    assert store.read("corpus_media_neardup_clusters_inc").count() > 0

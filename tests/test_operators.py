@@ -2251,3 +2251,113 @@ def test_jaccard_auto_dispatch_count_probe_self_contained(spark, sf_dir):
         docs, "doc_id", "text", threshold=0.5, strategy="self_join",
     ).collect()))
     assert auto == explicit and len(auto) > 0
+
+
+def test_video_near_dup_planted(spark):
+    """Content-level video dedup (r14): a re-encoded copy (same frames,
+    different scanline filters), a brightness-graded copy, and a
+    ROTATED-playback copy (same frames, shifted order) must all pair
+    with the original at min-Hamming 0 — while md5 sees four distinct
+    payloads — and an unrelated video must produce no pair."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    frames = [M.pattern_video_pixels(1, f) for f in range(4)]
+    other = [M.pattern_video_pixels(2, f) for f in range(4)]  # different key
+
+    def pack(seq, filt):
+        return M.synth_video(
+            [M.synth_png_gray(32, 32, px, filter_type=filt) for px in seq]
+        )
+
+    bright = [bytes(p + 3 for p in px) for px in frames]  # uniform grade
+    rows = [
+        (1, pack(frames, 0)),
+        (2, pack(frames, 1)),              # re-encoded
+        (3, pack(bright, 2)),              # brightness-graded
+        (4, pack(frames[2:] + frames[:2], 0)),  # rotated playback
+        (5, pack(other, 0)),               # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vid long, payload binary")
+    md5s = M.extract_binary_metadata(df, "vid", "payload").collect()
+    assert len({r["md5_hex"] for r in md5s}) == 5
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.video_near_dup_pairs(df, "vid", "payload").collect()
+    }
+    for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
+        assert pairs.get((a, b)) == 0, (a, b, pairs)
+    assert not any(5 in p for p in pairs), pairs
+
+
+def test_video_sparse_edit_min_hamming_exact(spark):
+    """A copy with EVERY frame locally edited (one +64 blotch per frame)
+    must still pair within the banding guarantee, and the verified
+    distance must be the exact MIN over all cross-frame pairs of the
+    integer per-frame hashes."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    frames = [M.pattern_video_pixels(1, f) for f in range(4)]
+    edited = []
+    for f, px in enumerate(frames):
+        # blotch the bit-0 block closest to the frame mean: +64 flips
+        # its bit iff s − 64·v < 4032 (the +64 also raises the total),
+        # so the NEAREST below-mean block guarantees a visible edit on
+        # every frame and the min distance is ≥ 1
+        bits = M.ahash_bits(px, 32, 32)
+        vals = [px[(i // 8) * 4 * 32 + (i % 8) * 4] for i in range(64)]
+        s = sum(vals)
+        blk = min(
+            (i for i in range(64) if bits[i] == 0),
+            key=lambda i: s - 64 * vals[i],
+        )
+        assert s - 64 * vals[blk] < 4032
+        b = bytearray(px)
+        by, bx = blk // 8, blk % 8
+        for y in range(by * 4, by * 4 + 4):
+            for x in range(bx * 4, bx * 4 + 4):
+                b[y * 32 + x] += 64
+        edited.append(bytes(b))
+
+    def pack(seq):
+        return M.synth_video(
+            [M.synth_png_gray(32, 32, px) for px in seq]
+        )
+
+    df = spark.createDataFrame(
+        [(1, pack(frames)), (2, pack(edited))], "vid long, payload binary"
+    )
+    got = M.video_near_dup_pairs(df, "vid", "payload").collect()
+    ha = [M.ahash_bits(px, 32, 32) for px in frames]
+    hb = [M.ahash_bits(px, 32, 32) for px in edited]
+    expected = min(
+        sum(x != y for x, y in zip(a, b)) for a in ha for b in hb
+    )
+    assert 1 <= expected <= 6
+    assert len(got) == 1 and got[0]["hamming"] == expected
+
+
+def test_video_container_round_trip_and_parser_injection(spark):
+    """SVID synth → parse round trip preserves every frame byte-exactly;
+    the frame-parser seam is injectable (a custom single-frame parser
+    rides the same plumbing); a non-SVID payload refuses loudly."""
+    import pytest as _p
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    frames = [
+        M.synth_png_gray(32, 32, M.pattern_video_pixels(3, f))
+        for f in range(3)
+    ]
+    payload = M.synth_video(frames)
+    assert M.parse_video_frames(payload) == frames
+    with _p.raises(ValueError, match="SVID"):
+        M.parse_video_frames(b"\x00\x01rubbish")
+
+    # injection: treat the whole payload as ONE frame via a custom parser
+    df = spark.createDataFrame(
+        [(1, frames[0]), (2, frames[0])], "vid long, payload binary"
+    )
+    got = M.video_near_dup_pairs(
+        df, "vid", "payload", frame_parser=lambda b: [b]
+    ).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 0

@@ -265,6 +265,16 @@ BENCH_QUERIES = [
     # PCM decode → gain-invariant energy-sign fingerprint → the shared
     # banded Hamming tail)
     "multimodal_audio_dedup",
+    # r14 rotation: the four window entrants that had no bench row yet
+    # (every driver-window query must hold one)
+    "sample_stratified_quota",
+    "embedding_centroids",
+    "tpch_q10",
+    "tpch_q12",
+    # r14 new family: frame-sampled video content dedup (SVID container
+    # parse → per-frame pixel decode → integer aHash → the shared banded
+    # tail over frame signatures → min cross-frame Hamming)
+    "multimodal_video_dedup",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these
@@ -419,8 +429,22 @@ def main() -> None:
     # 2000-char tail capture — the seconds-float + preamble rendering is
     # gone for good, and test_bench_contract.py pins the budget).
     print(render_stdout_line(total, timings, stdout_names=DRIVER_QUERY_ORDER))
+    # quiet-machine gate (VERDICT r13 item 9): a contended box (1-min
+    # pre-warmup load > 1 — this process's own threads haven't started
+    # yet) produces timings that cost a clean round-over-round read
+    # (the r13 4.17-load artifact). The run still prints the stdout
+    # line the driver parses, but the COMMITTED sidecar is preserved:
+    # contended details land in BENCH_DETAIL.noisy.json (gitignored).
+    contended = load_pre_warmup[0] > 1.0
+    detail_name = "BENCH_DETAIL.noisy.json" if contended else "BENCH_DETAIL.json"
+    if contended:
+        print(
+            f"bench: pre-warmup 1-min load {load_pre_warmup[0]:.2f} > 1 — "
+            f"writing {detail_name}, NOT the committed quiet artifact",
+            file=sys.stderr,
+        )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(

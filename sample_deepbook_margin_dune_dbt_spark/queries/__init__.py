@@ -472,6 +472,37 @@ driver query moved to ``EXTRA_QUERIES``:
   from the ungained contour, so the hash match proves the gain
   invariance end to end).
 
+- round 14 (per VERDICT r13 item 1 — steady-state AGE cycle, round
+  three). In (all 12 re-verified against the DuckDB oracle at sf0.001 +
+  sf0.01 this session before declaring): the 3 oracle-bearing families
+  added after the r13 declaration — ``emb_bitext_mine_ivf`` (the 100 TB
+  bitext tier, sharing the exact tier's oracle: a driver hash match
+  doubles as the tier-equality pin), ``multimodal_phash_dedup`` and
+  ``multimodal_audio_dedup`` (the content-level image/audio chains) —
+  plus the r4-evidence tier (``embedding_centroids``,
+  ``skew_salted_join``, ``tpch_q3``, ``tpch_q10``, ``tpch_q12``) and
+  four of the r5-evidence tier (``a_sketch_union``,
+  ``corpus_length_histogram``, ``dedup_boilerplate_segments``,
+  ``sample_stratified_quota``; ``tpch_q8`` and ``w_gap_fill_locf``
+  remain the oldest backlog for r15). Out (all r13-green, capability
+  stays in-window or oracle-held in EXTRA): ``emb_bitext_mine`` (→
+  incoming IVF twin on the SAME oracle), ``skew_plain_agg`` (→ incoming
+  salted twin, byte-identical oracle), ``tpch_q15``/``tpch_q19``/
+  ``tpch_q22`` (→ incoming q3/q10/q12; the IN-list drill runs in
+  pytest), ``text_winnow``/``dedup_simhash`` (the fingerprint family
+  keeps prefix-jaccard + clusters + both multimodal chains),
+  ``p3_like_prefix``/``w1_rownum_dedup``/``a_unpivot``/``o5_set_ops``
+  (r2-evidence drills, freshly r13-green; held in EXTRA + pytest),
+  ``corpus_epoch_shuffle`` (ordering family; held in EXTRA).
+
+- round 14 continuation (new capability family, EXTRA first per the
+  house protocol): ``multimodal_video_dedup`` — frame-sampled video
+  content dedup (SVID container parse → per-frame stdlib pixel decode →
+  integer aHash → the SHARED banded tail over frame signatures → MIN
+  cross-frame Hamming verification; the oracle recomputes the chain
+  from the id-derivable frame patterns INCLUDING the rotated-playback
+  pairing, so the hash match proves the sequence-offset invariance).
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -534,7 +565,10 @@ DRIVER_QUERY_ORDER = [
     "dedup_jaccard_prefix",
     "dedup_clusters",
     "linkage_blocked_report",
-    "emb_bitext_mine",
+    # r14: the IVF generator tier takes the exact tier's row (shared
+    # oracle — a driver hash match doubles as the tier-equality pin;
+    # the exact tier stays oracle-held in EXTRA + pytest)
+    "emb_bitext_mine_ivf",
     # r11: IVF candidate generator on the SAME all-pairs oracle as the
     # LSH default — a driver hash match doubles as a recall-1.0 pin
     "ann_ivf",
@@ -557,15 +591,16 @@ DRIVER_QUERY_ORDER = [
     "text_pii_redact",
     "emb_quantize_int8",
     "text_decontaminate",
-    # r12: the plain-agg twin (byte-identical oracle) takes the salted
-    # row; the salted partition split stays pinned by tests/test_skew.py
-    "skew_plain_agg",
+    # r14: the salted twin returns on age (r4 evidence; byte-identical
+    # oracle — the plain twin r13-green, held in EXTRA)
+    "skew_salted_join",
     # r11: time-to-convert percentiles take the attribution row
     "events_time_to_convert",
     "curation_source_gate",
-    # r12: r2-evidence winnowing fingerprints take the IN-list drill's
-    # row (IN-list runs in tpch_q19)
-    "text_winnow",
+    # r14: the content-level image + audio dedup families enter per the
+    # new-family protocol (landed r13, judge-re-run hash-exact both SFs)
+    "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
     "range_join",
     "corpus_from_events",
     "events_assoc_rules",
@@ -577,25 +612,26 @@ DRIVER_QUERY_ORDER = [
     "w3_lag_delta",
     "j4_seed_ci_join",
     "p4_watermark",
-    # r12: r2-evidence LIKE-prefix + latest-per-group drills take the
-    # equality-filter / scalar-agg rows
-    "p3_like_prefix",
-    "w1_rownum_dedup",
-    "a_unpivot",
-    "o5_set_ops",
+    # r14: the r5-evidence sketch-union / length-histogram / boilerplate
+    # / stratified-quota tiers return on age (their r13-green
+    # replacements — unpivot, set-ops, simhash, epoch-shuffle, the
+    # LIKE/rownum drills — stay oracle-held in EXTRA + pytest)
+    "a_sketch_union",
+    "corpus_length_histogram",
+    "dedup_boilerplate_segments",
+    "sample_stratified_quota",
     # r11: generalization-ladder audit takes the suppression row
     "privacy_generalization",
     "corpus_shard_manifest",
     "corpus_shard_audit",
-    # r11: the mixture PLAN row takes the DSIR data-selection slot
-    "dedup_simhash",
-    # training-order family (r3): distributed epoch shuffle
-    "corpus_epoch_shuffle",
-    # TPC-H (r12: r2-evidence q5 takes q17's scalar-agg-join row)
+    # r14: the r4-evidence embedding-centroid aggregation returns on age
+    "embedding_centroids",
     "p11_case_join_key",
-    "tpch_q15",
-    "tpch_q22",
-    "tpch_q19",
+    # TPC-H (r14: the r4-evidence q3/q10/q12 return on age; q15/q19/q22
+    # r13-green, held in EXTRA — the IN-list drill p7 runs in pytest)
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q12",
 ]
 
 DRIVER_WINDOW = 50

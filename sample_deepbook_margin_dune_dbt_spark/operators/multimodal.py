@@ -363,6 +363,7 @@ def image_near_dup_pairs(
     grid: int = 8,
     max_bucket_size: int = 10_000,
     decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+    band_arity: int = 1,
 ) -> DataFrame:
     """Content-level near-duplicate image pairs: perceptual hash
     (``image_ahash``) + banded Hamming LSH — the ``simhash_near_pairs``
@@ -388,59 +389,74 @@ def image_near_dup_pairs(
     md5 grouping, not pairwise LSH."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - 1:
+    if max_hamming > bands - band_arity:
         import warnings
 
         warnings.warn(
             f"image_near_dup_pairs: max_hamming={max_hamming} exceeds the "
-            f"banding recall guarantee (≤ {bands - 1} for {bands} bands) — "
-            "pairs beyond it may be missed",
+            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
+            f"bands at arity {band_arity}) — pairs beyond it may be missed",
             stacklevel=2,
         )
     sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
     return _banded_hamming_pairs(
-        sig, "ahash_hi", "ahash_lo", max_hamming, bands, max_bucket_size
+        sig, "ahash_hi", "ahash_lo", max_hamming, bands, max_bucket_size,
+        arity=band_arity,
     )
 
 
-def _band_key_structs(hi_col: str, lo_col: str, bands: int):
+def _band_key_structs(hi_col: str, lo_col: str, bands: int, arity: int = 1):
     """Column: array<struct(band, key)> — the 64 packed bits sliced into
-    ``bands`` equal chunks, each chunk the band's bucket key. The single
-    source of the banding arithmetic: the pair tier, the monitoring
-    companion, and the incremental media index all band through it, so
-    their buckets agree by construction."""
-    chunk = 64 // bands
+    ``bands`` equal chunks; with ``arity=1`` each chunk is a band's
+    bucket key (exact recall for distance ≤ bands−1 by pigeonhole). The
+    single source of the banding arithmetic: the pair tier, the
+    monitoring companion, and the incremental media index all band
+    through it, so their buckets agree by construction.
 
-    def _band_key(i: int):
+    ``arity>1`` is the SCALE dial (the s-of-b LSH generalization,
+    measured in PERF.md r14): an 8-band/8-bit-chunk scheme has only 256
+    possible buckets per band, so bucket occupancy — and with it the
+    quadratic in-bucket pair expansion — grows as n/256 no matter how
+    unclustered the corpus is. Composite keys over every
+    C(bands, arity) band combination widen the key space to
+    2^(chunk·arity) at the cost of a weaker pigeonhole: distance d
+    dirties ≤ d bands, leaving ≥ bands−d clean, and a clean COMPOSITE
+    needs ``arity`` clean constituents — exact recall for
+    d ≤ bands − arity. arity=2 keeps the family's max_hamming=6
+    guarantee intact at 8 bands while multiplying the key space by 256."""
+    chunk = 64 // bands
+    if not 1 <= arity <= bands:
+        raise ValueError(f"band arity must be in [1, {bands}], got {arity}")
+
+    def _chunk_key(i: int):
         lo_bit = i * chunk
         src = F.col(lo_col) if lo_bit < 32 else F.col(hi_col)
-        return (
-            F.shiftright(src, lo_bit % 32)
-            .bitwiseAND(F.lit((1 << chunk) - 1))
-            .alias("key")
-        )
+        return F.shiftright(src, lo_bit % 32).bitwiseAND(F.lit((1 << chunk) - 1))
 
-    return F.array(
-        *[
-            F.struct(F.lit(i).alias("band"), _band_key(i))
-            for i in range(bands)
-        ]
-    )
+    from itertools import combinations
+
+    entries = []
+    for ci, combo in enumerate(combinations(range(bands), arity)):
+        key = _chunk_key(combo[0])
+        for b in combo[1:]:
+            key = F.shiftleft(key, chunk) + _chunk_key(b)
+        entries.append(F.struct(F.lit(ci).alias("band"), key.alias("key")))
+    return F.array(*entries)
 
 
 def _band_key_rows(
-    sig: DataFrame, hi_col: str, lo_col: str, bands: int
+    sig: DataFrame, hi_col: str, lo_col: str, bands: int, arity: int = 1
 ) -> DataFrame:
-    """(_id, bk=struct(band, key)) rows — one per (signature, band);
-    see ``_band_key_structs``."""
+    """(_id, bk=struct(band, key)) rows — one per (signature, band
+    combination); see ``_band_key_structs``."""
     return sig.select(
         F.col("id").alias("_id"),
-        F.explode(_band_key_structs(hi_col, lo_col, bands)).alias("bk"),
+        F.explode(_band_key_structs(hi_col, lo_col, bands, arity)).alias("bk"),
     )
 
 
 def banded_hamming_bucket_stats(
-    sig: DataFrame, hi_col: str, lo_col: str, bands: int = 8
+    sig: DataFrame, hi_col: str, lo_col: str, bands: int = 8, arity: int = 1
 ) -> DataFrame:
     """Band-bucket size distribution for a 64-bit fingerprint signature
     table — the ``lsh_band_bucket_stats`` companion for the perceptual
@@ -456,7 +472,7 @@ def banded_hamming_bucket_stats(
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     return (
-        _band_key_rows(sig, hi_col, lo_col, bands)
+        _band_key_rows(sig, hi_col, lo_col, bands, arity)
         .groupBy("bk")
         .agg(F.count_distinct("_id").alias("bucket_size"))
         .select(F.col("bk.band").alias("band"), "bucket_size")
@@ -522,6 +538,7 @@ def _banded_hamming_pairs(
     max_hamming: int,
     bands: int,
     max_bucket_size: int,
+    arity: int = 1,
 ) -> DataFrame:
     """Shared banded-Hamming tail for the 64-bit perceptual fingerprint
     tiers (image aHash, audio energy-sign): ``sig`` is (id, hi, lo) with
@@ -534,7 +551,7 @@ def _banded_hamming_pairs(
     from pyspark.storagelevel import StorageLevel
 
     sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    ex = _band_key_rows(sig, hi_col, lo_col, bands)
+    ex = _band_key_rows(sig, hi_col, lo_col, bands, arity)
     cands = _bucket_candidate_pairs(ex, max_bucket_size)
     ha = sig.select(
         F.col("id").alias("id_a"),
@@ -837,6 +854,7 @@ def audio_near_dup_pairs(
     frames: int = 64,
     max_bucket_size: int = 10_000,
     decoder: Callable[[bytes], tuple[int, int, list[int]]] = stdlib_wav_samples,
+    band_arity: int = 1,
 ) -> DataFrame:
     """Content-level near-duplicate audio pairs: energy-sign fingerprint
     (``audio_fingerprint``) + the SHARED banded Hamming tail
@@ -847,18 +865,19 @@ def audio_near_dup_pairs(
     misses. Output: (id_a, id_b, hamming)."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - 1:
+    if max_hamming > bands - band_arity:
         import warnings
 
         warnings.warn(
             f"audio_near_dup_pairs: max_hamming={max_hamming} exceeds the "
-            f"banding recall guarantee (≤ {bands - 1} for {bands} bands) — "
-            "pairs beyond it may be missed",
+            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
+            f"bands at arity {band_arity}) — pairs beyond it may be missed",
             stacklevel=2,
         )
     sig = audio_fingerprint(df, id_col, binary_col, frames=frames, decoder=decoder)
     return _banded_hamming_pairs(
-        sig, "afp_hi", "afp_lo", max_hamming, bands, max_bucket_size
+        sig, "afp_hi", "afp_lo", max_hamming, bands, max_bucket_size,
+        arity=band_arity,
     )
 
 
@@ -1141,6 +1160,7 @@ def video_near_dup_pairs(
     max_bucket_size: int = 10_000,
     frame_parser: Callable[[bytes], list[bytes]] = parse_video_frames,
     decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+    band_arity: int = 1,
 ) -> DataFrame:
     """Content-level near-duplicate video pairs: per-frame aHash + the
     banded tail over FRAME signatures, verified to the MIN cross-frame
@@ -1162,13 +1182,13 @@ def video_near_dup_pairs(
 
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - 1:
+    if max_hamming > bands - band_arity:
         import warnings
 
         warnings.warn(
             f"video_near_dup_pairs: max_hamming={max_hamming} exceeds the "
-            f"banding recall guarantee (≤ {bands - 1} for {bands} bands) — "
-            "pairs beyond it may be missed",
+            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
+            f"bands at arity {band_arity}) — pairs beyond it may be missed",
             stacklevel=2,
         )
     fsig = video_frame_ahash(
@@ -1177,7 +1197,9 @@ def video_near_dup_pairs(
     ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     ex = fsig.select(
         F.col("id").alias("_id"),
-        F.explode(_band_key_structs("ahash_hi", "ahash_lo", bands)).alias("bk"),
+        F.explode(
+            _band_key_structs("ahash_hi", "ahash_lo", bands, band_arity)
+        ).alias("bk"),
     )
     cands = _bucket_candidate_pairs(ex, max_bucket_size)
     harr = fsig.groupBy("id").agg(

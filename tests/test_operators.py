@@ -2361,3 +2361,66 @@ def test_video_container_round_trip_and_parser_injection(spark):
         df, "vid", "payload", frame_parser=lambda b: [b]
     ).collect()
     assert len(got) == 1 and got[0]["hamming"] == 0
+
+
+def test_banded_hamming_composite_arity_equivalence(spark):
+    """The composite-banding scale dial (r14): at arity 2 the key space
+    widens 256× but recall stays exact for d ≤ bands−2 = 6 — on a
+    planted fixture whose distances are all ≤ 6, arity 2 must emit
+    EXACTLY the arity-1 pairs. Fuzzed flips pin the weaker pigeonhole
+    at its boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    # planted fixture: identical + 1-bit + 6-bit neighbors
+    rows = [
+        (1, 5, 9),
+        (2, 5, 9),            # distance 0
+        (3, 5, 9 ^ (1 << 4)),  # distance 1
+        (4, 5 ^ 0b111, 9 ^ 0b111),  # distance 6 from id 1
+    ]
+    sig = spark.createDataFrame(rows, "id long, hi long, lo long")
+
+    def pairs(arity):
+        return sorted(
+            map(
+                tuple,
+                M._banded_hamming_pairs(
+                    sig, "hi", "lo", 6, 8, 10_000, arity=arity
+                ).collect(),
+            )
+        )
+
+    assert pairs(2) == pairs(1) and len(pairs(1)) >= 3
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        fp=st.integers(min_value=0, max_value=2**64 - 1),
+        flip_bits=st.sets(
+            st.integers(min_value=0, max_value=63), min_size=1, max_size=6
+        ),
+    )
+    def check(fp, flip_bits):
+        edited = fp
+        for b in flip_bits:
+            edited ^= 1 << b
+        s = spark.createDataFrame(
+            [
+                (1, fp >> 32, fp & 0xFFFFFFFF),
+                (2, edited >> 32, edited & 0xFFFFFFFF),
+            ],
+            "id long, hi long, lo long",
+        )
+        got = M._banded_hamming_pairs(
+            s, "hi", "lo", 6, 8, 10_000, arity=2
+        ).collect()
+        assert len(got) == 1 and got[0]["hamming"] == len(flip_bits)
+
+    check()
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="arity"):
+        M._banded_hamming_pairs(sig, "hi", "lo", 6, 8, 10_000, arity=9).collect()

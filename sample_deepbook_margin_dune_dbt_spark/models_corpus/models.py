@@ -1191,9 +1191,20 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
     fingerprint columns so the decode pass runs ONCE (no self-join, no
     re-decode). Monitoring: ``banded_hamming_bucket_stats`` over this
     index's distinct (media_id, fp_hi, fp_lo) rows reports the bucket
-    distribution without touching a payload."""
+    distribution without touching a payload.
+
+    ``--vars '{media_band_arity: 2}'`` bands the index at a composite
+    arity (the PERF.md r14 occupancy dial — 8-bit chunks admit only 256
+    keys per band, so the pairs model's (band, band_key) join fan-out
+    goes corpus-quadratic past ~16k payloads per kind; arity 2 widens
+    the key space 256× and keeps the family's max_hamming=6 pigeonhole
+    at 8 bands). The arity is BAKED into the stored band rows: changing
+    it requires a ``--full-refresh`` of this model and its dependents —
+    a stale mix would silently miss cross-arity candidates, so the
+    incremental merge must never run across an arity change."""
     from ..operators.multimodal import _band_key_structs
 
+    arity = int(ctx.var("media_band_arity", 1))
     media = ctx.source("main", "media")
     if ctx.is_incremental():
         row = ctx.this().agg(F.max("media_id").alias("wm")).first()
@@ -1205,7 +1216,9 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
         "kind",
         "fp_hi",
         "fp_lo",
-        F.explode(_band_key_structs("fp_hi", "fp_lo", MEDIA_BANDS)).alias("bk"),
+        F.explode(
+            _band_key_structs("fp_hi", "fp_lo", MEDIA_BANDS, arity)
+        ).alias("bk"),
     )
     return ex.select(
         "media_id",

@@ -354,6 +354,68 @@ def image_ahash(
     )
 
 
+def choose_band_arity(
+    n_rows: int,
+    max_hamming: int = 6,
+    bands: int = 8,
+    target_bucket_size: int = 64,
+) -> int:
+    """The banded-Hamming family's scale dispatcher (pure — no Spark):
+    the smallest composite-band arity whose EXPECTED random-collision
+    bucket occupancy ``n_rows / 2^(chunk·arity)`` stays within
+    ``target_bucket_size``, clamped to ``bands − max_hamming`` so auto
+    NEVER weakens the caller's recall guarantee (the
+    ``choose_jaccard_strategy`` contract: the dispatcher trades only
+    cost, never recall — past the clamp you raise the arity explicitly
+    and accept d ≤ bands − arity, or raise ``bands``).
+
+    Why occupancy is the right dial: in-bucket candidate expansion is
+    quadratic in bucket size, so an 8-band/8-bit scheme (256 possible
+    keys per band) goes quadratic in the CORPUS once n ≫ 256·target —
+    measured at 100k signatures: arity 1 = 76.0 s vs arity 2 = 10.2 s,
+    identical output (PERF.md r14)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    chunk = 64 // bands
+    max_arity = max(1, bands - max_hamming)
+    arity = 1
+    while arity < max_arity and n_rows > target_bucket_size << (chunk * arity):
+        arity += 1
+    return arity
+
+
+def _resolve_band_arity(
+    op_name: str,
+    band_arity: int | str,
+    n_rows: int | None,
+    count_probe: Callable[[], int],
+    max_hamming: int,
+    bands: int,
+) -> int:
+    """Shared ``band_arity='auto'`` front door for the three perceptual
+    pair tiers: resolve auto via ``choose_band_arity`` (count-probing
+    the input ONLY when the caller didn't pass ``n_rows`` — the jaccard
+    auto-dispatch convention), then warn once if an EXPLICIT arity
+    leaves ``max_hamming`` past the pigeonhole guarantee (auto can't,
+    by the clamp)."""
+    if band_arity == "auto":
+        return choose_band_arity(
+            n_rows if n_rows is not None else count_probe(), max_hamming, bands
+        )
+    if not isinstance(band_arity, int):
+        raise ValueError(f"band_arity must be an int or 'auto', got {band_arity!r}")
+    if max_hamming > bands - band_arity:
+        import warnings
+
+        warnings.warn(
+            f"{op_name}: max_hamming={max_hamming} exceeds the "
+            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
+            f"bands at arity {band_arity}) — pairs beyond it may be missed",
+            stacklevel=3,
+        )
+    return band_arity
+
+
 def image_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -363,7 +425,8 @@ def image_near_dup_pairs(
     grid: int = 8,
     max_bucket_size: int = 10_000,
     decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
-    band_arity: int = 1,
+    band_arity: int | str = 1,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Content-level near-duplicate image pairs: perceptual hash
     (``image_ahash``) + banded Hamming LSH — the ``simhash_near_pairs``
@@ -389,15 +452,9 @@ def image_near_dup_pairs(
     md5 grouping, not pairwise LSH."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - band_arity:
-        import warnings
-
-        warnings.warn(
-            f"image_near_dup_pairs: max_hamming={max_hamming} exceeds the "
-            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
-            f"bands at arity {band_arity}) — pairs beyond it may be missed",
-            stacklevel=2,
-        )
+    band_arity = _resolve_band_arity(
+        "image_near_dup_pairs", band_arity, n_docs, df.count, max_hamming, bands
+    )
     sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
     return _banded_hamming_pairs(
         sig, "ahash_hi", "ahash_lo", max_hamming, bands, max_bucket_size,
@@ -854,7 +911,8 @@ def audio_near_dup_pairs(
     frames: int = 64,
     max_bucket_size: int = 10_000,
     decoder: Callable[[bytes], tuple[int, int, list[int]]] = stdlib_wav_samples,
-    band_arity: int = 1,
+    band_arity: int | str = 1,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Content-level near-duplicate audio pairs: energy-sign fingerprint
     (``audio_fingerprint``) + the SHARED banded Hamming tail
@@ -865,15 +923,9 @@ def audio_near_dup_pairs(
     misses. Output: (id_a, id_b, hamming)."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - band_arity:
-        import warnings
-
-        warnings.warn(
-            f"audio_near_dup_pairs: max_hamming={max_hamming} exceeds the "
-            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
-            f"bands at arity {band_arity}) — pairs beyond it may be missed",
-            stacklevel=2,
-        )
+    band_arity = _resolve_band_arity(
+        "audio_near_dup_pairs", band_arity, n_docs, df.count, max_hamming, bands
+    )
     sig = audio_fingerprint(df, id_col, binary_col, frames=frames, decoder=decoder)
     return _banded_hamming_pairs(
         sig, "afp_hi", "afp_lo", max_hamming, bands, max_bucket_size,
@@ -1160,7 +1212,8 @@ def video_near_dup_pairs(
     max_bucket_size: int = 10_000,
     frame_parser: Callable[[bytes], list[bytes]] = parse_video_frames,
     decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
-    band_arity: int = 1,
+    band_arity: int | str = 1,
+    n_frames: int | None = None,
 ) -> DataFrame:
     """Content-level near-duplicate video pairs: per-frame aHash + the
     banded tail over FRAME signatures, verified to the MIN cross-frame
@@ -1182,15 +1235,13 @@ def video_near_dup_pairs(
 
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
-    if max_hamming > bands - band_arity:
-        import warnings
-
-        warnings.warn(
-            f"video_near_dup_pairs: max_hamming={max_hamming} exceeds the "
-            f"banding recall guarantee (≤ {bands - band_arity} for {bands} "
-            f"bands at arity {band_arity}) — pairs beyond it may be missed",
-            stacklevel=2,
-        )
+    # auto arity buckets FRAME signatures, so occupancy scales with
+    # videos × sampled frames: pass n_frames for the exact count; the
+    # container-count probe fallback is a LOWER bound — conservative
+    # toward lower arity, never recall-affecting (the clamp binds both)
+    band_arity = _resolve_band_arity(
+        "video_near_dup_pairs", band_arity, n_frames, df.count, max_hamming, bands
+    )
     fsig = video_frame_ahash(
         df, id_col, binary_col, grid=grid,
         frame_parser=frame_parser, decoder=decoder,

@@ -358,6 +358,31 @@ def test_media_incremental_scans_only_new_side(spark, media_slices, tmp_path):
         assert "GreaterThan(media_id," in plan, name
 
 
+def test_media_index_composite_arity_equals_arity1(spark, media_slices, tmp_path):
+    """`--vars '{media_band_arity: 2}'` bands the persisted index at the
+    composite arity (the PERF.md r14 occupancy dial): the fixture's
+    planted distances sit within the weaker d ≤ bands−2 pigeonhole, so
+    N incremental runs at arity 2 must emit EXACTLY the arity-1 pairs,
+    with C(8,2)=28 index rows per payload instead of 8."""
+    from math import comb
+
+    from sample_deepbook_margin_dune_dbt_spark.models_corpus.models import (
+        MEDIA_BANDS,
+    )
+
+    store = TableStore(spark, str(tmp_path / "mar2"))
+    for p in media_slices:
+        Runner(
+            spark, store, {"main.media": p}, vars={"media_band_arity": 2}
+        ).run("+corpus_media_neardup_pairs")
+    assert _media_pairs(store) == _batch_media_pairs(spark, media_slices[-1])
+    n_media = spark.read.parquet(media_slices[-1]).count()
+    assert (
+        store.read("corpus_media_signature_index").count()
+        == n_media * comb(MEDIA_BANDS, 2)
+    )
+
+
 def test_media_incremental_clusters_equal_full_cc(spark, media_slices, tmp_path):
     """Contracted-graph incremental CC over the media pair graph ≡ a full
     duplicate_clusters rebuild over the batch tiers' pairs."""

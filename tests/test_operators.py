@@ -2424,3 +2424,66 @@ def test_banded_hamming_composite_arity_equivalence(spark):
 
     with _p.raises(ValueError, match="arity"):
         M._banded_hamming_pairs(sig, "hi", "lo", 6, 8, 10_000, arity=9).collect()
+
+
+def test_choose_band_arity_dispatch_and_auto_wrappers(spark):
+    """The banded-Hamming scale dispatcher: smallest arity keeping
+    expected occupancy ≤ target, CLAMPED to bands−max_hamming (auto
+    never weakens the recall guarantee); 'auto' through the public
+    image tier picks arity 1 at fixture scale and emits exactly the
+    explicit-arity output with no guarantee warning."""
+    import warnings
+
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    # occupancy ladder at 8 bands / 8-bit chunks, target 64:
+    # n ≤ 16384 → 1; crossover at 64·256 boundary; 100k → 2 (the
+    # measured 76 s → 10.2 s point); clamp binds at max_hamming=6
+    assert M.choose_band_arity(1_000) == 1
+    assert M.choose_band_arity(16_384) == 1
+    assert M.choose_band_arity(16_385) == 2
+    assert M.choose_band_arity(100_000) == 2
+    assert M.choose_band_arity(100_000_000) == 2  # clamp: 8 − 6
+    assert M.choose_band_arity(100_000_000, max_hamming=2) == 3
+    # unclamped climb stops at sufficiency, not the clamp: 10^15/2^48
+    # ≈ 3.6 ≤ 64 → 6; 10^18 needs one more notch
+    assert M.choose_band_arity(10**15, max_hamming=0, bands=8) == 6
+    assert M.choose_band_arity(10**18, max_hamming=0, bands=8) == 7
+    # guarantee-free corner: max_hamming ≥ bands still yields a valid 1
+    assert M.choose_band_arity(10**9, max_hamming=8) == 1
+    with pytest.raises(ValueError, match="bands"):
+        M.choose_band_arity(1_000, bands=7)
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    payload = M.attach_pattern_png(docs, "doc_id", keys=7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # auto must never warn
+        got_auto = sorted(
+            map(
+                tuple,
+                M.image_near_dup_pairs(
+                    payload, "doc_id", "png_payload", band_arity="auto"
+                ).collect(),
+            )
+        )
+    got_explicit = sorted(
+        map(
+            tuple,
+            M.image_near_dup_pairs(
+                payload, "doc_id", "png_payload", band_arity=1
+            ).collect(),
+        )
+    )
+    assert got_auto == got_explicit and len(got_auto) > 0
+
+    # n_docs passed → no count probe needed, same resolution path
+    assert (
+        M._resolve_band_arity("t", "auto", 100_000, lambda: 0, 6, 8) == 2
+    )
+    with pytest.raises(ValueError, match="band_arity"):
+        M._resolve_band_arity("t", 1.5, None, lambda: 0, 6, 8)
+    # explicit over-arity keeps the loud warning
+    with pytest.warns(UserWarning, match="recall guarantee"):
+        M.image_near_dup_pairs(
+            payload, "doc_id", "png_payload", band_arity=4
+        )

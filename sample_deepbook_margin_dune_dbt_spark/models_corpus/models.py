@@ -1145,17 +1145,24 @@ MEDIA_MAX_HAMMING = 6
 
 
 def _media_signatures(media: DataFrame) -> DataFrame:
-    """(media_id, kind, fp_hi, fp_lo): the 64-bit content fingerprint per
-    payload — image aHash (stdlib PNG pixel decode) for kind='image',
-    gain-invariant energy-sign bits (PCM16 WAV decode) for kind='audio'.
+    """(media_id, kind, frame_index, fp_hi, fp_lo): the 64-bit content
+    fingerprint rows per payload — image aHash (stdlib PNG pixel decode)
+    for kind='image', gain-invariant energy-sign bits (PCM16 WAV decode)
+    for kind='audio', PER-FRAME aHash for kind='video' (a video is a SET
+    of frame fingerprints; single-fingerprint kinds carry frame_index 0).
     One Arrow pass per modality; kinds the batch lacks cost nothing."""
-    from ..operators.multimodal import audio_fingerprint, image_ahash
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+        video_frame_ahash,
+    )
 
     img = image_ahash(
         media.filter(F.col("kind") == "image"), "media_id", "payload"
     ).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("kind"),
+        F.lit(0).alias("frame_index"),
         F.col("ahash_hi").alias("fp_hi"),
         F.col("ahash_lo").alias("fp_lo"),
     )
@@ -1164,24 +1171,36 @@ def _media_signatures(media: DataFrame) -> DataFrame:
     ).select(
         F.col("id").alias("media_id"),
         F.lit("audio").alias("kind"),
+        F.lit(0).alias("frame_index"),
         F.col("afp_hi").alias("fp_hi"),
         F.col("afp_lo").alias("fp_lo"),
     )
-    return img.unionByName(aud)
+    vid = video_frame_ahash(
+        media.filter(F.col("kind") == "video"), "media_id", "payload"
+    ).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("frame_index").cast("integer").alias("frame_index"),
+        F.col("ahash_hi").alias("fp_hi"),
+        F.col("ahash_lo").alias("fp_lo"),
+    )
+    return img.unionByName(aud).unionByName(vid)
 
 
 @model(
     "corpus_media_signature_index",
-    unique_key=["media_id", "band"],
+    unique_key=["media_id", "frame_index", "band"],
     materialized="incremental",
     incremental_strategy="merge",
     tags=["corpus"],
-    not_null=["media_id", "kind", "band", "band_key"],
+    not_null=["media_id", "kind", "frame_index", "band", "band_key"],
 )
 def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
-    """Persisted cross-run media-dedup index: per (payload, band) one row
-    carrying the band's bucket key AND the full packed fingerprint,
-    MERGE-upserted on the media_id watermark.
+    """Persisted cross-run media-dedup index: per (payload, frame, band)
+    one row carrying the band's bucket key AND the full packed frame
+    fingerprint, MERGE-upserted on the media_id watermark (image/audio
+    carry one fingerprint at frame_index 0; video one per sampled
+    frame).
 
     The 100 TB contract: deduplicating a daily media batch must not
     re-decode the accumulated corpus — codec decode is the Python-side
@@ -1214,6 +1233,7 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
     ex = sig.select(
         "media_id",
         "kind",
+        "frame_index",
         "fp_hi",
         "fp_lo",
         F.explode(
@@ -1223,6 +1243,7 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
     return ex.select(
         "media_id",
         "kind",
+        "frame_index",
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("band_key"),
         "fp_hi",
@@ -1245,9 +1266,15 @@ def corpus_media_neardup_pairs(ctx: ModelContext) -> DataFrame:
     payloads' band rows equi-join the accumulated signature index on
     (kind, band, band_key) — new×old and new×new pairs appear; old×old
     pairs were found by the run that introduced them, so N runs ≡ one
-    full rebuild (``tests/test_incremental_dedup.py``). Verification is
-    JVM bit_count over the fingerprints BOTH sides already carry — no
-    payload is touched after indexing.
+    full rebuild (``tests/test_incremental_dedup.py``). No payload is
+    touched after indexing: single-fingerprint kinds (image/audio)
+    verify with JVM bit_count over the fingerprints BOTH sides of the
+    band match already carry; video pairs — whose distance is the MIN
+    over ALL cross-frame pairs, not just the banded ones — re-join the
+    candidate ids against the index's distinct frame fingerprints
+    (frames² per candidate, frames small by contract, all equi-joins).
+    Incremental completeness lifts through frames: every frame of a
+    payload enters the index in that payload's run.
 
     Watermark totality: every processed payload also emits a MARKER row
     (m, m, 0) so ``max(id_b)`` advances even when a batch has no real
@@ -1259,15 +1286,16 @@ def corpus_media_neardup_pairs(ctx: ModelContext) -> DataFrame:
         row = ctx.this().agg(F.max("id_b").alias("wm")).first()
         wm = row["wm"] if row["wm"] is not None else -1
     new = idx.filter(F.col("media_id") > wm)
-    joined = (
-        new.alias("n")
-        .join(
-            idx.alias("i"),
-            (F.col("n.kind") == F.col("i.kind"))
-            & (F.col("n.band") == F.col("i.band"))
-            & (F.col("n.band_key") == F.col("i.band_key"))
-            & (F.col("n.media_id") != F.col("i.media_id")),
-        )
+    band_match = (
+        (F.col("n.kind") == F.col("i.kind"))
+        & (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.band_key") == F.col("i.band_key"))
+        & (F.col("n.media_id") != F.col("i.media_id"))
+    )
+    single = (
+        new.filter(F.col("kind") != "video")
+        .alias("n")
+        .join(idx.alias("i"), band_match)
         .select(
             F.least("n.media_id", "i.media_id").alias("id_a"),
             F.greatest("n.media_id", "i.media_id").alias("id_b"),
@@ -1279,12 +1307,54 @@ def corpus_media_neardup_pairs(ctx: ModelContext) -> DataFrame:
         .filter(F.col("hamming") <= MEDIA_MAX_HAMMING)
         .distinct()
     )
+    vcand = (
+        new.filter(F.col("kind") == "video")
+        .alias("n")
+        .join(idx.alias("i"), band_match)
+        .select(
+            F.least("n.media_id", "i.media_id").alias("id_a"),
+            F.greatest("n.media_id", "i.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    vframes = (
+        idx.filter(F.col("kind") == "video")
+        .select("media_id", "frame_index", "fp_hi", "fp_lo")
+        .distinct()
+    )
+    video = (
+        vcand.join(
+            vframes.select(
+                F.col("media_id").alias("id_a"),
+                F.col("fp_hi").alias("_a_hi"),
+                F.col("fp_lo").alias("_a_lo"),
+            ),
+            "id_a",
+        )
+        .join(
+            vframes.select(
+                F.col("media_id").alias("id_b"),
+                F.col("fp_hi").alias("_b_hi"),
+                F.col("fp_lo").alias("_b_lo"),
+            ),
+            "id_b",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.bit_count(F.col("_a_hi").bitwiseXOR(F.col("_b_hi")))
+                + F.bit_count(F.col("_a_lo").bitwiseXOR(F.col("_b_lo")))
+            ).alias("hamming")
+        )
+        .filter(F.col("hamming") <= MEDIA_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
     markers = new.select(
         F.col("media_id").alias("id_a"),
         F.col("media_id").alias("id_b"),
         F.lit(0).cast("integer").alias("hamming"),
     ).distinct()
-    return joined.unionByName(markers)
+    return single.unionByName(video).unionByName(markers)
 
 
 @model(

@@ -245,10 +245,11 @@ def test_canonical_documents_over_incremental_clusters(
 
 @pytest.fixture(scope="module")
 def media_slices(spark, sf_dir, tmp_path_factory):
-    """Three growth snapshots of a mixed image+audio media table:
-    even media_ids carry pattern PNGs, odd ones pattern WAVs (keys=7 so
-    the fixture plants real dup groups). media_id is monotone — the
-    watermark column."""
+    """Three growth snapshots of a mixed image+audio+video media table:
+    media_id % 3 picks the modality — pattern PNGs, pattern WAVs,
+    pattern SVID containers (keys=7 so the fixture plants real dup
+    groups in every modality). media_id is monotone — the watermark
+    column."""
     from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
 
     root = tmp_path_factory.mktemp("media_growth")
@@ -257,16 +258,21 @@ def media_slices(spark, sf_dir, tmp_path_factory):
         .select("doc_id").orderBy("doc_id").limit(90)
     )
     img = M.attach_pattern_png(
-        docs.select((F.col("doc_id") * 2).alias("media_id")),
+        docs.select((F.col("doc_id") * 3).alias("media_id")),
         "media_id", keys=7,
     ).select("media_id", F.lit("image").alias("kind"),
              F.col("png_payload").alias("payload"))
     aud = M.attach_pattern_wav(
-        docs.select((F.col("doc_id") * 2 + 1).alias("media_id")),
+        docs.select((F.col("doc_id") * 3 + 1).alias("media_id")),
         "media_id", keys=7,
     ).select("media_id", F.lit("audio").alias("kind"),
              F.col("wav_payload").alias("payload"))
-    media = img.unionByName(aud)
+    vid = M.attach_pattern_video(
+        docs.select((F.col("doc_id") * 3 + 2).alias("media_id")),
+        "media_id", keys=7,
+    ).select("media_id", F.lit("video").alias("kind"),
+             F.col("video_payload").alias("payload"))
+    media = img.unionByName(aud).unionByName(vid)
     ids = sorted(r["media_id"] for r in media.select("media_id").collect())
     cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3], ids[-1]]
     paths = []
@@ -297,10 +303,23 @@ def _batch_media_pairs(spark, path):
     aud = M.audio_near_dup_pairs(
         media.filter(F.col("kind") == "audio"), "media_id", "payload"
     )
+    vid = M.video_near_dup_pairs(
+        media.filter(F.col("kind") == "video"), "media_id", "payload"
+    )
     return {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in img.unionByName(aud).collect()
+        for r in img.unionByName(aud).unionByName(vid).collect()
     }
+
+
+def _index_rows_expected(spark, path, bands_factor):
+    """Expected index cardinality: one row per (payload frame, band
+    combination) — image/audio count one frame, video its sampled
+    frames."""
+    media = spark.read.parquet(path)
+    n_single = media.filter(F.col("kind") != "video").count()
+    n_video = media.filter(F.col("kind") == "video").count()
+    return (n_single + n_video * 4) * bands_factor
 
 
 def test_media_incremental_equals_full_rebuild(spark, media_slices, tmp_path):
@@ -314,16 +333,20 @@ def test_media_incremental_equals_full_rebuild(spark, media_slices, tmp_path):
     want = _batch_media_pairs(spark, media_slices[-1])
     assert _media_pairs(store) == want
     assert want, "fixture must contain planted media near-duplicates"
-    # both modalities actually contribute
+    # all three modalities actually contribute
     kinds = {r["kind"] for r in store.read("corpus_media_signature_index")
              .select("kind").distinct().collect()}
-    assert kinds == {"image", "audio"}
-    # index: one row per (payload, band)
-    n_media = spark.read.parquet(media_slices[-1]).count()
+    assert kinds == {"image", "audio", "video"}
+    # every modality plants real pairs (not just the index rows):
+    # media_id % 3 encodes the modality by fixture construction
+    kind_of = {0: "image", 1: "audio", 2: "video"}
+    assert {kind_of[a % 3] for a, _, _ in want} == {"image", "audio", "video"}
+    # index: one row per (payload frame, band)
     from sample_deepbook_margin_dune_dbt_spark.models_corpus.models import (
         MEDIA_BANDS,
     )
-    assert store.read("corpus_media_signature_index").count() == n_media * MEDIA_BANDS
+    assert store.read("corpus_media_signature_index").count() == \
+        _index_rows_expected(spark, media_slices[-1], MEDIA_BANDS)
 
 
 def test_media_no_growth_run_is_idempotent(spark, media_slices, tmp_path):
@@ -376,11 +399,8 @@ def test_media_index_composite_arity_equals_arity1(spark, media_slices, tmp_path
             spark, store, {"main.media": p}, vars={"media_band_arity": 2}
         ).run("+corpus_media_neardup_pairs")
     assert _media_pairs(store) == _batch_media_pairs(spark, media_slices[-1])
-    n_media = spark.read.parquet(media_slices[-1]).count()
-    assert (
-        store.read("corpus_media_signature_index").count()
-        == n_media * comb(MEDIA_BANDS, 2)
-    )
+    assert store.read("corpus_media_signature_index").count() == \
+        _index_rows_expected(spark, media_slices[-1], comb(MEDIA_BANDS, 2))
 
 
 def test_media_incremental_clusters_equal_full_cc(spark, media_slices, tmp_path):

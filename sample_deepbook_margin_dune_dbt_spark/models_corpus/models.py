@@ -1145,46 +1145,13 @@ MEDIA_MAX_HAMMING = 6
 
 
 def _media_signatures(media: DataFrame) -> DataFrame:
-    """(media_id, kind, frame_index, fp_hi, fp_lo): the 64-bit content
-    fingerprint rows per payload — image aHash (stdlib PNG pixel decode)
-    for kind='image', gain-invariant energy-sign bits (PCM16 WAV decode)
-    for kind='audio', PER-FRAME aHash for kind='video' (a video is a SET
-    of frame fingerprints; single-fingerprint kinds carry frame_index 0).
-    One Arrow pass per modality; kinds the batch lacks cost nothing."""
-    from ..operators.multimodal import (
-        audio_fingerprint,
-        image_ahash,
-        video_frame_ahash,
-    )
+    """Delegates to the shared :func:`operators.multimodal.
+    media_signatures` core (one Arrow pass per modality; video emits
+    per-frame rows) — the streaming twin runs the same function, so the
+    twins cannot drift."""
+    from ..operators.multimodal import media_signatures
 
-    img = image_ahash(
-        media.filter(F.col("kind") == "image"), "media_id", "payload"
-    ).select(
-        F.col("id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.lit(0).alias("frame_index"),
-        F.col("ahash_hi").alias("fp_hi"),
-        F.col("ahash_lo").alias("fp_lo"),
-    )
-    aud = audio_fingerprint(
-        media.filter(F.col("kind") == "audio"), "media_id", "payload"
-    ).select(
-        F.col("id").alias("media_id"),
-        F.lit("audio").alias("kind"),
-        F.lit(0).alias("frame_index"),
-        F.col("afp_hi").alias("fp_hi"),
-        F.col("afp_lo").alias("fp_lo"),
-    )
-    vid = video_frame_ahash(
-        media.filter(F.col("kind") == "video"), "media_id", "payload"
-    ).select(
-        F.col("id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.col("frame_index").cast("integer").alias("frame_index"),
-        F.col("ahash_hi").alias("fp_hi"),
-        F.col("ahash_lo").alias("fp_lo"),
-    )
-    return img.unionByName(aud).unionByName(vid)
+    return media_signatures(media)
 
 
 @model(
@@ -1221,7 +1188,7 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
     it requires a ``--full-refresh`` of this model and its dependents —
     a stale mix would silently miss cross-arity candidates, so the
     incremental merge must never run across an arity change."""
-    from ..operators.multimodal import _band_key_structs
+    from ..operators.multimodal import media_index_rows
 
     arity = int(ctx.var("media_band_arity", 1))
     media = ctx.source("main", "media")
@@ -1229,27 +1196,9 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
         row = ctx.this().agg(F.max("media_id").alias("wm")).first()
         wm = row["wm"] if row["wm"] is not None else -1
         media = media.filter(F.col("media_id") > wm)
-    sig = _media_signatures(media)
-    ex = sig.select(
-        "media_id",
-        "kind",
-        "frame_index",
-        "fp_hi",
-        "fp_lo",
-        F.explode(
-            _band_key_structs("fp_hi", "fp_lo", MEDIA_BANDS, arity)
-        ).alias("bk"),
-    )
-    return ex.select(
-        "media_id",
-        "kind",
-        "frame_index",
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("band_key"),
-        "fp_hi",
-        "fp_lo",
-        ctx.now().alias("updated_at"),
-    )
+    return media_index_rows(
+        _media_signatures(media), MEDIA_BANDS, arity
+    ).withColumn("updated_at", ctx.now())
 
 
 @model(
@@ -1280,81 +1229,21 @@ def corpus_media_neardup_pairs(ctx: ModelContext) -> DataFrame:
     (m, m, 0) so ``max(id_b)`` advances even when a batch has no real
     pair (the text pairs model's discipline). Consumers filter
     ``id_a < id_b``."""
+    from ..operators.multimodal import media_neardup_pairs_from_index
+
     idx = ctx.ref("corpus_media_signature_index")
     wm = -1
     if ctx.is_incremental():
         row = ctx.this().agg(F.max("id_b").alias("wm")).first()
         wm = row["wm"] if row["wm"] is not None else -1
     new = idx.filter(F.col("media_id") > wm)
-    band_match = (
-        (F.col("n.kind") == F.col("i.kind"))
-        & (F.col("n.band") == F.col("i.band"))
-        & (F.col("n.band_key") == F.col("i.band_key"))
-        & (F.col("n.media_id") != F.col("i.media_id"))
-    )
-    single = (
-        new.filter(F.col("kind") != "video")
-        .alias("n")
-        .join(idx.alias("i"), band_match)
-        .select(
-            F.least("n.media_id", "i.media_id").alias("id_a"),
-            F.greatest("n.media_id", "i.media_id").alias("id_b"),
-            (
-                F.bit_count(F.col("n.fp_hi").bitwiseXOR(F.col("i.fp_hi")))
-                + F.bit_count(F.col("n.fp_lo").bitwiseXOR(F.col("i.fp_lo")))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= MEDIA_MAX_HAMMING)
-        .distinct()
-    )
-    vcand = (
-        new.filter(F.col("kind") == "video")
-        .alias("n")
-        .join(idx.alias("i"), band_match)
-        .select(
-            F.least("n.media_id", "i.media_id").alias("id_a"),
-            F.greatest("n.media_id", "i.media_id").alias("id_b"),
-        )
-        .distinct()
-    )
-    vframes = (
-        idx.filter(F.col("kind") == "video")
-        .select("media_id", "frame_index", "fp_hi", "fp_lo")
-        .distinct()
-    )
-    video = (
-        vcand.join(
-            vframes.select(
-                F.col("media_id").alias("id_a"),
-                F.col("fp_hi").alias("_a_hi"),
-                F.col("fp_lo").alias("_a_lo"),
-            ),
-            "id_a",
-        )
-        .join(
-            vframes.select(
-                F.col("media_id").alias("id_b"),
-                F.col("fp_hi").alias("_b_hi"),
-                F.col("fp_lo").alias("_b_lo"),
-            ),
-            "id_b",
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.min(
-                F.bit_count(F.col("_a_hi").bitwiseXOR(F.col("_b_hi")))
-                + F.bit_count(F.col("_a_lo").bitwiseXOR(F.col("_b_lo")))
-            ).alias("hamming")
-        )
-        .filter(F.col("hamming") <= MEDIA_MAX_HAMMING)
-        .select("id_a", "id_b", "hamming")
-    )
+    pairs = media_neardup_pairs_from_index(new, idx, MEDIA_MAX_HAMMING)
     markers = new.select(
         F.col("media_id").alias("id_a"),
         F.col("media_id").alias("id_b"),
         F.lit(0).cast("integer").alias("hamming"),
     ).distinct()
-    return single.unionByName(video).unionByName(markers)
+    return pairs.unionByName(markers)
 
 
 @model(

@@ -1396,3 +1396,163 @@ def attach_pattern_video(
         )
 
     return df.withColumn(out_col, _vid(F.col(id_col)))
+
+
+# --------------------------------------------------------------------------
+# shared media-index core — the batch DAG models (models_corpus) and the
+# streaming twin (streaming/media.py) both run these, so they cannot drift
+
+
+def media_signatures(
+    df: DataFrame,
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, kind, frame_index, fp_hi, fp_lo): the 64-bit content
+    fingerprint rows of a mixed-modality media table — image aHash
+    (stdlib PNG pixel decode) for kind='image', gain-invariant
+    energy-sign bits (PCM16 WAV decode) for kind='audio', PER-FRAME
+    aHash for kind='video' (a video is a SET of frame fingerprints;
+    single-fingerprint kinds carry frame_index 0). One Arrow pass per
+    modality; kinds the input lacks cost nothing."""
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(kind_col).alias("kind"),
+        F.col(payload_col).alias("payload"),
+    )
+    img = image_ahash(
+        src.filter(F.col("kind") == "image"), "media_id", "payload"
+    ).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(0).alias("frame_index"),
+        F.col("ahash_hi").alias("fp_hi"),
+        F.col("ahash_lo").alias("fp_lo"),
+    )
+    aud = audio_fingerprint(
+        src.filter(F.col("kind") == "audio"), "media_id", "payload"
+    ).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit(0).alias("frame_index"),
+        F.col("afp_hi").alias("fp_hi"),
+        F.col("afp_lo").alias("fp_lo"),
+    )
+    vid = video_frame_ahash(
+        src.filter(F.col("kind") == "video"), "media_id", "payload"
+    ).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("frame_index").cast("integer").alias("frame_index"),
+        F.col("ahash_hi").alias("fp_hi"),
+        F.col("ahash_lo").alias("fp_lo"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def media_index_rows(
+    sig: DataFrame, bands: int = 8, arity: int = 1
+) -> DataFrame:
+    """Signature rows → persisted-index band rows: one row per
+    (payload frame, band combination) carrying the bucket key AND the
+    full packed fingerprint, banded through the family's single
+    ``_band_key_structs`` arithmetic (the pair tiers, the monitoring
+    companion, and both index twins bucket identically by
+    construction)."""
+    return sig.select(
+        "media_id",
+        "kind",
+        "frame_index",
+        "fp_hi",
+        "fp_lo",
+        F.explode(_band_key_structs("fp_hi", "fp_lo", bands, arity)).alias("bk"),
+    ).select(
+        "media_id",
+        "kind",
+        "frame_index",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
+        "fp_hi",
+        "fp_lo",
+    )
+
+
+def media_neardup_pairs_from_index(
+    new: DataFrame, idx: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, hamming) pairs of NEW index rows
+    against the accumulated index (both in the ``media_index_rows``
+    layout) — the shared verification core of the incremental DAG model
+    and the streaming sink. Single-fingerprint kinds verify inline with
+    JVM bit_count over the fingerprints both sides of the (kind, band,
+    band_key) match already carry; video pairs — MIN over ALL
+    cross-frame pairs, not just the banded ones — re-join candidate ids
+    against the index's distinct frame fingerprints (frames² per
+    candidate, frames small by contract, all equi-joins). No payload is
+    touched: incremental completeness lifts through frames because
+    every frame of a payload enters the index in that payload's run."""
+    band_match = (
+        (F.col("n.kind") == F.col("i.kind"))
+        & (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.band_key") == F.col("i.band_key"))
+        & (F.col("n.media_id") != F.col("i.media_id"))
+    )
+    single = (
+        new.filter(F.col("kind") != "video")
+        .alias("n")
+        .join(idx.alias("i"), band_match)
+        .select(
+            F.least("n.media_id", "i.media_id").alias("id_a"),
+            F.greatest("n.media_id", "i.media_id").alias("id_b"),
+            (
+                F.bit_count(F.col("n.fp_hi").bitwiseXOR(F.col("i.fp_hi")))
+                + F.bit_count(F.col("n.fp_lo").bitwiseXOR(F.col("i.fp_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    vcand = (
+        new.filter(F.col("kind") == "video")
+        .alias("n")
+        .join(idx.alias("i"), band_match)
+        .select(
+            F.least("n.media_id", "i.media_id").alias("id_a"),
+            F.greatest("n.media_id", "i.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    vframes = (
+        idx.filter(F.col("kind") == "video")
+        .select("media_id", "frame_index", "fp_hi", "fp_lo")
+        .distinct()
+    )
+    video = (
+        vcand.join(
+            vframes.select(
+                F.col("media_id").alias("id_a"),
+                F.col("fp_hi").alias("_a_hi"),
+                F.col("fp_lo").alias("_a_lo"),
+            ),
+            "id_a",
+        )
+        .join(
+            vframes.select(
+                F.col("media_id").alias("id_b"),
+                F.col("fp_hi").alias("_b_hi"),
+                F.col("fp_lo").alias("_b_lo"),
+            ),
+            "id_b",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.bit_count(F.col("_a_hi").bitwiseXOR(F.col("_b_hi")))
+                + F.bit_count(F.col("_a_lo").bitwiseXOR(F.col("_b_lo")))
+            ).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return single.unionByName(video)

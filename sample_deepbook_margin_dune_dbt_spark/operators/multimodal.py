@@ -1491,7 +1491,20 @@ def media_neardup_pairs_from_index(
     against the index's distinct frame fingerprints (frames² per
     candidate, frames small by contract, all equi-joins). No payload is
     touched: incremental completeness lifts through frames because
-    every frame of a payload enters the index in that payload's run."""
+    every frame of a payload enters the index in that payload's run.
+
+    Scale shape (new ≪ idx, the incremental premise): the accumulated
+    index is NEVER shuffled wholesale — it is semi-join-prefiltered by
+    a BROADCAST of the new side's distinct (kind, band, band_key) keys
+    (batch-bounded; the ``stream_dedup_ingest`` broadcast-probe
+    discipline), so the rows reaching the candidate join are bounded by
+    the batch's bucket occupancy; likewise the video frame-fingerprint
+    re-join reads only candidate ids' frames via a broadcast semi
+    filter, never the full video index."""
+    new_keys = new.select("kind", "band", "band_key").distinct()
+    idx_hit = idx.join(
+        F.broadcast(new_keys), ["kind", "band", "band_key"], "left_semi"
+    )
     band_match = (
         (F.col("n.kind") == F.col("i.kind"))
         & (F.col("n.band") == F.col("i.band"))
@@ -1501,7 +1514,7 @@ def media_neardup_pairs_from_index(
     single = (
         new.filter(F.col("kind") != "video")
         .alias("n")
-        .join(idx.alias("i"), band_match)
+        .join(idx_hit.alias("i"), band_match)
         .select(
             F.least("n.media_id", "i.media_id").alias("id_a"),
             F.greatest("n.media_id", "i.media_id").alias("id_b"),
@@ -1516,15 +1529,19 @@ def media_neardup_pairs_from_index(
     vcand = (
         new.filter(F.col("kind") == "video")
         .alias("n")
-        .join(idx.alias("i"), band_match)
+        .join(idx_hit.alias("i"), band_match)
         .select(
             F.least("n.media_id", "i.media_id").alias("id_a"),
             F.greatest("n.media_id", "i.media_id").alias("id_b"),
         )
         .distinct()
     )
+    cand_ids = vcand.select(F.col("id_a").alias("media_id")).unionByName(
+        vcand.select(F.col("id_b").alias("media_id"))
+    ).distinct()
     vframes = (
         idx.filter(F.col("kind") == "video")
+        .join(F.broadcast(cand_ids), "media_id", "left_semi")
         .select("media_id", "frame_index", "fp_hi", "fp_lo")
         .distinct()
     )

@@ -592,3 +592,36 @@ def test_image_phash_dedup_plan_shape(spark, sf_dir):
     # (three consumers — bands + both verify sides — would otherwise
     # each re-run it); the checkpoint surfaces as a Scan ExistingRDD
     assert "Scan ExistingRDD" in plan
+
+
+def test_media_pairs_from_index_broadcast_probe_shape(spark):
+    """The shared incremental media pair core (r14) must NEVER shuffle
+    the accumulated index wholesale: the index is semi-join-prefiltered
+    by a BROADCAST of the batch's distinct (kind, band, band_key) keys,
+    and the video frame re-join reads only candidate ids' frames via a
+    broadcast semi filter — so every index-sided exchange is bounded by
+    the batch, not the corpus (the stream_dedup_ingest broadcast-probe
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    from sample_deepbook_margin_dune_dbt_spark.operators.multimodal import (
+        media_index_rows,
+        media_neardup_pairs_from_index,
+        media_signatures,
+    )
+    from sample_deepbook_margin_dune_dbt_spark.operators.multimodal import (
+        attach_pattern_png,
+    )
+
+    media = attach_pattern_png(
+        spark.range(20).select(F.col("id").alias("media_id")),
+        "media_id", keys=7,
+    ).select("media_id", F.lit("image").alias("kind"),
+             F.col("png_payload").alias("payload"))
+    idx = media_index_rows(media_signatures(media))
+    new = idx.filter(F.col("media_id") >= 15)
+    plan = explain_str(media_neardup_pairs_from_index(new, idx), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

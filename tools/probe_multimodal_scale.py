@@ -109,6 +109,61 @@ def probe_tail(spark, n_docs: int, group_size: int, arity: int = 1) -> None:
     )
 
 
+def _synth_sig(spark, n_docs: int, group_size: int, id_offset: int = 0):
+    """(media_id, kind, frame_index, fp_hi, fp_lo) synthetic image
+    signatures with bounded planted groups (the ``tail`` generator's
+    shape in the ``media_signatures`` layout)."""
+    ids = spark.range(n_docs).select((F.col("id") + id_offset).alias("media_id"))
+    grp = ((F.col("media_id")) / group_size).cast("long")
+    base = F.xxhash64(grp.cast("string"))
+    hi = F.shiftrightunsigned(base, 32).bitwiseAND(F.lit((1 << 32) - 1))
+    flip = F.expr(
+        f"CASE WHEN media_id % {group_size} = 0 THEN 0L "
+        f"ELSE shiftleft(1L, int((media_id % {group_size}) % 32)) END"
+    )
+    lo = base.bitwiseAND(F.lit((1 << 32) - 1)).bitwiseXOR(flip)
+    return ids.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(0).alias("frame_index"),
+        hi.cast("long").alias("fp_hi"),
+        lo.cast("long").alias("fp_lo"),
+    )
+
+
+def probe_pairs(
+    spark, n_index: int, n_new: int, arity: int = 1, group_size: int = 4
+) -> None:
+    """The incremental premise measured: a persisted index of n_index
+    signatures vs a batch of n_new NEW signatures through
+    ``media_neardup_pairs_from_index`` (broadcast-probe prefilter —
+    index-sided work must scale with the BATCH's bucket occupancy, not
+    the corpus). The index is staged to parquet first so the probe
+    times the join, not the generator."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    _synth_sig(spark, n_index, group_size).write.parquet(d + "/sig")
+    sig = spark.read.parquet(d + "/sig")
+    M.media_index_rows(sig, arity=arity).write.parquet(d + "/idx")
+    idx = spark.read.parquet(d + "/idx")
+    new_sig = _synth_sig(spark, n_new, group_size, id_offset=n_index)
+    M.media_index_rows(new_sig, arity=arity).write.parquet(d + "/new")
+    new = spark.read.parquet(d + "/new")
+    # mirror the real call order: the batch MERGEs into the index
+    # before pair generation, so the accumulated side includes it
+    t0 = time.time()
+    n_pairs = M.media_neardup_pairs_from_index(
+        new, idx.unionByName(new)
+    ).count()
+    dt = time.time() - t0
+    print(
+        f"pairs probe: idx={n_index} new={n_new} arity={arity} "
+        f"groups_of={group_size} — {dt:.1f} s, {n_pairs} pairs",
+        flush=True,
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "decode"
     spark = get_spark(app_name="multimodal-probe")
@@ -122,6 +177,11 @@ def main() -> None:
         g = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         a = int(sys.argv[4]) if len(sys.argv) > 4 else 1
         probe_tail(spark, n, g, a)
+    elif mode == "pairs":
+        ni = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        nn = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+        a = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        probe_pairs(spark, ni, nn, a)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

@@ -1190,11 +1190,27 @@ def corpus_media_signature_index(ctx: ModelContext) -> DataFrame:
     incremental merge must never run across an arity change."""
     from ..operators.multimodal import media_index_rows
 
+    from math import comb
+
     arity = int(ctx.var("media_band_arity", 1))
     media = ctx.source("main", "media")
     if ctx.is_incremental():
-        row = ctx.this().agg(F.max("media_id").alias("wm")).first()
+        row = ctx.this().agg(
+            F.max("media_id").alias("wm"), F.max("band").alias("mb")
+        ).first()
         wm = row["wm"] if row["wm"] is not None else -1
+        # arity-corruption guard: every signature emits ALL C(bands,
+        # arity) band combinations, so a non-empty index's max band id
+        # reveals the arity it was built at; merging rows banded at a
+        # DIFFERENT arity would silently miss cross-arity candidates
+        if row["mb"] is not None and row["mb"] != comb(MEDIA_BANDS, arity) - 1:
+            raise ValueError(
+                "corpus_media_signature_index was built at a different "
+                f"media_band_arity (stored max band {row['mb']}, arity "
+                f"{arity} implies {comb(MEDIA_BANDS, arity) - 1}); an "
+                "arity change requires --full-refresh of the index and "
+                "its dependents"
+            )
         media = media.filter(F.col("media_id") > wm)
     return media_index_rows(
         _media_signatures(media), MEDIA_BANDS, arity

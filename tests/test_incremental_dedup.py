@@ -401,6 +401,13 @@ def test_media_index_composite_arity_equals_arity1(spark, media_slices, tmp_path
     assert _media_pairs(store) == _batch_media_pairs(spark, media_slices[-1])
     assert store.read("corpus_media_signature_index").count() == \
         _index_rows_expected(spark, media_slices[-1], comb(MEDIA_BANDS, 2))
+    # arity-corruption guard: an incremental run at a DIFFERENT arity
+    # must refuse with the full-refresh instruction, not merge
+    with pytest.raises(Exception, match="full-refresh"):
+        Runner(
+            spark, store, {"main.media": media_slices[-1]},
+            vars={"media_band_arity": 1},
+        ).run("corpus_media_signature_index")
 
 
 def test_media_incremental_clusters_equal_full_cc(spark, media_slices, tmp_path):

@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     # parse → per-frame pixel decode → integer aHash → the shared banded
     # tail over frame signatures → min cross-frame Hamming)
     "multimodal_video_dedup",
+    # r14 continuation: perceptual image search — radius-limited exact
+    # Hamming top-k (multi-index Hamming search on the shared banding)
+    "multimodal_phash_topk",
 ]
 
 # timed and reported under "demo", EXCLUDED from the headline total: these

@@ -1584,3 +1584,137 @@ def media_neardup_pairs_from_index(
         .select("id_a", "id_b", "hamming")
     )
     return single.unionByName(video)
+
+
+# --------------------------------------------------------------------------
+# Hamming top-k search (multi-index Hamming search over 64-bit codes)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    hi_col: str,
+    lo_col: str,
+    k: int = 10,
+    max_hamming: int = 6,
+    bands: int = 8,
+    arity: int = 1,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """RADIUS-LIMITED exact top-k by Hamming distance over 64-bit
+    binary codes — perceptual similarity SEARCH (the dedup family's
+    retrieval sibling; multi-index Hamming search, Norouzi et al.'s
+    MIH reduced to the repo's shared banding): for each query
+    signature, every corpus signature within Hamming ≤ ``max_hamming``
+    ranked by (hamming, id), top ``k`` per query. EXACT within the
+    radius for ``max_hamming ≤ bands − arity`` by the same pigeonhole
+    as the pair tiers — candidates are the corpus rows sharing any
+    band bucket with the query, verified by JVM bit_count; a query
+    drawn from the corpus retrieves itself at distance 0 (rank 1 by
+    the id tie-break).
+
+    Plan shape: corpus and query band rows meet in a (band, key)
+    equi-join (both staged once); verification fetches the two packed
+    fingerprints by id equi-join; the rank window partitions by query
+    over CANDIDATES only — never a corpus-wide window. Corpus buckets
+    past ``max_bucket_size`` are dropped (the
+    ``banded_hamming_bucket_stats`` companion accounts for the loss).
+    Output: (query_id, id, hamming, rank)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - arity:
+        import warnings
+
+        warnings.warn(
+            f"hamming_topk: max_hamming={max_hamming} exceeds the "
+            f"banding recall guarantee (≤ {bands - arity} for {bands} "
+            f"bands at arity {arity}) — neighbors beyond it may be "
+            "missed",
+            stacklevel=2,
+        )
+    corpus = corpus.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    queries = queries.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    cb = _band_key_rows(corpus, hi_col, lo_col, bands, arity)
+    qb = _band_key_rows(queries, hi_col, lo_col, bands, arity)
+    # cap oversized CORPUS buckets (bucket size = distinct corpus ids),
+    # mirroring the pair tiers' cap semantics
+    ok = (
+        cb.groupBy("bk")
+        .agg(F.count_distinct("_id").alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select("bk")
+    )
+    cands = (
+        qb.join(ok, "bk")
+        .select(F.col("_id").alias("query_id"), "bk")
+        .join(
+            cb.select(F.col("_id").alias("id"), "bk"), "bk"
+        )
+        .select("query_id", "id")
+        .distinct()
+    )
+    qf = queries.select(
+        F.col("id").alias("query_id"),
+        F.col(hi_col).alias("_q_hi"),
+        F.col(lo_col).alias("_q_lo"),
+    )
+    cf = corpus.select(
+        "id", F.col(hi_col).alias("_c_hi"), F.col(lo_col).alias("_c_lo")
+    )
+    verified = (
+        cands.join(qf, "query_id")
+        .join(cf, "id")
+        .select(
+            "query_id",
+            "id",
+            (
+                F.bit_count(F.col("_q_hi").bitwiseXOR(F.col("_c_hi")))
+                + F.bit_count(F.col("_q_lo").bitwiseXOR(F.col("_c_lo")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "id")
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "hamming", "rank")
+    )
+
+
+def image_hamming_topk(
+    df_corpus: DataFrame,
+    df_query: DataFrame,
+    id_col: str,
+    binary_col: str,
+    k: int = 10,
+    max_hamming: int = 6,
+    bands: int = 8,
+    grid: int = 8,
+    max_bucket_size: int = 10_000,
+    decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
+    band_arity: int = 1,
+) -> DataFrame:
+    """Perceptual image search: ``hamming_topk`` over the aHash
+    signatures of a corpus and a query set (each decoded once —
+    reverse-image-search by content, robust to re-encoding and uniform
+    brightness shifts exactly as the dedup tier is). Output:
+    (query_id, id, hamming, rank)."""
+    return hamming_topk(
+        image_ahash(df_corpus, id_col, binary_col, grid=grid, decoder=decoder),
+        image_ahash(df_query, id_col, binary_col, grid=grid, decoder=decoder),
+        "ahash_hi",
+        "ahash_lo",
+        k,
+        max_hamming,
+        bands,
+        band_arity,
+        max_bucket_size,
+    )

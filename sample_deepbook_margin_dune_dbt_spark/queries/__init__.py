@@ -495,13 +495,18 @@ driver query moved to ``EXTRA_QUERIES``:
   (r2-evidence drills, freshly r13-green; held in EXTRA + pytest),
   ``corpus_epoch_shuffle`` (ordering family; held in EXTRA).
 
-- round 14 continuation (new capability family, EXTRA first per the
+- round 14 continuation (new capability families, EXTRA first per the
   house protocol): ``multimodal_video_dedup`` — frame-sampled video
   content dedup (SVID container parse → per-frame stdlib pixel decode →
   integer aHash → the SHARED banded tail over frame signatures → MIN
   cross-frame Hamming verification; the oracle recomputes the chain
   from the id-derivable frame patterns INCLUDING the rotated-playback
-  pairing, so the hash match proves the sequence-offset invariance).
+  pairing, so the hash match proves the sequence-offset invariance);
+  ``multimodal_phash_topk`` — perceptual image SEARCH (radius-limited
+  exact Hamming top-k via ``hamming_topk``, multi-index Hamming search
+  on the shared banding; the oracle re-derives distance AND rank with
+  its own window, so the hash match certifies candidate generation,
+  verification, and ranking end to end).
 
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver

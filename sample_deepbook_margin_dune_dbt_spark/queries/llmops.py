@@ -1599,6 +1599,108 @@ def q_emb_diversity_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_TOPK_QMOD = 53  # query subset: doc_id % 53 == 0 (~2% of the corpus)
+PHASH_TOPK_K = 5
+
+
+def q_multimodal_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image SEARCH (r14 continuation — the dedup family's
+    retrieval sibling): radius-limited exact Hamming top-k over aHash
+    signatures (``operators/multimodal.py::hamming_topk``, multi-index
+    Hamming search on the shared banding). Every doc carries the same
+    id-derivable pattern PNG the dedup query uses; queries are the
+    ``doc_id % PHASH_TOPK_QMOD == 0`` subset, each retrieving its
+    ``PHASH_TOPK_K`` nearest corpus images within Hamming ≤
+    ``PHASH_MAX_HAMMING`` (exact within the radius by pigeonhole at
+    arity 1; ties broken by id — a query retrieves itself at rank 1).
+    The oracle recomputes pixels → bits → banding → distances → ranks
+    arithmetically, so a hash match certifies candidate generation,
+    verification, AND the ranking window end to end."""
+    docs = M.attach_pattern_png(
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ),
+        "doc_id",
+        keys=PHASH_KEYS,
+    )
+    return (
+        M.image_hamming_topk(
+            docs,
+            docs.filter(F.col("doc_id") % PHASH_TOPK_QMOD == 0),
+            "doc_id",
+            "png_payload",
+            k=PHASH_TOPK_K,
+            max_hamming=PHASH_MAX_HAMMING,
+            max_bucket_size=PHASH_MAX_BUCKET,
+        )
+        .select(
+            "query_id",
+            "id",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# the oracle mirrors the Spark side's banded candidate generation
+# (including the bucket cap, the ADVICE r13 parity discipline) and then
+# re-derives distance + rank with its own window arithmetic
+SQL_MULTIMODAL_PHASH_TOPK = f"""
+WITH ids AS (SELECT doc_id FROM documents),
+blocks AS (SELECT CAST(i AS BIGINT) AS blk FROM range(64) t(i)),
+px AS (
+    SELECT d.doc_id, b.blk,
+           ((d.doc_id % {PHASH_KEYS} + 1) * (b.blk + 3) * 37) % 160
+           + (d.doc_id // {PHASH_KEYS}) % 5
+           + CASE WHEN d.doc_id % 3 = 0 AND b.blk = d.doc_id % 64
+                  THEN 64 ELSE 0 END AS v
+    FROM ids d CROSS JOIN blocks b
+),
+tot AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY 1),
+bits AS (
+    SELECT p.doc_id, p.blk,
+           CASE WHEN 64 * p.v > t.s THEN 1 ELSE 0 END AS bit
+    FROM px p JOIN tot t USING (doc_id)
+),
+bands AS (
+    SELECT doc_id, blk // 8 AS band,
+           sum(bit * (1 << (blk % 8))) AS key
+    FROM bits GROUP BY 1, 2
+),
+ok AS (
+    SELECT band, key FROM bands
+    GROUP BY band, key HAVING count(*) <= {PHASH_MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS id
+    FROM bands q
+    JOIN ok ON ok.band = q.band AND ok.key = q.key
+    JOIN bands c ON q.band = c.band AND q.key = c.key
+    WHERE q.doc_id % {PHASH_TOPK_QMOD} = 0
+),
+ham AS (
+    SELECT c.query_id, c.id,
+           CAST(sum(CASE WHEN bq.bit <> bc.bit THEN 1 ELSE 0 END)
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN bits bq ON bq.doc_id = c.query_id
+    JOIN bits bc ON bc.doc_id = c.id AND bc.blk = bq.blk
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, id, hamming,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming, id
+           ) AS BIGINT) AS rank
+    FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
+)
+SELECT query_id, id, hamming, rank FROM ranked
+WHERE rank <= {PHASH_TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 LLMOPS_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_boilerplate_segments": (
@@ -1636,6 +1738,9 @@ LLMOPS_QUERIES = {
     # shared banded tail; the oracle recomputes the full chain including
     # the rotated-playback pairing
     "multimodal_video_dedup": (q_multimodal_video_dedup, SQL_MULTIMODAL_VIDEO),
+    # r14 continuation: perceptual image search — radius-limited exact
+    # Hamming top-k; the oracle re-derives distance AND rank
+    "multimodal_phash_topk": (q_multimodal_phash_topk, SQL_MULTIMODAL_PHASH_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_SUMMARY),
     "ann_ivf": (q_ann_ivf, SQL_ANN_SUMMARY),
     "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_SUMMARY),

@@ -2487,3 +2487,67 @@ def test_choose_band_arity_dispatch_and_auto_wrappers(spark):
         M.image_near_dup_pairs(
             payload, "doc_id", "png_payload", band_arity=4
         )
+
+
+def test_hamming_topk_search_semantics(spark):
+    """Radius-limited Hamming top-k (r14): self-retrieval at rank 1 by
+    the id tie-break, re-encoded duplicates at distance 0, the radius
+    excludes far neighbors, k bounds the list, and arity 2 returns the
+    identical ranking within the d ≤ bands−2 guarantee."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    # corpus: 1,2 identical; 3 at distance 1 from them; 4 far away
+    rows = [
+        (1, 5, 9),
+        (2, 5, 9),
+        (3, 5, 9 ^ (1 << 7)),
+        (4, 0x7FFFFFFF, 0x55555555),
+    ]
+    corpus = spark.createDataFrame(rows, "id long, hi long, lo long")
+    queries = corpus.filter(F.col("id") == 1)
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                M.hamming_topk(
+                    corpus, queries, "hi", "lo", k=10, max_hamming=6, **kw
+                ).collect(),
+            )
+        )
+
+    got = run()
+    # (query_id, id, hamming, rank): self first, twin second (id order),
+    # the 1-bit neighbor third; id 4 is outside the radius
+    assert got == [(1, 1, 0, 1), (1, 2, 0, 2), (1, 3, 1, 3)]
+    assert run(arity=2) == got
+
+    # k truncates deterministically
+    top1 = M.hamming_topk(
+        corpus, queries, "hi", "lo", k=1, max_hamming=6
+    ).collect()
+    assert [tuple(r) for r in top1] == [(1, 1, 0, 1)]
+
+    # re-encoded payload duplicate through the image wrapper: a query
+    # whose bytes differ (different scanline filter) still retrieves
+    # the original at distance 0 ahead of everything else
+    base = spark.range(6).select(F.col("id").alias("doc_id"))
+    corpus_png = M.attach_pattern_png(base, "doc_id", keys=3)
+    q_png = M.attach_pattern_png(
+        base.filter(F.col("doc_id") == 0), "doc_id", keys=3
+    )
+    got_img = M.image_hamming_topk(
+        corpus_png, q_png, "doc_id", "png_payload", k=3
+    ).collect()
+    by_rank = {r["rank"]: (r["id"], r["hamming"]) for r in got_img}
+    assert by_rank[1] == (0, 0)  # self/identical-pattern first
+    # doc 3 shares doc 0's pattern key (keys=3) → near-zero distance at
+    # rank 2 (the per-id sparse-noise block may flip a couple of bits)
+    assert by_rank[2][0] == 3 and by_rank[2][1] <= 2
+
+    plan = (
+        M.hamming_topk(corpus, queries, "hi", "lo")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -166,7 +166,12 @@ def probe_pairs(
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "decode"
-    spark = get_spark(app_name="multimodal-probe")
+    # fourth-decade runs need the spill-aware partition sizing rule:
+    # the tail's bucket-collect holds list buffers per in-flight group,
+    # so groups-per-task must fit the heap (20M sigs × 56 composite
+    # bands over 32 partitions OOM'd the default 8 GB JVM — r14)
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    spark = get_spark(app_name="multimodal-probe", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "decode":
         fixture = sys.argv[2] if len(sys.argv) > 2 else ".scale_fixtures/docs0.1x10"

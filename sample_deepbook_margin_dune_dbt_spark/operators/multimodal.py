@@ -427,6 +427,7 @@ def image_near_dup_pairs(
     decoder: Callable[[bytes], tuple[int, int, bytes]] = stdlib_png_pixel_decode,
     band_arity: int | str = 1,
     n_docs: int | None = None,
+    candidate_shape: str = "collect",
 ) -> DataFrame:
     """Content-level near-duplicate image pairs: perceptual hash
     (``image_ahash``) + banded Hamming LSH — the ``simhash_near_pairs``
@@ -458,7 +459,7 @@ def image_near_dup_pairs(
     sig = image_ahash(df, id_col, binary_col, grid=grid, decoder=decoder)
     return _banded_hamming_pairs(
         sig, "ahash_hi", "ahash_lo", max_hamming, bands, max_bucket_size,
-        arity=band_arity,
+        arity=band_arity, candidate_shape=candidate_shape,
     )
 
 
@@ -600,6 +601,7 @@ def _banded_hamming_pairs(
     bands: int,
     max_bucket_size: int,
     arity: int = 1,
+    candidate_shape: str = "collect",
 ) -> DataFrame:
     """Shared banded-Hamming tail for the 64-bit perceptual fingerprint
     tiers (image aHash, audio energy-sign): ``sig`` is (id, hi, lo) with
@@ -608,12 +610,30 @@ def _banded_hamming_pairs(
     verify sides), bucket-collect + in-bucket pair expansion (the
     ``minhash_lsh_candidates`` shape — no signature self-join), 16-byte
     hash fetch by id equi-join, JVM-side ``bit_count`` verification.
-    Output: (id_a, id_b, hamming ≤ max_hamming)."""
+    Output: (id_a, id_b, hamming ≤ max_hamming).
+
+    ``candidate_shape='join'`` is the FOURTH-DECADE escape hatch
+    (output-identical, pinned): past ~10M signatures the bucket-collect's
+    map-side partial ``collect_set`` holds a growing buffer per
+    in-flight bucket key — at ~10⁹ distinct keys it OOMs the default
+    heap REGARDLESS of shuffle partitioning (measured r14: 20M sigs ×
+    56 composite bands walled at 32 AND 512 shuffle partitions). The
+    join shape streams a sort-merge self-join on the bucket key after
+    anti-joining away capped buckets (both aggregations fixed-width →
+    spill-safe), trading the collect shape's single-pass expansion for
+    memory-bounded execution — the ``sessionize_presplit`` precedent."""
     from pyspark.storagelevel import StorageLevel
 
+    if candidate_shape not in ("collect", "join"):
+        raise ValueError(
+            f"candidate_shape must be 'collect' or 'join', got {candidate_shape!r}"
+        )
     sig = sig.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     ex = _band_key_rows(sig, hi_col, lo_col, bands, arity)
-    cands = _bucket_candidate_pairs(ex, max_bucket_size)
+    if candidate_shape == "join":
+        cands = _bucket_candidate_pairs_join(ex, max_bucket_size)
+    else:
+        cands = _bucket_candidate_pairs(ex, max_bucket_size)
     ha = sig.select(
         F.col("id").alias("id_a"),
         F.col(hi_col).alias("_hi_a"),
@@ -636,6 +656,31 @@ def _banded_hamming_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _bucket_candidate_pairs_join(ex: DataFrame, max_bucket_size: int) -> DataFrame:
+    """The banded tail's memory-bounded candidate generator: oversized
+    buckets are removed by an anti-join against a fixed-width count
+    aggregate (same cap semantics as ``_bucket_candidate_pairs``), then
+    candidates stream out of a sort-merge SELF-JOIN on the bucket key —
+    no per-key growing buffers anywhere, so the shape survives decades
+    the collect shape's partial ``collect_set`` cannot (PERF.md r14).
+    Output-identical to the collect shape (distinct a < b pairs)."""
+    over = (
+        ex.groupBy("bk")
+        .agg(F.count_distinct("_id").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("bk")
+    )
+    exk = ex.join(over, "bk", "left_anti")
+    a = exk.select(F.col("_id").alias("id_a"), "bk")
+    b = exk.select(F.col("_id").alias("id_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -917,6 +962,7 @@ def audio_near_dup_pairs(
     decoder: Callable[[bytes], tuple[int, int, list[int]]] = stdlib_wav_samples,
     band_arity: int | str = 1,
     n_docs: int | None = None,
+    candidate_shape: str = "collect",
 ) -> DataFrame:
     """Content-level near-duplicate audio pairs: energy-sign fingerprint
     (``audio_fingerprint``) + the SHARED banded Hamming tail
@@ -933,7 +979,7 @@ def audio_near_dup_pairs(
     sig = audio_fingerprint(df, id_col, binary_col, frames=frames, decoder=decoder)
     return _banded_hamming_pairs(
         sig, "afp_hi", "afp_lo", max_hamming, bands, max_bucket_size,
-        arity=band_arity,
+        arity=band_arity, candidate_shape=candidate_shape,
     )
 
 

@@ -2551,3 +2551,35 @@ def test_hamming_topk_search_semantics(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_banded_tail_join_shape_equals_collect(spark):
+    """`candidate_shape='join'` (the fourth-decade memory-bounded
+    escape) must emit EXACTLY the collect shape's verified pairs,
+    including the max_bucket_size cap semantics."""
+    from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
+
+    rows = [(i, (i % 5) * 7, (i % 5) * 13 + (1 if i % 10 == 9 else 0))
+            for i in range(40)]
+    sig = spark.createDataFrame(rows, "id long, hi long, lo long")
+
+    def run(shape, cap=10_000):
+        return sorted(
+            map(
+                tuple,
+                M._banded_hamming_pairs(
+                    sig, "hi", "lo", 6, 8, cap, candidate_shape=shape
+                ).collect(),
+            )
+        )
+
+    base = run("collect")
+    assert run("join") == base and len(base) > 0
+    # the cap drops the same buckets in both shapes
+    assert run("join", cap=5) == run("collect", cap=5)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="candidate_shape"):
+        M._banded_hamming_pairs(
+            sig, "hi", "lo", 6, 8, 10, candidate_shape="nope"
+        )

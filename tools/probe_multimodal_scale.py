@@ -78,7 +78,9 @@ def probe_decode(spark, fixture: str, modalities: list[str]) -> None:
         )
 
 
-def probe_tail(spark, n_docs: int, group_size: int, arity: int = 1) -> None:
+def probe_tail(
+    spark, n_docs: int, group_size: int, arity: int = 1, shape: str = "collect"
+) -> None:
     cores = spark.sparkContext.defaultParallelism
     # bounded planted groups: base 64-bit fp per group from xxhash64,
     # member j of a group flips bit (j % 32) of the lo half — distances
@@ -97,12 +99,12 @@ def probe_tail(spark, n_docs: int, group_size: int, arity: int = 1) -> None:
     )
     t0 = time.time()
     n_pairs = M._banded_hamming_pairs(
-        sig, "hi", "lo", 6, 8, 10_000, arity=arity
+        sig, "hi", "lo", 6, 8, 10_000, arity=arity, candidate_shape=shape
     ).count()
     dt = time.time() - t0
     print(
         f"tail probe: n={n_docs} groups_of={group_size} arity={arity} "
-        f"cores={cores} — "
+        f"shape={shape} cores={cores} — "
         f"{dt:.1f} s, {n_pairs} pairs "
         f"(expected ~{n_docs // group_size * group_size * (group_size - 1) // 2})",
         flush=True,
@@ -171,7 +173,21 @@ def main() -> None:
     # so groups-per-task must fit the heap (20M sigs × 56 composite
     # bands over 32 partitions OOM'd the default 8 GB JVM — r14)
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
-    spark = get_spark(app_name="multimodal-probe", shuffle_partitions=shuffle)
+    # SPARK_GRAFT_SORT_AGG=1 forces SortAggregate for the bucket-collect:
+    # at fourth-decade cardinality (~1e9 distinct bucket keys) the
+    # MAP-SIDE PARTIAL collect_set holds a buffer per in-flight key and
+    # OOMs the 8 GB heap regardless of shuffle partitioning; sort-based
+    # aggregation streams one group at a time (measured r14)
+    extra = (
+        {"spark.sql.execution.useObjectHashAggregateExec": "false"}
+        if os.environ.get("SPARK_GRAFT_SORT_AGG")
+        else None
+    )
+    spark = get_spark(
+        app_name="multimodal-probe",
+        shuffle_partitions=shuffle,
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "decode":
         fixture = sys.argv[2] if len(sys.argv) > 2 else ".scale_fixtures/docs0.1x10"
@@ -181,7 +197,8 @@ def main() -> None:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
         g = int(sys.argv[3]) if len(sys.argv) > 3 else 4
         a = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-        probe_tail(spark, n, g, a)
+        shape = sys.argv[5] if len(sys.argv) > 5 else "collect"
+        probe_tail(spark, n, g, a, shape)
     elif mode == "pairs":
         ni = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
         nn = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000

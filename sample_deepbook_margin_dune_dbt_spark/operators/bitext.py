@@ -48,13 +48,135 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import (
-    _anchor_cosines_vectorized,
     _bounded_topk,
     _cell_assign_udf,
     _train_ivf_centers,
 )
 
 E6 = 1_000_000
+
+
+def _anchor_topk_survivors(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchors: list,
+    k: int,
+) -> DataFrame:
+    """Direction-tagged local top-k survivors of the anchor-matrix
+    scoring pass — the exact tier's r14 shuffle-fewer-bytes rewrite
+    (guide §2.3: aggregate before you shuffle). The former shape emitted
+    the FULL |A|·|B| scored matrix through the Arrow boundary + a
+    posexplode, twice (the forward and backward top-k each re-ran the
+    pass); here ONE pass emits, per Arrow batch, each B row's k best
+    anchors (``fwd=false`` — complete: every anchor is in-batch) and
+    each anchor's k best in-batch B rows (``fwd=true`` — a per-batch
+    partial whose global merge ``_topk_e6`` finishes): if a pair ranks
+    in a query's global top-k, at most k−1 rows beat it in ANY batch, so
+    it survives that batch's local cut — the `_ivf_cross_scored`
+    emission argument. ≤ k·(|B| + |A|·n_batches) rows leave Python
+    instead of |A|·|B|.
+
+    BIT-parity with ``_anchor_cosines_vectorized``: same dim-sequential
+    norm/dot accumulation, same division — identical doubles. Anchors
+    are pre-sorted by id and batch rows sorted by id before the stable
+    argsorts, so every local cut uses the exact (cos desc, id asc)
+    order of ``_bounded_topk``; NaN (zero-norm) sorts last under −cos
+    and negatives rank below every non-negative, so the caller's
+    ``cosine ≥ 0`` filter commutes with the local cut.
+
+    Output: (query_id, neighbor_id, cosine, fwd) — fwd rows are
+    (anchor, B vector), backward rows are (B vector, anchor).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    anchors = sorted(anchors, key=lambda r: int(r[0]))
+    qids = np.asarray([int(r[0]) for r in anchors], dtype=np.int64)
+    qvecs = [np.asarray(list(r[1]), dtype=np.float64) for r in anchors]
+    qnorms = []
+    for qv in qvecs:
+        acc = 0.0
+        for x in qv:
+            acc += x * x
+        qnorms.append(float(np.sqrt(acc)))
+    qn = np.asarray(qnorms)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("fwd", BooleanType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf["_bid"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = np.asarray(
+                [np.asarray(a, dtype=np.float64) for a in pdf["_bv"].iloc[order]]
+            )
+            if m.ndim != 2 or m.shape[1] == 0:
+                continue
+            mt = np.ascontiguousarray(m.T)
+            nacc = np.zeros(m.shape[0])
+            for d in range(mt.shape[0]):
+                nacc = nacc + mt[d] * mt[d]
+            norms = np.sqrt(nacc)
+            # cos[i, j] = B row i vs anchor j — the exact IEEE order of
+            # _anchor_cosines_vectorized (dim-sequential accumulation,
+            # qnorm·norm denominator)
+            cos = np.empty((m.shape[0], len(qvecs)))
+            for j, qv in enumerate(qvecs):
+                acc = np.zeros(m.shape[0])
+                for d in range(mt.shape[0]):
+                    acc = acc + mt[d] * qv[d]
+                cos[:, j] = acc / (qn[j] * norms)
+            # backward: per B row, k best anchors (anchors sorted by id
+            # → stable argsort ties break on id asc)
+            kk_a = min(k, cos.shape[1])
+            jj = np.argsort(-cos, axis=1, kind="stable")[:, :kk_a]
+            ii = np.repeat(np.arange(cos.shape[0]), kk_a)
+            jj = jj.ravel()
+            bq, bn, bc = ids[ii], qids[jj], cos[ii, jj]
+            # forward: per anchor, k best B rows IN THIS BATCH (rows
+            # sorted by id → ties break on id asc); merged globally by
+            # the caller's _topk_e6
+            kk_b = min(k, cos.shape[0])
+            ii2 = np.argsort(-cos, axis=0, kind="stable")[:kk_b, :].ravel()
+            jj2 = np.tile(np.arange(cos.shape[1]), kk_b)
+            fq, fn, fc = qids[jj2], ids[ii2], cos[ii2, jj2]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate([fq, bq]),
+                    "neighbor_id": np.concatenate([fn, bn]),
+                    "cosine": np.concatenate([fc, bc]),
+                    "fwd": np.concatenate(
+                        [
+                            np.ones(len(fq), dtype=bool),
+                            np.zeros(len(bq), dtype=bool),
+                        ]
+                    ),
+                }
+            )
+
+    return (
+        vectors.filter(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv"))
+        .mapInPandas(_score, schema=out_schema)
+    )
 
 
 def _topk_e6(scored: DataFrame, k: int) -> DataFrame:
@@ -458,27 +580,42 @@ def mine_parallel_pairs(
     measured point because BOTH the forward and backward top-k lists
     must be complete for bit-equality).
     """
+    from pyspark.storagelevel import StorageLevel
+
     sel = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col(side_col).alias("_s"),
     )
     if strategy == "ivf":
-        scored = _ivf_cross_scored(
-            sel,
-            k,
-            n_lists,
-            n_probes,
-            max_bucket_size,
-            train_sample,
-            seed,
-            train_strategy,
-            train_iters,
-            target_occupancy,
-        ).select(
-            F.col("id_a").alias("query_id"),
-            F.col("id_b").alias("neighbor_id"),
-            "cosine",
+        # stage the candidate frame ONCE (r14, guide §2.4): it is LINEAR
+        # by construction (≤ n·n_probes·k rows — the local top-k
+        # emission), and four consumers read it (forward/backward top-k,
+        # each feeding an avg and a margin join). Unstaged, the
+        # quadratic in-bucket Python scoring pass executed once per
+        # top-k tree (2 MapInPandas nodes in the r13 plan); the
+        # "never persist the quadratic intermediate" rule does not
+        # apply — the quadratic matrix dies inside the buckets, only
+        # survivors are staged.
+        scored = (
+            _ivf_cross_scored(
+                sel,
+                k,
+                n_lists,
+                n_probes,
+                max_bucket_size,
+                train_sample,
+                seed,
+                train_strategy,
+                train_iters,
+                target_occupancy,
+            )
+            .select(
+                F.col("id_a").alias("query_id"),
+                F.col("id_b").alias("neighbor_id"),
+                "cosine",
+            )
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
     elif strategy == "exact":
         a_side = sel.filter(F.col("_s")).select("_id", "_v")
@@ -500,22 +637,26 @@ def mine_parallel_pairs(
                 "or raise max_anchors deliberately."
             )
 
-        # one Arrow pass: every B vector scored against the A anchor
-        # matrix (query_id = the A anchor, neighbor_id = the B vector).
-        # The forward AND backward top-k both read it, so the Arrow pass
-        # executes TWICE — deliberately: the scored matrix is |A|·|B|
-        # rows (QUADRATIC), and materializing it (localCheckpoint) costs
-        # more than recomputing the linear scoring pass (measured r12 at
-        # sf0.1: 7.1 s staged vs 5.9 s recomputed) — "never persist/
-        # exchange the quadratic intermediate", the read twin of the
-        # candidate×payload lesson. Non-negative cosines only, in BOTH
+        # ONE Arrow pass emitting direction-tagged LOCAL top-k survivors
+        # (r14, guide §2.3 — the quadratic |A|·|B| scored matrix never
+        # leaves Python; see _anchor_topk_survivors). The r12 form
+        # re-ran the full scoring pass per direction because the
+        # quadratic emission was too big to stage (measured 7.1 s staged
+        # vs 5.9 s recomputed at sf0.1); the survivor frame is linear
+        # (≤ k·(|B| + |A|·n_batches) rows), so staging it is cheap and
+        # the pass runs ONCE. Non-negative cosines only, in BOTH
         # engines: keeps every downstream integer `div` on non-negative
         # operands (Spark truncates toward zero, DuckDB floors — they
-        # agree only there), and translation candidates are high-cosine
-        # by nature.
-        scored = _anchor_cosines_vectorized(b_side, "_id", "_v", anchors).filter(
-            F.col("cosine") >= 0
+        # agree only there); the filter commutes with the local cut
+        # (negatives rank below every non-negative).
+        surv = (
+            _anchor_topk_survivors(b_side, "_id", "_v", anchors, k)
+            .filter(F.col("cosine") >= 0)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
+        fwd = _topk_e6(surv.filter(F.col("fwd")).drop("fwd"), k)
+        bwd = _topk_e6(surv.filter(~F.col("fwd")).drop("fwd"), k)
+        return _margin_tail(fwd, bwd, margin_threshold_e6)
     else:
         raise ValueError(f"strategy must be 'exact' or 'ivf', got {strategy!r}")
 

@@ -377,8 +377,16 @@ def prefix_filter_jaccard_pairs(
     by id (one row each, not per-shingle) and ``array_intersect`` does
     the exact count in-task.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh, _ = _sh_rows_or_inline(df, id_col, text_col, n, vectorized, fp_rows)
-    # document frequency per fingerprint → per-doc rarity-sorted arrays
+    # document frequency per fingerprint → per-doc rarity-sorted arrays.
+    # Staged ONCE (r14, guide §2.4): three consumers read `ranked` (the
+    # prefix explode feeding both self-join sides plus the two
+    # verification array fetches) — unstaged, each re-ran the df-join +
+    # collect/sort aggregation above the reused exchange. The frame is
+    # the linear per-doc fp-array projection, the same staging class as
+    # the shingle projection itself.
     dfreq = sh.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         sh.join(dfreq, "_fp")
@@ -393,6 +401,7 @@ def prefix_filter_jaccard_pairs(
         .withColumn(
             "_plen", F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     prefix = ranked.select(
         "_id",
@@ -1054,38 +1063,53 @@ def _cc_label_prop(sym: DataFrame, max_iters: int) -> DataFrame | None:
 
     Returns ``None`` if ``max_iters`` rounds pass without reaching the
     fixpoint (unconverged labels would silently under-merge clusters)."""
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
-    )
+    labels = None
     changed = 1
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("b"), F.col("cluster_id").alias("_nl")
-                ),
-                "b",
+    for it in range(max_iters):
+        if it == 0:
+            # round 1 fused (r14): labels start as own id, so the
+            # neighbor-min join against the initial label table is an
+            # identity join — the round is exactly ONE aggregation over
+            # the symmetric edge list (every node appears as `a`), and
+            # the separate distinct+checkpoint label init disappears
+            # with it. Same labels, one join + one materializing action
+            # fewer per CC call.
+            new_labels = (
+                sym.groupBy("a")
+                .agg(F.min("b").alias("_min_nbr"))
+                .select(
+                    F.col("a").alias("id"),
+                    F.least(F.col("a"), F.col("_min_nbr")).alias("cluster_id"),
+                    F.col("a").alias("_prev"),
+                )
+                .localCheckpoint()
             )
-            .groupBy("a")
-            .agg(F.min("_nl").alias("_min_nbr"))
-        )
-        # carry the previous label through the update so convergence is a
-        # plain indicator aggregate over the checkpointed result — the
-        # old-vs-new join this replaces cost one shuffle-join per round
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("_min_nbr", "cluster_id")
-                ).alias("cluster_id"),
-                F.col("cluster_id").alias("_prev"),
+        else:
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("cluster_id").alias("_nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("_nl").alias("_min_nbr"))
             )
-            .localCheckpoint()
-        )
+            # carry the previous label through the update so convergence
+            # is a plain indicator aggregate over the checkpointed result
+            # — the old-vs-new join this replaces cost one shuffle-join
+            # per round
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("_min_nbr", "cluster_id")
+                    ).alias("cluster_id"),
+                    F.col("cluster_id").alias("_prev"),
+                )
+                .localCheckpoint()
+            )
         changed = new_labels.filter(F.col("cluster_id") != F.col("_prev")).limit(1).count()
         labels = new_labels.drop("_prev")
         if changed == 0:

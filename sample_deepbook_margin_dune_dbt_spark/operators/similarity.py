@@ -1412,64 +1412,78 @@ def ivf_ann_topk(
     n_lists: int = 16,
     n_probes: int = 4,
     seed: int = 42,
+    train_sample: int = 100_000,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
-    Index phase: cluster all vectors into ``n_lists`` cells (Spark ML
-    KMeans, seeded → deterministic); each vector is assigned to its cell.
-    Query phase: each query scores only the vectors in its ``n_probes``
-    nearest cells. The scoring join is an equi-join on the cell id — the
-    same no-cross-join property as the LSH variant, but with data-adaptive
-    cells (much better recall than hyperplanes on clustered embeddings).
+    Index phase: Euclidean k-means over a bounded, deterministic hash
+    sample on the driver (the ``ivf_pq_ann_topk`` training discipline —
+    one collect bounded by ``train_sample``, seeded NumPy Lloyd, never a
+    corpus-wide iterative fit) and one Arrow assignment pass over the
+    corpus. The Spark ML ``KMeans.fit`` this replaces ran ~2·maxIter
+    scheduler-bound jobs over the full table per call (measured r14:
+    the fit alone was most of the 6.6 s bench median) while still
+    sampling internally for init — the driver trainer does the same
+    bounded-sample work in one job. Query phase: each query scores only
+    the vectors in its ``n_probes`` nearest cells (one small Arrow probe
+    pass — the former broadcast crossJoin × window ranking spent a
+    shuffle + a window sort on a |queries|×n_lists frame). The scoring
+    join is an equi-join on the cell id — the same no-cross-join
+    property as the LSH variant, but with data-adaptive cells (much
+    better recall than hyperplanes on clustered embeddings).
 
-    At 100 TB the index phase is one KMeans fit over a sample + one
-    assignment pass, and cell ids become the table's bucketing/partition
-    key so probes prune at the scan.
+    At 100 TB the index phase is one bounded-sample fit + one assignment
+    pass, and cell ids become the table's bucketing/partition key so
+    probes prune at the scan.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.functions import pandas_udf
 
-    vec = vectors.select(
+    from .sampling import hash_uniform
+
+    total = vectors.count()
+    frac = min(1.0, 1.25 * train_sample / max(total, 1))
+    sample = (
+        vectors.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hash_uniform(id_col, "ivf-ann-train").alias("u"),
+        )
+        .filter(F.col("u") < F.lit(frac))
+        .collect()
+    )
+    sample.sort(key=lambda r: r["i"])
+    if not sample:
+        raise ValueError("ivf_ann_topk: no vectors to train on (empty input)")
+    x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
+    centers = _np_kmeans(x, min(n_lists, len(x)), seed=seed)
+
+    @pandas_udf("int")
+    def _cell(v: pd.Series) -> pd.Series:
+        xx = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(xx, centers).argmin(1).astype("int32"))
+
+    assigned = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vn"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="_cell")
-    model = km.fit(vec)
-    assigned = model.transform(vec).select(
-        "neighbor_id", "_vn", F.col("_cell"), _norm(F.col("_vn")).alias("_nn")
+        _cell(F.col(vec_col).cast("array<double>")).alias("_cell"),
+        _norm(F.col(vec_col)).alias("_nn"),
     )
 
-    # query → n_probes nearest centroids (centroids are tiny: broadcast math)
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    centers_df = F.broadcast(
-        vectors.sparkSession.createDataFrame(centers, "cell int, center array<double>")
-    )
-    q = queries.select(
+    # query → n_probes nearest centroids (centers are driver-side: one
+    # small Arrow pass; stable argsort keeps the (dist asc, cell asc)
+    # tie order of the window form this replaces)
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        xx = np.stack(v.to_numpy()).astype(np.float64)
+        d = _sq_dists(xx, centers)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series(list(order.astype("int32")))
+
+    q_cells = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_vq"),
         _norm(F.col(vec_col)).alias("_nq"),
-    )
-    q_cells = (
-        q.crossJoin(centers_df)
-        .withColumn(
-            "_dist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_vq"), F.col("center"), lambda x, c: (x.cast("double") - c) ** 2
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("_rk") <= n_probes)
-        .select("query_id", "_vq", "_nq", F.col("cell").alias("_cell"))
+        F.explode(_probe(F.col(vec_col).cast("array<double>"))).alias("_cell"),
     )
 
     scored = (

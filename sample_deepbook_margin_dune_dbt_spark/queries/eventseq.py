@@ -520,11 +520,23 @@ def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.sessions import sessionize
 
+    from pyspark.storagelevel import StorageLevel
+
     ev = load(spark, sf_dir, "events").select(
         "user_id", event_ts_us().alias("ts_us"), "event_type"
     )
     sess = sessionize(ev, "user_id", "ts_us", ASSOC_GAP_US, extra_cols=["event_type"])
-    baskets = sess.select("user_id", "session_id", "event_type").distinct()
+    # stage the basket rows ONCE (r14, guide §2.4): four consumers read
+    # them (the session total, the per-type singles, and BOTH self-join
+    # sides) — unstaged, each re-ran the sessionizer window + distinct
+    # (ReuseExchange only dedups the exchange itself, not the window/agg
+    # work above it). Baskets are (session, distinct type) rows — far
+    # smaller than the event log they summarize.
+    baskets = (
+        sess.select("user_id", "session_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
     tot = (
         baskets.select("user_id", "session_id")
         .distinct()

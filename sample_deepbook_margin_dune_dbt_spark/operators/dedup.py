@@ -1022,7 +1022,13 @@ def duplicate_clusters(
         )
         .select("e.a", "e.b")
         .distinct()
-        .localCheckpoint()
+        # lazy (r14): the count below scans EVERY partition, so it
+        # triggers the full materialization itself — the eager form ran
+        # an extra scheduled job for the same work. (Lazy checkpoints
+        # are only safe under a full-scan first action; the per-round
+        # label checkpoints stay eager because their first reader is a
+        # short-circuiting limit(1).)
+        .localCheckpoint(eager=False)
     )
     n_edges = sym.count()
     spark = sym.sparkSession

@@ -202,20 +202,22 @@ def synth_png_gray(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    raw = bytearray()
-    prev = bytes(width)
-    for y in range(height):
-        row = pixels[y * width : (y + 1) * width]
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw.extend(row)
-        elif filter_type == 1:  # Sub: delta vs left neighbor
-            raw.extend(
-                bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
-            )
-        else:  # Up: delta vs the pixel above
-            raw.extend(bytes((row[x] - prev[x]) & 0xFF for x in range(width)))
-        prev = row
+    # whole-image filter application in numpy (r14, guide §4.2): Sub is
+    # a row-axis diff, Up a column-axis diff, both mod 256 — identical
+    # bytes to the former per-pixel loop
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).astype(np.int64)
+    if filter_type == 0:
+        filt = img
+    elif filter_type == 1:  # Sub: delta vs left neighbor
+        filt = np.diff(img, axis=1, prepend=0) & 0xFF
+    else:  # Up: delta vs the pixel above (first row vs implicit zeros)
+        filt = np.diff(img, axis=0, prepend=0) & 0xFF
+    raw_m = np.empty((height, width + 1), dtype=np.uint8)
+    raw_m[:, 0] = filter_type
+    raw_m[:, 1:] = filt.astype(np.uint8)
+    raw = raw_m.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -260,6 +262,23 @@ def stdlib_png_pixel_decode(b: bytes) -> tuple[int, int, bytes]:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != height * (width + 1):
         raise ValueError("IDAT payload does not match IHDR dimensions")
+    import numpy as np
+
+    raw_m = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    fts = raw_m[:, 0]
+    # whole-image fast paths for uniform-filter images — what the synth
+    # encoder emits (r14, guide §4.2); identical bytes to the per-pixel
+    # loop below, which remains for mixed/Average/Paeth streams:
+    # None = copy; Sub = row-axis cumsum mod 256 (each pixel is the sum
+    # of its left deltas); Up = column-axis cumsum mod 256
+    if (fts == 0).all():
+        return width, height, raw_m[:, 1:].tobytes()
+    if (fts == 1).all():
+        out_m = np.cumsum(raw_m[:, 1:].astype(np.int64), axis=1) & 0xFF
+        return width, height, out_m.astype(np.uint8).tobytes()
+    if (fts == 2).all():
+        out_m = np.cumsum(raw_m[:, 1:].astype(np.int64), axis=0) & 0xFF
+        return width, height, out_m.astype(np.uint8).tobytes()
     out = bytearray(width * height)
     prev = bytes(width)
     for y in range(height):
@@ -303,16 +322,17 @@ def ahash_bits(pixels: bytes, width: int, height: int, grid: int = 8) -> list[in
         raise ValueError(
             f"ahash_bits: {width}x{height} not divisible into {grid}x{grid} blocks"
         )
+    import numpy as np
+
     bw, bh = width // grid, height // grid
-    sums = [0] * (grid * grid)
-    for y in range(height):
-        base = (y // bh) * grid
-        row = pixels[y * width : (y + 1) * width]
-        for x in range(width):
-            sums[base + (x // bw)] += row[x]
-    total = sum(sums)
+    # exact-integer block sums, vectorized (r14, guide §4.2): the
+    # (grid, bh, grid, bw) reshape sums each block in one C pass —
+    # identical int64 sums to the former per-pixel Python loop
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    sums = arr.reshape(grid, bh, grid, bw).sum(axis=(1, 3), dtype=np.int64)
+    total = int(sums.sum())
     n = grid * grid
-    return [1 if n * s > total else 0 for s in sums]
+    return [1 if n * int(s) > total else 0 for s in sums.ravel()]
 
 
 def image_ahash(
@@ -909,12 +929,16 @@ def audio_sign_bits(samples: list[int], frames: int = 64) -> list[int]:
         raise ValueError(
             f"audio_sign_bits: {n} samples not divisible into {frames} frames"
         )
+    import numpy as np
+
     fl = n // frames
-    e = [
-        sum(abs(s) for s in samples[f * fl : (f + 1) * fl])
-        for f in range(frames)
-    ]
-    return [1 if e[(f + 1) % frames] > e[f] else 0 for f in range(frames)]
+    # exact-integer frame energies, vectorized (r14, guide §4.2): one
+    # C abs + reshape-sum pass — identical int64 energies to the former
+    # per-sample Python generator
+    arr = np.abs(np.asarray(samples, dtype=np.int64)).reshape(frames, fl)
+    e = arr.sum(axis=1)
+    nxt = np.roll(e, -1)
+    return [1 if b else 0 for b in nxt > e]
 
 
 def audio_fingerprint(
@@ -1029,16 +1053,16 @@ def pattern_samples(
 
     Max sample = (4000 + 2000) · gains ≤ 18000 < 32767: no clipping, so
     an external oracle reproduces every frame energy arithmetically."""
+    import numpy as np
+
     k = doc_id % keys
     gain = 1 + (doc_id // keys) % gains
     noise_f = doc_id % frames if doc_id % 3 == 0 else -1
-    out: list[int] = []
-    for f in range(frames):
-        v = ((k + 1) * (f * f + 3 * f + 7) * 53 + (k + 7) * (f + 11) * 17) % 4001
-        if f == noise_f:
-            v += 2000
-        out.extend([v * gain] * frame_len)
-    return out
+    f = np.arange(frames, dtype=np.int64)
+    v = ((k + 1) * (f * f + 3 * f + 7) * 53 + (k + 7) * (f + 11) * 17) % 4001
+    if noise_f >= 0:
+        v[noise_f] += 2000
+    return np.repeat(v * gain, frame_len).tolist()
 
 
 def attach_pattern_wav(
@@ -1093,23 +1117,25 @@ def pattern_pixels(
 
     All values stay ≤ 160+levels+64 < 255: no clipping, so the external
     oracle reproduces every pixel arithmetically."""
+    import numpy as np
+
     n_blocks = grid * grid
     k = doc_id % keys
     bright = (doc_id // keys) % levels
     noise_blk = doc_id % n_blocks if doc_id % 3 == 0 else -1
     bw = size // grid
-    vals = [
-        ((k + 1) * (blk + 3) * 37) % 160
-        + bright
-        + (64 if blk == noise_blk else 0)
-        for blk in range(n_blocks)
-    ]
-    px = bytearray(size * size)
-    for y in range(size):
-        base = (y // bw) * grid
-        for x in range(size):
-            px[y * size + x] = vals[base + (x // bw)]
-    return bytes(px)
+    blk = np.arange(n_blocks, dtype=np.int64)
+    vals = ((k + 1) * (blk + 3) * 37) % 160 + bright
+    if noise_blk >= 0:
+        vals[noise_blk] += 64
+    # expand the grid×grid block values to the pixel grid in two C
+    # repeats (r14, guide §4.2) — same bytes as the per-pixel loop
+    px = np.repeat(
+        np.repeat(vals.reshape(grid, grid).astype(np.uint8), bw, axis=0),
+        bw,
+        axis=1,
+    )
+    return px.tobytes()
 
 
 def attach_pattern_png(
@@ -1394,6 +1420,8 @@ def pattern_video_pixels(
       must reproduce the actual min arithmetic, not just find zeros.
 
     Values stay ≤ 180 + levels + 64 < 255: no clipping."""
+    import numpy as np
+
     n_blocks = grid * grid
     k = video_id % keys
     rot = (video_id // keys) % n_frames
@@ -1401,19 +1429,19 @@ def pattern_video_pixels(
     kf = k * n_frames + (frame + rot) % n_frames
     noise_blk = (video_id + frame) % n_blocks if video_id % 3 == 0 else -1
     bw = size // grid
-    vals = [
-        ((kf * kf + 3 * kf + 7) * (blk * blk + 3 * blk + 11) * 53
-         + (kf + 7) * (blk + 13) * 17) % VIDEO_PATTERN_P
-        + bright
-        + (64 if blk == noise_blk else 0)
-        for blk in range(n_blocks)
-    ]
-    px = bytearray(size * size)
-    for y in range(size):
-        base = (y // bw) * grid
-        for x in range(size):
-            px[y * size + x] = vals[base + (x // bw)]
-    return bytes(px)
+    blk = np.arange(n_blocks, dtype=np.int64)
+    vals = (
+        (kf * kf + 3 * kf + 7) * (blk * blk + 3 * blk + 11) * 53
+        + (kf + 7) * (blk + 13) * 17
+    ) % VIDEO_PATTERN_P + bright
+    if noise_blk >= 0:
+        vals[noise_blk] += 64
+    px = np.repeat(
+        np.repeat(vals.reshape(grid, grid).astype(np.uint8), bw, axis=0),
+        bw,
+        axis=1,
+    )
+    return px.tobytes()
 
 
 def attach_pattern_video(

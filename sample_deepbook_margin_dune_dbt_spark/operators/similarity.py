@@ -484,9 +484,12 @@ def ensure_k_neighbors(
     (it is ≤ |queries|·k rows — trivially bounded): without it, the
     probe executes the whole upstream ANN pipeline and the caller's
     action executes it again (measured 2×: 0.78 s of a 2.2 s IVF-PQ
-    query was this double execution).
+    query was this double execution). Lazy (r14): the eager default ran
+    the materialization as its own job; deferring it folds it into the
+    deficit-probe collect — same single materialization, one fewer
+    scheduled action per ANN query.
     """
-    out = out.localCheckpoint()
+    out = out.localCheckpoint(eager=False)
     counts = (
         queries.select(F.col(query_id_col).alias("query_id"))
         .join(

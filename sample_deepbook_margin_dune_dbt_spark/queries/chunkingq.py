@@ -177,19 +177,29 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in ``chunk_pack_bestfit_detail`` (EXTRA, pytest-verified).
     """
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     from ..functions.text import token_count
     from ..operators.chunking import pack_bestfit
 
+    # stage the tokenized projection ONCE (r14, guide §2.4): nine
+    # subtrees consume it (two aggregates per packing length plus the
+    # padded-layout base) — unstaged, each re-ran the scan + tokenize
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", token_count(F.col("text")).cast("long").alias("t"))
         .filter(F.col("t") > 0)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     packed = None
     for length in _PACK_LENGTHS:
-        a = pack_bestfit(docs, "doc_id", "t", length, n_partitions=_BF_PARTS)
+        # stage each length's piece→bin assignment (one row per
+        # remainder piece): its TWO aggregate consumers re-ran the
+        # whole shuffle + applyInPandas packing pass otherwise
+        a = pack_bestfit(
+            docs, "doc_id", "t", length, n_partitions=_BF_PARTS
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         bins = a.groupBy("bin_id").agg(
             F.sum("rem_tokens").alias("s"),
             F.max("bin_fill").alias("f"),

@@ -302,6 +302,7 @@ def render_stdout_line(
     total_sec: float,
     timings_sec: dict[str, float],
     stdout_names: list[str] | None = None,
+    load: float | None = None,
 ) -> str:
     """The ONE line the driver parses: ms-integer values, compact JSON.
 
@@ -311,16 +312,24 @@ def render_stdout_line(
     headroom at 83 queries (VERDICT r8 item 4). ``total`` is ALWAYS the
     full headline-set total and ``nq`` its query count; the complete
     per-query map lives in ``BENCH_DETAIL.json``.
+
+    ``load`` (r15, VERDICT r14 item 2): the PRE-WARMUP 1-minute loadavg,
+    centi-load integer (1.5 load → 150) so the line stays all-int. Both
+    r13 and r14 driver benches ran on a contended host and the PERF
+    comparison was voided with nothing on the parsed line to attribute
+    it; this field makes the stdout line self-describing — a reader can
+    weight (or discard) the totals by external machine load without the
+    BENCH_DETAIL sidecar. Existing keys are unchanged (additive only).
     """
     names = [n for n in (stdout_names or list(timings_sec)) if n in timings_sec]
-    return json.dumps(
-        {
-            "total": int(round(total_sec * 1000)),
-            "nq": len(timings_sec),
-            "q": {n: int(round(timings_sec[n] * 1000)) for n in names},
-        },
-        separators=(",", ":"),
-    )
+    doc = {
+        "total": int(round(total_sec * 1000)),
+        "nq": len(timings_sec),
+    }
+    if load is not None:
+        doc["load"] = int(round(load * 100))
+    doc["q"] = {n: int(round(timings_sec[n] * 1000)) for n in names}
+    return json.dumps(doc, separators=(",", ":"))
 
 
 def force_full(df) -> int:
@@ -431,7 +440,14 @@ def main() -> None:
     # (see module docstring; r6 AND r7 both overflowed the driver's
     # 2000-char tail capture — the seconds-float + preamble rendering is
     # gone for good, and test_bench_contract.py pins the budget).
-    print(render_stdout_line(total, timings, stdout_names=DRIVER_QUERY_ORDER))
+    print(
+        render_stdout_line(
+            total,
+            timings,
+            stdout_names=DRIVER_QUERY_ORDER,
+            load=load_pre_warmup[0],
+        )
+    )
     # quiet-machine gate (VERDICT r13 item 9): a contended box (1-min
     # pre-warmup load > 1 — this process's own threads haven't started
     # yet) produces timings that cost a clean round-over-round read

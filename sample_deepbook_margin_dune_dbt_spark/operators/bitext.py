@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import (
-    _bounded_topk,
     _cell_assign_udf,
     _train_ivf_centers,
 )
@@ -71,7 +70,7 @@ def _anchor_topk_survivors(
     pass); here ONE pass emits, per Arrow batch, each B row's k best
     anchors (``fwd=false`` — complete: every anchor is in-batch) and
     each anchor's k best in-batch B rows (``fwd=true`` — a per-batch
-    partial whose global merge ``_topk_e6`` finishes): if a pair ranks
+    partial whose global merge ``_ranked_directions`` finishes): if a pair ranks
     in a query's global top-k, at most k−1 rows beat it in ANY batch, so
     it survives that batch's local cut — the `_ivf_cross_scored`
     emission argument. ≤ k·(|B| + |A|·n_batches) rows leave Python
@@ -129,7 +128,16 @@ def _anchor_topk_survivors(
                 [np.asarray(a, dtype=np.float64) for a in pdf["_bv"].iloc[order]]
             )
             if m.ndim != 2 or m.shape[1] == 0:
-                continue
+                # ragged vector lengths (or all-empty) inside one Arrow
+                # batch: silently skipping would DROP the rows from the
+                # mining output (ADVICE r14) — fail loudly instead; the
+                # caller already filters size(vec) > 0, so this only
+                # fires on genuinely malformed mixed-dimension input
+                raise ValueError(
+                    "_anchor_topk_survivors: ragged or zero-dim vector "
+                    f"batch (np shape {m.shape}) — all side-B vectors "
+                    "must share one dimension"
+                )
             mt = np.ascontiguousarray(m.T)
             nacc = np.zeros(m.shape[0])
             for d in range(mt.shape[0]):
@@ -153,7 +161,7 @@ def _anchor_topk_survivors(
             bq, bn, bc = ids[ii], qids[jj], cos[ii, jj]
             # forward: per anchor, k best B rows IN THIS BATCH (rows
             # sorted by id → ties break on id asc); merged globally by
-            # the caller's _topk_e6
+            # the caller's combined top-k aggregation
             kk_b = min(k, cos.shape[0])
             ii2 = np.argsort(-cos, axis=0, kind="stable")[:kk_b, :].ravel()
             jj2 = np.tile(np.arange(cos.shape[1]), kk_b)
@@ -179,53 +187,103 @@ def _anchor_topk_survivors(
     )
 
 
-def _topk_e6(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query bounded top-k of the scored pairs with the e6 floor
-    applied AFTER selection (selection by the full double, the same
-    order the oracle's row_number uses)."""
-    return _bounded_topk(scored, k).select(
-        "query_id",
-        "neighbor_id",
-        F.floor(F.col("cosine") * E6).cast("long").alias("cos_e6"),
-        "rank",
-    )
+def _ranked_directions(pairs: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+    """BOTH directions' per-query top-k lists + the exact-integer
+    neighborhood average, in ONE two-level bounded aggregation (r15,
+    VERDICT r14 item 5: the per-direction ``_topk_e6`` trees re-ran the
+    staged candidate scan once per margin-tail consumer — 18 ExistingRDD
+    scans / 36 Exchanges in the r14 IVF after-plan).
 
+    Input: direction-tagged candidate rows ``(query_id, neighbor_id,
+    cosine, fwd)``. Output: one row per (query, direction) —
+    ``(query_id, fwd, _items array<struct<id, cos_e6>>, avg_e6)`` with
+    ``_items`` in the exact ``_bounded_topk`` order (cos desc, id asc —
+    same salt, same struct sort keys, same two-level slice, so the
+    selected SETS are byte-identical to the per-direction form) and
 
-def _margin_tail(fwd: DataFrame, bwd: DataFrame, margin_threshold_e6: int) -> DataFrame:
-    """The tier-independent margin stage: forward/backward top-k rows
-    (query_id, neighbor_id, cos_e6) → mined pairs with the exact-integer
-    ratio margin and the mutual-best flag. Both tiers feed this
-    unchanged — the candidate generator only decides WHICH pairs are
-    scored, never how the margin arithmetic runs."""
-    avg_fwd = fwd.groupBy(F.col("query_id").alias("id_a")).agg(
-        F.expr("sum(cos_e6) div count(1)").cast("long").alias("avg_fwd_e6")
-    )
-    avg_bwd = bwd.groupBy(F.col("query_id").alias("id_b")).agg(
-        F.expr("sum(cos_e6) div count(1)").cast("long").alias("avg_bwd_e6")
-    )
+        avg_e6 = (Σ top-k cos_e6) div k_actual
 
-    def _margined(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.join(avg_fwd, "id_a")
-            .join(avg_bwd, "id_b")
-            .filter(
-                (F.col("cos_e6") >= 0)
-                & (F.col("avg_fwd_e6") + F.col("avg_bwd_e6") > 0)
-            )
-            .withColumn(
-                "margin_e6",
-                F.expr(
-                    "(cos_e6 * 2000000L) div (avg_fwd_e6 + avg_bwd_e6)"
-                ).cast("long"),
-            )
+    computed from the selected array itself — the former ``avg_fwd`` /
+    ``avg_bwd`` groupBys over re-executed top-k trees collapse into a
+    projection (the e6 floor is applied AFTER selection, exactly like
+    ``_topk_e6``)."""
+    item = F.struct(
+        (-F.col("cosine")).alias("_key"),
+        F.col("neighbor_id").alias("_id"),
+        F.col("cosine").alias("_score"),
+    )
+    first = (
+        pairs.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts))
         )
+        .groupBy("query_id", "fwd", "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
+    )
+    return (
+        first.groupBy("query_id", "fwd")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+            ).alias("_top")
+        )
+        .select(
+            "query_id",
+            "fwd",
+            F.expr(
+                f"transform(_top, t -> struct(t._id AS id, "
+                f"CAST(floor(t._score * {E6}) AS BIGINT) AS cos_e6))"
+            ).alias("_items"),
+        )
+        .withColumn(
+            "avg_e6",
+            F.expr(
+                "aggregate(_items, 0L, (a, x) -> a + x.cos_e6) "
+                "div CAST(size(_items) AS BIGINT)"
+            ).cast("long"),
+        )
+    )
 
-    fwd_m = _margined(
-        fwd.select(
+
+def _margin_tail_ranked(ranked: DataFrame, margin_threshold_e6: int) -> DataFrame:
+    """The margin tail over the pre-aggregated ``_ranked_directions``
+    frame. Arithmetic is ``_margin_tail``'s, row for row; the two join
+    removals are identities:
+
+    - ``fwd ⋈ avg_fwd`` (and ``bwd ⋈ avg_bwd``) joined a frame to an
+      aggregate OF ITSELF on the group key — every row matches and the
+      joined value is the row's own group average, which now rides the
+      same ``ranked`` row (``avg_e6``);
+    - the remaining cross-direction joins (``fwd ⋈ avg_bwd`` on id_b,
+      ``bwd ⋈ avg_fwd`` on id_a) stay real inner joins, reading the
+      tiny staged ``ranked`` frame instead of re-running a top-k tree.
+    """
+    fwd_rows = (
+        ranked.filter(F.col("fwd"))
+        .select(
             F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cos_e6",
+            F.col("avg_e6").alias("avg_fwd_e6"),
+            F.explode("_items").alias("_it"),
         )
+        .select(
+            "id_a",
+            F.col("_it.id").alias("id_b"),
+            F.col("_it.cos_e6").alias("cos_e6"),
+            "avg_fwd_e6",
+        )
+    )
+    avg_bwd = ranked.filter(~F.col("fwd")).select(
+        F.col("query_id").alias("id_b"), F.col("avg_e6").alias("avg_bwd_e6")
+    )
+    margin = F.expr("(cos_e6 * 2000000L) div (avg_fwd_e6 + avg_bwd_e6)").cast(
+        "long"
+    )
+    keep = (F.col("cos_e6") >= 0) & (
+        F.col("avg_fwd_e6") + F.col("avg_bwd_e6") > 0
+    )
+    fwd_m = (
+        fwd_rows.join(avg_bwd, "id_b")
+        .filter(keep)
+        .withColumn("margin_e6", margin)
     )
     # best B per A: max margin, ties → lower id_b (k-bounded groups)
     pick = F.struct(
@@ -245,12 +303,27 @@ def _margin_tail(fwd: DataFrame, bwd: DataFrame, margin_threshold_e6: int) -> Da
         )
     )
     # B's best A (same margin formula over the backward top-k pairs)
-    bwd_m = _margined(
-        bwd.select(
+    bwd_rows = (
+        ranked.filter(~F.col("fwd"))
+        .select(
             F.col("query_id").alias("id_b"),
-            F.col("neighbor_id").alias("id_a"),
-            "cos_e6",
+            F.col("avg_e6").alias("avg_bwd_e6"),
+            F.explode("_items").alias("_it"),
         )
+        .select(
+            "id_b",
+            F.col("_it.id").alias("id_a"),
+            F.col("_it.cos_e6").alias("cos_e6"),
+            "avg_bwd_e6",
+        )
+    )
+    avg_fwd = ranked.filter(F.col("fwd")).select(
+        F.col("query_id").alias("id_a"), F.col("avg_e6").alias("avg_fwd_e6")
+    )
+    bwd_m = (
+        bwd_rows.join(avg_fwd, "id_a")
+        .filter(keep)
+        .withColumn("margin_e6", margin)
     )
     pick_b = F.struct(
         (-F.col("margin_e6")).alias("_nm"),
@@ -588,35 +661,44 @@ def mine_parallel_pairs(
         F.col(side_col).alias("_s"),
     )
     if strategy == "ivf":
-        # stage the candidate frame ONCE (r14, guide §2.4): it is LINEAR
-        # by construction (≤ n·n_probes·k rows — the local top-k
-        # emission), and four consumers read it (forward/backward top-k,
-        # each feeding an avg and a margin join). Unstaged, the
-        # quadratic in-bucket Python scoring pass executed once per
-        # top-k tree (2 MapInPandas nodes in the r13 plan); the
-        # "never persist the quadratic intermediate" rule does not
-        # apply — the quadratic matrix dies inside the buckets, only
-        # survivors are staged.
-        scored = (
-            _ivf_cross_scored(
-                sel,
-                k,
-                n_lists,
-                n_probes,
-                max_bucket_size,
-                train_sample,
-                seed,
-                train_strategy,
-                train_iters,
-                target_occupancy,
-            )
-            .select(
-                F.col("id_a").alias("query_id"),
-                F.col("id_b").alias("neighbor_id"),
-                "cosine",
-            )
-            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        # both directions from ONE read of the candidate generator
+        # (r15, VERDICT r14 item 5): each candidate pair is its own
+        # forward row and its swapped backward row (cos is symmetric),
+        # so the scored frame feeds the single combined top-k
+        # aggregation below instead of two per-direction trees — the
+        # r14 form staged the candidates and still re-read the staged
+        # scan once per margin-tail consumer (18 ExistingRDD scans / 36
+        # Exchanges in the committed after-plan).
+        scored = _ivf_cross_scored(
+            sel,
+            k,
+            n_lists,
+            n_probes,
+            max_bucket_size,
+            train_sample,
+            seed,
+            train_strategy,
+            train_iters,
+            target_occupancy,
         )
+        pairs = scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("query_id"),
+                        F.col("id_b").alias("neighbor_id"),
+                        F.col("cosine").alias("cosine"),
+                        F.lit(True).alias("fwd"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("query_id"),
+                        F.col("id_a").alias("neighbor_id"),
+                        F.col("cosine").alias("cosine"),
+                        F.lit(False).alias("fwd"),
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.*")
     elif strategy == "exact":
         a_side = sel.filter(F.col("_s")).select("_id", "_v")
         b_side = sel.filter(~F.col("_s")).select("_id", "_v")
@@ -639,37 +721,28 @@ def mine_parallel_pairs(
 
         # ONE Arrow pass emitting direction-tagged LOCAL top-k survivors
         # (r14, guide §2.3 — the quadratic |A|·|B| scored matrix never
-        # leaves Python; see _anchor_topk_survivors). The r12 form
-        # re-ran the full scoring pass per direction because the
-        # quadratic emission was too big to stage (measured 7.1 s staged
-        # vs 5.9 s recomputed at sf0.1); the survivor frame is linear
-        # (≤ k·(|B| + |A|·n_batches) rows), so staging it is cheap and
-        # the pass runs ONCE. Non-negative cosines only, in BOTH
+        # leaves Python; see _anchor_topk_survivors), already in the
+        # (query_id, neighbor_id, cosine, fwd) shape the combined
+        # aggregation consumes. Non-negative cosines only, in BOTH
         # engines: keeps every downstream integer `div` on non-negative
         # operands (Spark truncates toward zero, DuckDB floors — they
         # agree only there); the filter commutes with the local cut
         # (negatives rank below every non-negative).
-        surv = (
-            _anchor_topk_survivors(b_side, "_id", "_v", anchors, k)
-            .filter(F.col("cosine") >= 0)
-            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        pairs = _anchor_topk_survivors(b_side, "_id", "_v", anchors, k).filter(
+            F.col("cosine") >= 0
         )
-        fwd = _topk_e6(surv.filter(F.col("fwd")).drop("fwd"), k)
-        bwd = _topk_e6(surv.filter(~F.col("fwd")).drop("fwd"), k)
-        return _margin_tail(fwd, bwd, margin_threshold_e6)
     else:
         raise ValueError(f"strategy must be 'exact' or 'ivf', got {strategy!r}")
 
-    # forward: per A, top-k B neighbors
-    fwd = _topk_e6(scored, k)
-    # backward: per B, top-k A neighbors — the SAME scored rows with
-    # the roles swapped (cos is symmetric), so no second scoring pass
-    bwd = _topk_e6(
-        scored.select(
-            F.col("neighbor_id").alias("query_id"),
-            F.col("query_id").alias("neighbor_id"),
-            "cosine",
-        ),
-        k,
+    # ONE combined aggregation produces both directions' top-k lists and
+    # their neighborhood averages (r15, guide §2.3/§2.4); the candidate
+    # generator — the expensive Python scoring pass in both tiers — now
+    # executes exactly once, as the single input of this aggregation.
+    # Only the TINY ranked frame (≤ 2 rows per distinct id, k-bounded
+    # arrays) is staged for the margin tail's four readers; the r14 form
+    # staged the linear candidate frame and re-ran a two-exchange top-k
+    # tree over it per reader.
+    ranked = _ranked_directions(pairs, k).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
-    return _margin_tail(fwd, bwd, margin_threshold_e6)
+    return _margin_tail_ranked(ranked, margin_threshold_e6)

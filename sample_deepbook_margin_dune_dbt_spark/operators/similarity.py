@@ -1405,6 +1405,61 @@ def lsh_bucket_stats(
     )
 
 
+def _bounded_train_rows(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_sample: int,
+    salt: str,
+) -> list:
+    """Deterministic bounded training rows for the driver-side k-means
+    trainers — WITHOUT an unconditional count pass (VERDICT r14 item 4:
+    the old ``vectors.count()`` ran a full-table job per call just to
+    size the sample fraction).
+
+    One guarded probe job ships at most ``cap = 1.25·train_sample + 1``
+    rows (the ``mine_parallel_pairs`` ``limit(max_anchors+1).collect()``
+    discipline). If the probe comes back short of the cap, it holds the
+    ENTIRE corpus — exactly the rows the old ``frac = 1.0`` path
+    collected, so the training matrix is byte-identical, in ONE job
+    instead of two. Only when the corpus exceeds the cap (never at
+    fixture scale; the regime where the old form also ran two full
+    passes) does it fall back to the exact count + uniform hash-bounded
+    sample — the SAME set the old form drew, so centers are identical
+    in every regime.
+
+    DRIVER MEMORY (ADVICE r14): the collect is bounded by
+    ``cap × (dim × 8 B + id)`` — ~64 MB at the 100k/dim-64 defaults but
+    multi-GB at production embedding dims (dim 1536 float64 ≈ 1.5 GB);
+    size ``train_sample`` by bytes (``train_sample ≈ budget/(dim·8)``),
+    not rows, when raising it.
+
+    Returns rows ``(i, v)`` sorted ascending by id, truncated to
+    ``train_sample`` (k-means init draws from row positions, so the
+    id-sorted order keeps the chosen matrix independent of partition
+    layout).
+    """
+    from .sampling import hash_uniform
+
+    sel = vectors.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cap = int(1.25 * train_sample) + 1
+    rows = sel.limit(cap).collect()
+    if len(rows) >= cap:
+        total = sel.count()
+        frac = min(1.0, 1.25 * train_sample / max(total, 1))
+        rows = (
+            sel.withColumn("u", hash_uniform(F.col("i"), salt))
+            .filter(F.col("u") < F.lit(frac))
+            .select("i", "v")
+            .collect()
+        )
+    rows.sort(key=lambda r: r["i"])
+    return rows[:train_sample]
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1419,11 +1474,12 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
-    Index phase: Euclidean k-means over a bounded, deterministic hash
-    sample on the driver (the ``ivf_pq_ann_topk`` training discipline —
-    one collect bounded by ``train_sample``, seeded NumPy Lloyd, never a
-    corpus-wide iterative fit) and one Arrow assignment pass over the
-    corpus. The Spark ML ``KMeans.fit`` this replaces ran ~2·maxIter
+    Index phase: Euclidean k-means over a bounded, deterministic sample
+    on the driver (``_bounded_train_rows`` — one guarded probe job, no
+    unconditional count pass, seeded NumPy Lloyd, never a corpus-wide
+    iterative fit; see its docstring for the driver-memory bound —
+    size ``train_sample`` by bytes at production embedding dims) and
+    one Arrow assignment pass over the corpus. The Spark ML ``KMeans.fit`` this replaces ran ~2·maxIter
     scheduler-bound jobs over the full table per call (measured r14:
     the fit alone was most of the 6.6 s bench median) while still
     sampling internally for init — the driver trainer does the same
@@ -1441,23 +1497,12 @@ def ivf_ann_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .sampling import hash_uniform
-
-    total = vectors.count()
-    frac = min(1.0, 1.25 * train_sample / max(total, 1))
-    sample = (
-        vectors.select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            hash_uniform(id_col, "ivf-ann-train").alias("u"),
-        )
-        .filter(F.col("u") < F.lit(frac))
-        .collect()
+    sample = _bounded_train_rows(
+        vectors, id_col, vec_col, train_sample, "ivf-ann-train"
     )
-    sample.sort(key=lambda r: r["i"])
     if not sample:
         raise ValueError("ivf_ann_topk: no vectors to train on (empty input)")
-    x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
     centers = _np_kmeans(x, min(n_lists, len(x)), seed=seed)
 
     @pandas_udf("int")
@@ -1646,30 +1691,17 @@ def ivf_pq_ann_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .sampling import hash_uniform
-
     spark = vectors.sparkSession
-    # ---- 1. train on a bounded, deterministic hash sample. A fraction
-    # sized ~1.25× over target bounds the collect; the driver-side sort on
-    # (hash, id) + truncate keeps the chosen SET deterministic without a
-    # cluster-wide TakeOrdered (the old ``orderBy(id).limit(n)`` scanned +
-    # heaped the full corpus just to pick a training sample — VERDICT r2 #6).
-    total = vectors.count()
-    frac = min(1.0, 1.25 * train_sample / max(total, 1))
-    sample = (
-        vectors.select(
-            F.col(id_col).alias("i"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            hash_uniform(id_col, "ivfpq-train").alias("u"),
-        )
-        .filter(F.col("u") < F.lit(frac))
-        .collect()
-    )
-    # membership is decided by the hash; order (k-means init draws from row
+    # ---- 1. train on a bounded, deterministic sample: one guarded probe
+    # job (count pass only when the corpus exceeds the cap — see
+    # ``_bounded_train_rows``; r15, VERDICT r14 item 4). Membership is
+    # decided by the probe/hash; order (k-means init draws from row
     # positions) by id so a corpus that fits entirely in the sample trains
     # on exactly the same matrix as the previous orderBy(id) construction.
-    sample.sort(key=lambda r: r["i"])
-    x = np.array([r["v"] for r in sample[:train_sample]], dtype=np.float64)
+    sample = _bounded_train_rows(
+        vectors, id_col, vec_col, train_sample, "ivfpq-train"
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
     dim = x.shape[1]
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")

@@ -508,6 +508,19 @@ driver query moved to ``EXTRA_QUERIES``:
   its own window, so the hash match certifies candidate generation,
   verification, and ranking end to end).
 
+- round 15 (per VERDICT r14 item 7 — steady-state AGE cycle, round
+  four; an optimization round, so the cycle only drains the documented
+  backlog, no new families). In (both re-verified against the DuckDB
+  oracle at sf0.001 + sf0.01 this session before declaring): the two
+  r5-evidence rows the r14 note named as the oldest backlog —
+  ``tpch_q8`` (the 8-table multi-join market-share shape) and
+  ``w_gap_fill_locf`` (date-spine densification + LOCF). Out (both
+  r14-green, capability stays represented): ``tpch_q12`` (pushdown +
+  IN-list + conditional agg — the IN-list drill runs in pytest, the
+  join-agg shape is held by staying ``tpch_q3``/``q10`` and incoming
+  ``q8``), ``w3_lag_delta`` (→ incoming ``w_gap_fill_locf``, the same
+  window/lag capability). Both held in EXTRA + pytest as always.
+
 EXTRA_QUERIES stay fully oracle-verified by the local suite
 (``tests/test_oracle_parity.py`` runs ``FULL_QUERIES``) — only the driver
 declaration is trimmed to fit its window.
@@ -613,8 +626,11 @@ DRIVER_QUERY_ORDER = [
     # (same capability family)
     "text_token_count",
     "j1_foj_volume_chain",
-    # r12: r2-evidence time-function drill takes the scan/project row
-    "w3_lag_delta",
+    # r15: the r5-evidence date-spine + LOCF window family returns on
+    # age (the oldest backlog row); the lag-delta drill it replaces is
+    # the same window/lag capability, freshly r14-green, held in
+    # EXTRA + pytest
+    "w_gap_fill_locf",
     "j4_seed_ci_join",
     "p4_watermark",
     # r14: the r5-evidence sketch-union / length-histogram / boilerplate
@@ -632,11 +648,15 @@ DRIVER_QUERY_ORDER = [
     # r14: the r4-evidence embedding-centroid aggregation returns on age
     "embedding_centroids",
     "p11_case_join_key",
-    # TPC-H (r14: the r4-evidence q3/q10/q12 return on age; q15/q19/q22
-    # r13-green, held in EXTRA — the IN-list drill p7 runs in pytest)
+    # TPC-H (r14: the r4-evidence q3/q10 return on age; q15/q19/q22
+    # r13-green, held in EXTRA — the IN-list drill p7 runs in pytest.
+    # r15: the r5-evidence q8 — the oldest backlog row — takes q12's
+    # slot; q12's pushdown + IN-list + conditional-agg shapes stay
+    # covered by staying q3/q10 + incoming q8's multi-join, and q12
+    # itself is freshly r14-green, held in EXTRA + pytest)
     "tpch_q3",
     "tpch_q10",
-    "tpch_q12",
+    "tpch_q8",
 ]
 
 DRIVER_WINDOW = 50

@@ -44,7 +44,12 @@ def test_stdout_line_fits_driver_capture_worst_case():
     inflated = {name: 9.999 for name in bench.BENCH_QUERIES}
     inflated.update({f"future_query_with_a_long_name_{i:02d}": 9.999 for i in range(120 - len(inflated))})
     line = bench.render_stdout_line(
-        sum(inflated.values()), inflated, stdout_names=DRIVER_QUERY_ORDER
+        sum(inflated.values()),
+        inflated,
+        stdout_names=DRIVER_QUERY_ORDER,
+        # worst-case load rendering: a 3-digit centi-load int ("load":99999
+        # would need load 999.99 — 5 digits covers any real box)
+        load=999.99,
     )
     assert "\n" not in line
     assert len(line) < bench.STDOUT_LINE_BUDGET, (
@@ -60,15 +65,30 @@ def test_stdout_line_fits_driver_capture_worst_case():
 def test_stdout_line_is_flat_ms_integer_json():
     timings = {name: 0.4567 for name in bench.BENCH_QUERIES}
     parsed = json.loads(
-        bench.render_stdout_line(12.3456, timings, stdout_names=DRIVER_QUERY_ORDER)
+        bench.render_stdout_line(
+            12.3456, timings, stdout_names=DRIVER_QUERY_ORDER, load=1.53
+        )
     )
-    assert set(parsed) == {"total", "nq", "q"}
+    assert set(parsed) == {"total", "nq", "load", "q"}
     assert parsed["total"] == 12346
     assert parsed["nq"] == len(bench.BENCH_QUERIES)
+    # pre-warmup 1-min loadavg as a centi-load integer (VERDICT r14 item
+    # 2): the parsed line itself says whether the box was contended
+    assert parsed["load"] == 153
     # stdout carries exactly the driver-window queries that hold bench rows
     assert set(parsed["q"]) == {n for n in DRIVER_QUERY_ORDER if n in timings}
     assert all(isinstance(v, int) for v in parsed["q"].values())
     assert parsed["q"][DRIVER_QUERY_ORDER[0]] == 457
+
+
+def test_stdout_line_without_load_keeps_legacy_shape():
+    # the load field is additive: a caller that doesn't pass it gets the
+    # exact pre-r15 line, so round-over-round parsers never break
+    timings = {name: 0.4567 for name in bench.BENCH_QUERIES}
+    parsed = json.loads(
+        bench.render_stdout_line(12.3456, timings, stdout_names=DRIVER_QUERY_ORDER)
+    )
+    assert set(parsed) == {"total", "nq", "q"}
 
 
 def test_stdout_line_without_subset_carries_all_queries():

@@ -457,6 +457,39 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert survivors == [1, 3, 20]
 
 
+def test_cc_label_prop_one_action_per_round(spark):
+    """Each label-prop round must schedule exactly ONE job (r15, VERDICT
+    r14 item 8): the full changed-label count doubles as the lazy
+    checkpoint's materializing action. The r14 form ran two per round
+    (eager checkpoint + limit(1) probe). Budget: 1 edge-materializing
+    count + 1 per round."""
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 12), (20, 21)], "id_a long, id_b long"
+    )
+    pairs.count()  # pay createDataFrame/first-use jobs outside the group
+    sc = spark.sparkContext
+    # AQE materializes each shuffle stage as its own job, making job
+    # counts measure plan depth instead of scheduled actions — pin it
+    # off so 1 action == 1 job for the duration of the probe
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-rounds", "label prop actions", False)
+    try:
+        got = {
+            r["id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()
+        }
+    finally:
+        tracker = sc.statusTracker()
+        jobs = list(tracker.getJobIdsForGroup("cc-rounds"))
+        sc.setJobGroup("", "", False)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert got == {3: 3, 7: 3, 9: 3, 12: 3, 20: 20, 21: 20}
+    # chain 7-3-9-12 needs 3 rounds to converge (labels change in rounds
+    # 1 and 2, round 3 confirms the fixpoint): 1 sym-edge count + 3 round
+    # counts + 1 final collect = 5 jobs. The r14 two-action form ran 8.
+    assert len(jobs) <= 5, f"CC scheduled {len(jobs)} jobs, expected <= 5"
+
+
 def test_duplicate_clusters_star_chain_graph(spark):
     """Large-star/small-star CC must converge on a 1000-node path graph
     within 20 rounds (O(log n)); min-label propagation would need
@@ -635,6 +668,50 @@ def test_ivf_ann_recall_beats_lsh(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_train_probe_runs_one_job_and_matches_hash_sample(spark, sf_dir):
+    """``_bounded_train_rows`` (r15, VERDICT r14 item 4): the fixture-scale
+    regime (corpus ≤ 1.25·train_sample) must cost exactly ONE Spark job —
+    the old form ran a full ``count()`` job plus the collect — and return
+    every row sorted by id (the old frac=1.0 set, byte-identical training
+    matrix)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()  # outside the job group; also forces the footer read
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-train-probe", "bounded train rows", False)
+    try:
+        rows = S._bounded_train_rows(emb, "vec_id", "embedding", 100_000, "ivf-ann-train")
+    finally:
+        tracker = sc.statusTracker()
+        jobs = list(tracker.getJobIdsForGroup("ivf-train-probe"))
+        sc.setJobGroup("", "", False)
+    assert len(jobs) == 1, f"probe regime must run exactly one job, ran {len(jobs)}"
+    assert len(rows) == n
+    ids = [r["i"] for r in rows]
+    assert ids == sorted(ids)
+
+
+def test_ivf_train_fallback_matches_hash_gated_sample(spark):
+    """Past the probe cap, ``_bounded_train_rows`` must reproduce the OLD
+    uniform hash-bounded sample exactly (same membership hash, same
+    fraction, same id-sorted truncation) — centers identical in every
+    regime."""
+    from sample_deepbook_margin_dune_dbt_spark.operators.sampling import hash_uniform
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 7)]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    train_sample = 8  # cap = 11 < 40 rows → fallback regime
+    rows = S._bounded_train_rows(df, "vec_id", "embedding", train_sample, "ivf-ann-train")
+    frac = min(1.0, 1.25 * train_sample / 40)
+    expected = sorted(
+        (r["vec_id"], tuple(r["embedding"]))
+        for r in df.withColumn("u", hash_uniform("vec_id", "ivf-ann-train"))
+        .filter(F.col("u") < F.lit(frac))
+        .collect()
+    )[:train_sample]
+    assert [(r["i"], tuple(r["v"])) for r in rows] == expected
 
 
 def test_ivf_pq_recall_with_refine(spark, sf_dir):

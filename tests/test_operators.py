@@ -1801,6 +1801,46 @@ def test_bitext_mining_planted_pair(spark):
     assert all(r["cos_e6"] < 990_000 for r in out if r["id_a"] != 1)
 
 
+def test_bitext_ranked_directions_matches_bounded_topk(spark):
+    """``_ranked_directions`` (r15) must reproduce the per-direction
+    ``_bounded_topk`` selection EXACTLY — same sets, same (cos desc, id
+    asc) order, same e6 floors — and its inline ``avg_e6`` must equal
+    ``sum(cos_e6) div count(1)`` over the selected rows, for both
+    directions, on adversarial data (cosine ties, sub-k groups)."""
+    import numpy as np
+    from sample_deepbook_margin_dune_dbt_spark.operators import bitext as BX
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for q in range(12):
+        for n in range(rng.randint(1, 9)):
+            # quantized cosines force ties; both directions tagged
+            rows.append((q, 100 + n, round(float(rng.rand()), 1), bool(n % 2)))
+    pairs = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine double, fwd boolean"
+    )
+    k = 3
+    got = {
+        (r["query_id"], r["fwd"]): (
+            [(it["id"], it["cos_e6"]) for it in r["_items"]],
+            r["avg_e6"],
+        )
+        for r in BX._ranked_directions(pairs, k).collect()
+    }
+    for fwd in (True, False):
+        ref = S._bounded_topk(pairs.filter(F.col("fwd") == fwd), k)
+        by_q = {}
+        for r in ref.collect():
+            e6 = int(np.floor(r["cosine"] * 1_000_000))
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], e6)
+            )
+        for q, items in by_q.items():
+            items = [(i, e) for _, i, e in sorted(items)]
+            want_avg = sum(e for _, e in items) // len(items)
+            assert got[(q, fwd)] == (items, want_avg), (q, fwd)
+
+
 def test_bitext_ivf_matches_exact(spark):
     """The generator-fed tier (r13, VERDICT r12 item 1b) must reproduce
     the exact tier BIT-FOR-BIT at its operating point: the shared

@@ -97,13 +97,16 @@ def _assert_tables_equal(store_full, store_inc, name, key_cols, skip_cols=()):
 
 
 @pytest.fixture(scope="module")
-def runs_widened(spark, tmp_path_factory):
+def runs_widened(spark, tmp_path_factory, runs):
     """Same three-run schedule with ``lag_widen_days=1``: the fact model's
-    lag inputs widen one day below each run's lookback floor."""
+    lag inputs widen one day below each run's lookback floor. The
+    full-refresh reference store is REUSED from ``runs`` — widening only
+    changes incremental lookback, so the full-refresh output is
+    identical by construction (same fixtures, same fixed_now), and
+    rebuilding it cost a second ~15 s full-DAG run per suite."""
     root = tmp_path_factory.mktemp("incr_widen")
     full_sources = write_fixtures(str(root / "full"))
-    store_full = TableStore(spark, str(root / "wh_full"))
-    Runner(spark, store_full, full_sources, fixed_now=FIXED_NOW).run(models_deepbook.ALL_MODELS)
+    store_full = runs[0]
 
     store_inc = TableStore(spark, str(root / "wh_inc"))
     for i, (lo, hi, late) in enumerate([(None, CUT1, False), (None, CUT2, False), (None, None, True)]):

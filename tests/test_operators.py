@@ -881,7 +881,7 @@ def test_histogram_fixed_edges(spark):
         histogram_fixed(df, "x", 5, 5, 3)
 
 
-def test_lsh_cap_loss_accounting_property(spark):
+def test_lsh_cap_loss_accounting_property(spark, no_aqe):
     """VERDICT r5 item 8: what a production cap DROPS must be fully
     accountable from ``lsh_band_bucket_stats`` — fuzzed over planted
     duplicate-group sizes and cap values. Invariants per example:
@@ -1240,7 +1240,7 @@ def test_lsh_autotune_scaling_properties():
         lsh_autotune(1000, 1.5)
 
 
-def test_cosine_cap_loss_accounting_property(spark):
+def test_cosine_cap_loss_accounting_property(spark, no_aqe):
     """VERDICT r8 item 8 — the cosine twin of the Jaccard cap-loss
     property: an adversarial density (planted groups of IDENTICAL
     vectors, which share every band bucket at ANY plane count — no
@@ -1366,7 +1366,7 @@ def test_ivf_n_lists_clamp_warns(spark):
         assert any("n_lists clamp binds" in str(x.message) for x in w)
 
 
-def test_jaccard_bucketed_strategy_parity_and_plan(spark, sf_dir):
+def test_jaccard_bucketed_strategy_parity_and_plan(spark, sf_dir, no_aqe):
     """``join_strategy="bucketed"`` (the measured fourth-decade fix —
     PERF.md r11: bucket-local SMJ passes the 8 GB heap every shuffle
     strategy failed at) must produce the identical pair set, and its
@@ -2187,7 +2187,7 @@ def test_sessionize_presplit_exact_parity(spark, sf_dir):
         sessionize_presplit(ev, "user_id", "ts_us", gap, bucket=gap)
 
 
-def test_banded_hamming_cap_loss_accounting_property(spark):
+def test_banded_hamming_cap_loss_accounting_property(spark, no_aqe):
     """VERDICT r13 item 2 (no silent caps): what the perceptual tiers'
     ``max_bucket_size`` DROPS must be fully accountable from
     ``banded_hamming_bucket_stats`` — fuzzed over planted identical-

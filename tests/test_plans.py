@@ -450,6 +450,7 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
     from pyspark.sql import functions as F
 
     keys = {
+        "spark.sql.adaptive.enabled": None,
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
@@ -460,7 +461,10 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
         keys[k] = spark.conf.get(k)
     try:
         # thresholds scaled down so the MB-scale test fact qualifies as
-        # skewed; production keeps the defaults (256MB advisory)
+        # skewed; production keeps the defaults (256MB advisory). AQE is
+        # explicitly ON here — the test session default is off at MB
+        # scale (conftest), and this test pins the adaptive runtime.
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"

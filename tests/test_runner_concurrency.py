@@ -14,7 +14,7 @@ from tests.fixtures import write_fixtures
 FIXED_NOW = dt.datetime(2026, 2, 1)
 
 
-def test_threaded_run_equals_serial(spark, tmp_path):
+def test_threaded_run_equals_serial(spark, tmp_path, no_aqe):
     sources = write_fixtures(str(tmp_path / "src"))
     serial = TableStore(spark, str(tmp_path / "wh_serial"))
     Runner(spark, serial, sources, fixed_now=FIXED_NOW).run(mdl.ALL_MODELS)

@@ -43,6 +43,17 @@ def spark():
     yield s
 
 
+def fuzz_examples(deep: int, fast: int) -> int:
+    """Two-tier Hypothesis example budget (VERDICT r14 item 1: the
+    driver's verify window truncated a 39-53 min suite; the expensive
+    fuzzers are the sanctioned opt-in tier). Default = ``fast`` so the
+    driver-run suite completes; ``SPARK_GRAFT_DEEP_FUZZ=1`` restores the
+    full ``deep`` budget for local hardening runs. The Hypothesis
+    example database still replays every previously-found failure in
+    BOTH tiers, so regressions caught once stay caught."""
+    return deep if os.environ.get("SPARK_GRAFT_DEEP_FUZZ") else fast
+
+
 @pytest.fixture()
 def no_aqe(spark):
     """Scoped AQE-off for tests that run MANY independent deep one-shot

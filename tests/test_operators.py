@@ -9,6 +9,8 @@ survivor semantics, and the multimodal binary plumbing.
 from __future__ import annotations
 
 import pytest
+
+from tests.conftest import fuzz_examples
 from pyspark.sql import functions as F
 
 from sample_deepbook_margin_dune_dbt_spark.operators import dedup as D
@@ -897,7 +899,7 @@ def test_lsh_cap_loss_accounting_property(spark, no_aqe):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=fuzz_examples(5, 3), deadline=None)
     @given(
         group_sizes=st.lists(st.integers(min_value=2, max_value=25), min_size=1, max_size=3),
         cap=st.integers(min_value=2, max_value=12),
@@ -1258,7 +1260,7 @@ def test_cosine_cap_loss_accounting_property(spark, no_aqe):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=5, deadline=None)
+    @settings(max_examples=fuzz_examples(5, 3), deadline=None)
     @given(
         group_sizes=st.lists(st.integers(min_value=2, max_value=20), min_size=1, max_size=3),
         cap=st.integers(min_value=2, max_value=10),
@@ -2205,7 +2207,7 @@ def test_banded_hamming_cap_loss_accounting_property(spark, no_aqe):
 
     from sample_deepbook_margin_dune_dbt_spark.operators import multimodal as M
 
-    @settings(max_examples=4, deadline=None)
+    @settings(max_examples=fuzz_examples(4, 2), deadline=None)
     @given(
         group_sizes=st.lists(
             st.integers(min_value=2, max_value=12), min_size=1, max_size=2

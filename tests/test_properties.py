@@ -12,6 +12,8 @@ import re
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import fuzz_examples
 from pyspark.sql import functions as F
 
 from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
@@ -76,7 +78,7 @@ def test_try_cast_matches_duckdb(spark, texts):
                 assert gd == pytest.approx(ed, nan_ok=True), (t, gd, ed)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=fuzz_examples(8, 4), deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 1000)),  # (key, version)
@@ -106,7 +108,7 @@ def test_merge_equals_dict_upsert(spark, tmp_path_factory, ops):
     store.drop(name)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6, 3), deadline=None)
 @given(
     st.lists(  # batches of (scope_key, [detail values]) drops, keys overlap
         st.lists(
@@ -254,7 +256,7 @@ def test_chunking_invariants(spark, n_tokens, chunk, overlap_frac):
     assert seen == toks, "chunks must cover every token exactly once at stride offsets"
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6, 3), deadline=None)
 @given(
     events=st.lists(
         st.tuples(
@@ -354,7 +356,7 @@ def _ref_repeated_spans(docs, k, min_count):
     return sorted(out)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6, 3), deadline=None)
 @given(
     st.lists(
         st.lists(st.integers(0, 7), min_size=0, max_size=24),
@@ -411,7 +413,7 @@ def _ref_strip_spans(docs, k, min_count):
     return sorted(out)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6, 3), deadline=None)
 @given(
     st.lists(
         st.lists(st.integers(0, 5), min_size=0, max_size=20),
@@ -461,7 +463,7 @@ _OPS = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=fuzz_examples(6, 3), deadline=None)
 @given(_OPS)
 def test_versioned_store_equals_plain_under_random_interleavings(
     spark, tmp_path_factory, ops
@@ -529,7 +531,7 @@ def test_versioned_store_equals_plain_under_random_interleavings(
 
 
 @settings(
-    max_examples=8,
+    max_examples=fuzz_examples(8, 4),
     deadline=None,
     # no_aqe is function-scoped and intentionally spans all examples
     # (one conf set/restore around the whole fuzz, not per example)

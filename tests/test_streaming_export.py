@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import functions as F
 
+from tests.conftest import fuzz_examples
+
 from sample_deepbook_margin_dune_dbt_spark.engine import TableStore
 from sample_deepbook_margin_dune_dbt_spark.operators.export import (
     assign_shards,
@@ -354,7 +356,7 @@ def test_reconcile_property_random_crash_sequences(spark, tmp_path):
     counter = [0]
 
     @settings(
-        max_examples=12,
+        max_examples=fuzz_examples(12, 5),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
